@@ -1,0 +1,68 @@
+"""Dense id assignment without a global sort.
+
+The reference densifies cluster leaders with a parallel prefix sum
+(graph_contraction.cc:33-42 + tbb::parallel_scan). The naive Spark
+translation — ``row_number().over(Window.orderBy(...))`` — is a
+single-partition sort and dies at scale. This module implements the
+two-level scheme (SURVEY.md §7.5.1):
+
+1. hash-partition the distinct keys,
+2. count rows per partition (P scalar rows to the driver),
+3. broadcast cumulative offsets,
+4. per-partition local rank via mapInPandas (Arrow; streaming counter per
+   partition, no per-row Python).
+
+Deterministic for a fixed partition count: ids are ordered by
+(partition-of-hash(key), sort-order-within-partition). When a *stable global
+order* is required (e.g. oracle comparisons) use ``dense_ids_by_order`` which
+does the Window variant — fine for test scale, documented as such.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def dense_ids(df: DataFrame, key: str, num_partitions: int = 64, out: str = "dense_id") -> DataFrame:
+    """Map ``distinct df[key]`` -> dense 0..n-1 longs. Returns (key, out)."""
+    import pandas as pd  # noqa: F401  (imported for the kernel closure)
+
+    keys = df.select(key).distinct().repartition(num_partitions, key)
+    keys = keys.sortWithinPartitions(key)  # determinism within partition
+    counts = (
+        keys.groupBy(F.spark_partition_id().alias("pid")).count().collect()
+    )
+    sizes = {r["pid"]: r["count"] for r in counts}
+    offsets = {}
+    acc = 0
+    for pid in range(num_partitions):
+        offsets[pid] = acc
+        acc += sizes.get(pid, 0)
+
+    schema = f"{key} {dict(keys.dtypes)[key]}, {out} long"
+
+    def assign(iterator):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        base = offsets.get(pid, 0)
+        seen = 0
+        for pdf in iterator:
+            n = len(pdf)
+            pdf = pdf.copy()
+            pdf[out] = range(base + seen, base + seen + n)
+            seen += n
+            yield pdf
+
+    return keys.mapInPandas(assign, schema=schema)
+
+
+def dense_ids_by_order(df: DataFrame, key: str, out: str = "dense_id") -> DataFrame:
+    """Globally-ordered dense ids via dense_rank — single-partition sort;
+    test-scale / oracle-comparison use only."""
+    w = Window.orderBy(key)
+    return (
+        df.select(key)
+        .distinct()
+        .withColumn(out, (F.dense_rank().over(w) - 1).cast("long"))
+    )

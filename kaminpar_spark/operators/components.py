@@ -1,0 +1,102 @@
+"""Connected components (SURVEY.md A11 / I8).
+
+Reference: sequential BFS labeling tool (apps/tools/graph_tools.cc:91-126).
+Distributed re-expression: **hash-to-min** — every superstep each node takes
+the min component id over {itself} ∪ neighbors; converges in O(diameter)
+supersteps. For high-diameter graphs, ``connected_components(...,
+two_phase=True)`` adds pointer-doubling on the label graph (min over the
+*label's* current label), giving the large-star/small-star O(log n) behavior.
+
+Convergence metric: moved = #nodes whose component changed (exact-match
+correctness bar: component ids exact vs BFS oracle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from kaminpar_spark.graph import GraphFrame
+
+
+def cc_step(graph: GraphFrame, state: DataFrame) -> DataFrame:
+    """One hash-to-min superstep over state (id, comp)."""
+    gathered = graph.gather(state, ["comp"])
+    neigh_min = (
+        gathered.select(F.col("dst").alias("id"), F.col("comp"))
+        .groupBy("id")
+        .agg(F.min("comp").alias("neigh_min"))
+    )
+    return (
+        state.select("id", F.col("comp").alias("old_comp"))
+        .join(neigh_min, "id", "left")
+        .select(
+            "id",
+            F.least(F.col("old_comp"), F.coalesce("neigh_min", F.col("old_comp"))).alias(
+                "comp"
+            ),
+            "old_comp",
+        )
+    )
+
+
+def _pointer_double(state: DataFrame) -> DataFrame:
+    """comp' = comp[comp] — path-halving on the label forest. The label table
+    is keyed by id, so a self-join resolves one indirection per call."""
+    labels = state.select(F.col("id").alias("lid"), F.col("comp").alias("lcomp"))
+    return (
+        state.select("id", "comp", "old_comp")
+        .join(labels, state.comp == labels.lid, "left")
+        .select(
+            "id", F.coalesce("lcomp", "comp").alias("comp"), "old_comp"
+        )
+    )
+
+
+def connected_components(
+    graph: GraphFrame,
+    max_iters: int = 50,
+    runner=None,
+    two_phase: bool = True,
+    on_metrics=None,
+) -> DataFrame:
+    """Returns (id, comp) where comp = min node id in the component."""
+    from kaminpar_spark.plans.superstep import run_in_memory
+
+    state = graph.nodes.select(
+        "id", F.col("id").alias("comp"), F.col("id").alias("old_comp")
+    )
+
+    def step(s: DataFrame, i: int) -> DataFrame:
+        new = cc_step(graph, s)
+        if two_phase:
+            new = _pointer_double(new)
+        return new
+
+    def metrics(new: DataFrame) -> dict:
+        moved = new.where(F.col("comp") != F.col("old_comp")).count()
+        return {"moved": int(moved)}
+
+    def converged(m: dict) -> bool:
+        return m["moved"] == 0
+
+    if runner is not None:
+        final = runner.run("connected_components", state, step, metrics, converged, max_iters)
+    else:
+        final = run_in_memory(state, step, metrics, converged, max_iters, on_metrics)
+    return final.select("id", "comp")
+
+
+def largest_component(graph: GraphFrame, by_edges: bool = False) -> DataFrame:
+    """Members (id) of the largest CC — the converter's 'extract largest CC'
+    processor (apps/tools/converter/basic_processors.h:10-50)."""
+    cc = connected_components(graph)
+    if by_edges:
+        sizes = (
+            graph.edges.join(cc.withColumnRenamed("id", "src"), "src")
+            .groupBy("comp")
+            .agg(F.count("*").alias("sz"))
+        )
+    else:
+        sizes = cc.groupBy("comp").agg(F.count("*").alias("sz"))
+    top = sizes.orderBy(F.desc("sz"), F.asc("comp")).limit(1).select("comp")
+    return cc.join(F.broadcast(top), "comp", "left_semi").select("id")

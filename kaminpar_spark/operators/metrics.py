@@ -1,0 +1,92 @@
+"""Partition-quality metrics (reference: /root/reference/kaminpar/utility/metrics.cc).
+
+A partition is a vertex-state DataFrame ``(id:long, block:int)``. All metrics
+are single hash-aggregates; Catalyst plans partial+final combine, the Spark
+analog of the reference's thread-local partials (metrics.cc:9-16).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, functions as F
+
+from kaminpar_spark.graph import GraphFrame
+
+
+def edge_cut(graph: GraphFrame, partition: DataFrame) -> int:
+    """Sum of edge weights crossing blocks, halved — each undirected edge is
+    seen as two half-edges (metrics.cc:8-36)."""
+    p = partition.select("id", "block")
+    e = (
+        graph.edges.join(
+            p.select(F.col("id").alias("src"), F.col("block").alias("b_src")), "src"
+        )
+        .join(p.select(F.col("id").alias("dst"), F.col("block").alias("b_dst")), "dst")
+        .where(F.col("b_src") != F.col("b_dst"))
+        .agg(F.sum("weight").alias("w"))
+        .first()
+    )
+    return int((e["w"] or 0) // 2)
+
+
+def block_weights(graph: GraphFrame, partition: DataFrame) -> DataFrame:
+    """(block, block_weight) — graph.h:305-322 init recomputed bulk-synchronously."""
+    return (
+        graph.nodes.join(partition.select("id", "block"), "id")
+        .groupBy("block")
+        .agg(F.sum("weight").alias("block_weight"))
+    )
+
+
+def perfect_block_weight(total_node_weight: int, k: int) -> int:
+    """ceil(W/k) (metrics.cc:41, context.cc:96-112)."""
+    return math.ceil(total_node_weight / k)
+
+
+def max_block_weight(total_node_weight: int, k: int, epsilon: float) -> int:
+    """L_max = (1+eps) * ceil(W/k) (context.cc:96-130; the +max_node_weight
+    relaxation for weighted graphs is applied by callers that know it)."""
+    return int((1 + epsilon) * perfect_block_weight(total_node_weight, k))
+
+
+@dataclass
+class PartitionQuality:
+    k: int
+    cut: int
+    imbalance: float
+    total_overload: int
+    feasible: bool
+    block_weight_max: int
+
+
+def imbalance(graph: GraphFrame, partition: DataFrame, k: int | None = None) -> float:
+    """max_b w(b) / ceil(W/k) - 1 (metrics.cc:38-48)."""
+    bw = block_weights(graph, partition)
+    row = bw.agg(F.max("block_weight").alias("mx"), F.count("*").alias("kk")).first()
+    total = graph.total_node_weight()
+    kk = k or row["kk"]
+    return row["mx"] / perfect_block_weight(total, kk) - 1.0
+
+
+def quality(
+    graph: GraphFrame, partition: DataFrame, k: int, epsilon: float
+) -> PartitionQuality:
+    """One pass over the partition computing cut/imbalance/overload/feasibility
+    (metrics.cc:38-71 semantics: feasible iff every block weight <= L_max)."""
+    total = graph.total_node_weight()
+    cap = max_block_weight(total, k, epsilon)
+    bw = block_weights(graph, partition)
+    row = bw.agg(
+        F.max("block_weight").alias("mx"),
+        F.sum(F.greatest(F.lit(0), F.col("block_weight") - F.lit(cap))).alias("overload"),
+    ).first()
+    return PartitionQuality(
+        k=k,
+        cut=edge_cut(graph, partition),
+        imbalance=row["mx"] / perfect_block_weight(total, k) - 1.0,
+        total_overload=int(row["overload"] or 0),
+        feasible=(row["overload"] or 0) == 0,
+        block_weight_max=int(row["mx"]),
+    )

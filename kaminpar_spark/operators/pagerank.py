@@ -1,0 +1,111 @@
+"""PageRank as bulk-synchronous supersteps (SURVEY.md I8, north rule).
+
+One superstep = the engine's canonical gather/scatter:
+    contribs = edges ⋈ state on src   (GraphFrame.gather — salted layout, the
+                                       big edge side is never re-shuffled)
+    sums     = contribs.groupBy(dst).sum()  (partial/map-side agg absorbs hub
+                                            dst keys before the shuffle)
+    ranks'   = (1-d)/n + d * (sums + dangling_mass/n)
+
+Dangling (degree-0) nodes redistribute their mass uniformly, matching the
+standard power-iteration oracle. Convergence metric: residual L1 =
+sum |r' - r| (BASELINE.json correctness bar: allclose 1e-6 vs numpy oracle).
+
+Reference parity note: KaMinPar has no PageRank; this operator implements the
+north rule's required kernel on the same gather/scatter plumbing its label
+propagation uses (parallel_label_propagation.h:278-286).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from kaminpar_spark.graph import GraphFrame
+
+
+def init_ranks(graph: GraphFrame, n: int, weighted: bool = False) -> DataFrame:
+    """(id, rank=1/n, out_norm) — out_norm is the precomputed contribution
+    normalizer 1/degree (or 1/weighted_degree when edge weights matter)."""
+    deg = graph.degrees()
+    norm = (1.0 / F.col("weighted_degree")) if weighted else (1.0 / F.col("degree"))
+    return deg.select(
+        "id",
+        F.lit(1.0 / n).alias("rank"),
+        F.when(F.col("degree") > 0, norm).otherwise(F.lit(0.0)).alias("out_norm"),
+        F.lit(0.0).alias("old_rank"),
+    )
+
+
+def pagerank_step(
+    graph: GraphFrame,
+    ranks: DataFrame,
+    n: int,
+    damping: float = 0.85,
+    weighted: bool = False,
+    dangling_mass: float | None = None,
+) -> DataFrame:
+    """One superstep over state (id, rank, out_norm). ``dangling_mass`` may be
+    passed in when the caller already knows it (saves one job); otherwise it
+    is computed with a tiny filtered aggregate."""
+    if dangling_mass is None:
+        dangling_mass = (
+            ranks.where(F.col("out_norm") == 0.0).agg(F.sum("rank")).first()[0] or 0.0
+        )
+    contribs = graph.gather(ranks, ["rank", "out_norm"])
+    wcol = F.col("weight") if weighted else F.lit(1.0)
+    sums = (
+        contribs.select(
+            F.col("dst").alias("id"),
+            (F.col("rank") * F.col("out_norm") * wcol).alias("c"),
+        )
+        .groupBy("id")
+        .agg(F.sum("c").alias("in_sum"))
+    )
+    base = (1.0 - damping) / n + damping * dangling_mass / n
+    return (
+        ranks.select("id", "out_norm", F.col("rank").alias("old_rank"))
+        .join(sums, "id", "left")
+        .select(
+            "id",
+            (F.lit(base) + F.lit(damping) * F.coalesce("in_sum", F.lit(0.0))).alias(
+                "rank"
+            ),
+            "out_norm",
+            "old_rank",
+        )
+    )
+
+
+def pagerank(
+    graph: GraphFrame,
+    damping: float = 0.85,
+    tol: float = 1e-8,
+    max_iters: int = 100,
+    weighted: bool = False,
+    runner=None,
+    on_metrics=None,
+) -> DataFrame:
+    """Run to convergence; returns (id, rank). With a SuperstepRunner the loop
+    is durable + resumable; otherwise in-memory with truncated lineage."""
+    from kaminpar_spark.plans.superstep import run_in_memory
+
+    n = graph.num_nodes()
+    state = init_ranks(graph, n, weighted=weighted)
+
+    def step(s: DataFrame, i: int) -> DataFrame:
+        return pagerank_step(graph, s, n, damping, weighted)
+
+    def metrics(new: DataFrame) -> dict:
+        r = new.agg(
+            F.sum(F.abs(F.col("rank") - F.col("old_rank"))).alias("res")
+        ).first()
+        return {"residual_l1": float(r["res"] or 0.0)}
+
+    def converged(m: dict) -> bool:
+        return m["residual_l1"] < tol
+
+    if runner is not None:
+        final = runner.run("pagerank", state, step, metrics, converged, max_iters)
+    else:
+        final = run_in_memory(state, step, metrics, converged, max_iters, on_metrics)
+    return final.select("id", "rank")

@@ -1,0 +1,68 @@
+"""Exact triangle counting (SURVEY.md J4 — north-rule kernel).
+
+Standard distributed algorithm (node-iterator with degree ordering): orient
+each undirected edge from the lower-(degree, id) endpoint to the higher one,
+join wedges (u→v, v→w) on v, then semi-join the closing edge (u→w). The
+degree orientation bounds wedge fan-out by O(sqrt(m)) per node — the
+classical mitigation for power-law hubs (a raw u<v orientation would
+enumerate deg² wedges at every hub).
+
+Reference parity: KaMinPar's only triangle-adjacent code is the reverse-edge
+search in validate_graph (graph_utils.cc:24-37); triangle counting itself is
+required by BASELINE.json's north rule.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from kaminpar_spark.graph import GraphFrame
+
+
+def oriented_edges(graph: GraphFrame) -> DataFrame:
+    """One directed edge per undirected edge, low→high by (degree, id)."""
+    deg = graph.edges.groupBy("src").agg(F.count("*").alias("d"))
+    e = (
+        graph.edges.join(deg.withColumnRenamed("src", "s2"), F.col("src") == F.col("s2"))
+        .select("src", "dst", F.col("d").alias("d_src"))
+        .join(
+            deg.select(F.col("src").alias("d2id"), F.col("d").alias("d_dst")),
+            F.col("dst") == F.col("d2id"),
+        )
+        .select("src", "dst", "d_src", "d_dst")
+    )
+    return e.where(
+        (F.col("d_src") < F.col("d_dst"))
+        | ((F.col("d_src") == F.col("d_dst")) & (F.col("src") < F.col("dst")))
+    ).select("src", "dst")
+
+
+def triangle_count(graph: GraphFrame) -> int:
+    """Total number of triangles in the graph."""
+    e = oriented_edges(graph)
+    w1 = e.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+    w2 = e.select(F.col("src").alias("v"), F.col("dst").alias("w"))
+    wedges = w1.join(w2, "v").select("u", "w")
+    closing = e.select(F.col("src").alias("u"), F.col("dst").alias("w"))
+    n = wedges.join(closing, ["u", "w"], "left_semi").count()
+    return int(n)
+
+
+def triangles_per_node(graph: GraphFrame) -> DataFrame:
+    """(id, triangles) — number of triangles incident to each node."""
+    e = oriented_edges(graph)
+    w1 = e.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+    w2 = e.select(F.col("src").alias("v"), F.col("dst").alias("w"))
+    wedges = w1.join(w2, "v").select("u", "v", "w")
+    closing = e.select(F.col("src").alias("u"), F.col("dst").alias("w"))
+    tri = wedges.join(closing, ["u", "w"], "left_semi")
+    per = (
+        tri.select(F.explode(F.array("u", "v", "w")).alias("id"))
+        .groupBy("id")
+        .agg(F.count("*").alias("triangles"))
+    )
+    return (
+        graph.nodes.select("id")
+        .join(per, "id", "left")
+        .select("id", F.coalesce("triangles", F.lit(0)).cast("long").alias("triangles"))
+    )

@@ -1,0 +1,67 @@
+"""Connected components vs BFS oracle — exact match (FIXTURES.md §3)."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from kaminpar_spark import fixtures
+from kaminpar_spark.operators.components import connected_components, largest_component
+
+
+def bfs_components(n, src, dst):
+    from collections import defaultdict, deque
+
+    adj = defaultdict(list)
+    for u, v in zip(src, dst):
+        adj[int(u)].append(int(v))
+    comp = -np.ones(n, dtype=int)
+    for s in range(n):
+        if comp[s] >= 0:
+            continue
+        comp[s] = s
+        q = deque([s])
+        while q:
+            u = q.popleft()
+            for v in adj[u]:
+                if comp[v] < 0:
+                    comp[v] = s
+                    q.append(v)
+    return comp
+
+
+def test_cc_k3_plus_isolated(spark):
+    g = fixtures.isolated12(spark)
+    got = {r["id"]: r["comp"] for r in connected_components(g).collect()}
+    # nodes {1,2,3} form one component (min id 1); {4,7,8} another (min 4);
+    # isolated nodes are their own components
+    assert got[1] == got[2] == got[3] == 1
+    assert got[4] == got[7] == got[8] == 4
+    for iso in [0, 5, 6, 9, 10, 11]:
+        assert got[iso] == iso
+
+
+def test_cc_er_oracle(spark):
+    g, src, dst = fixtures.erdos_renyi(spark, n=800, p=0.002, seed=42, hub_overlay=0)
+    want = bfs_components(800, src, dst)
+    got = {r["id"]: r["comp"] for r in connected_components(g).collect()}
+    for i in range(800):
+        assert got[i] == want[i]
+
+
+def test_cc_path_high_diameter(spark):
+    """Pointer doubling must converge a 64-node path well under 64 supersteps."""
+    from kaminpar_spark.graph import GraphFrame
+
+    e = spark.createDataFrame(
+        [(i, i + 1, 1) for i in range(63)], "src long, dst long, weight long"
+    )
+    g = GraphFrame.from_edge_pairs(e)
+    got = {r["id"]: r["comp"] for r in connected_components(g, max_iters=20).collect()}
+    assert all(v == 0 for v in got.values())
+
+
+def test_largest_component(spark):
+    g = fixtures.isolated12(spark)
+    members = sorted(r["id"] for r in largest_component(g).collect())
+    assert members in ([1, 2, 3], [4, 7, 8])  # both size 3; tie broken by min comp
+    assert members == [1, 2, 3]

@@ -1,0 +1,57 @@
+"""Metrics golden tests — weighted star, metrics_test.cc:21-80 via FIXTURES.md §2.4."""
+
+from __future__ import annotations
+
+import pytest
+
+from kaminpar_spark import fixtures
+from kaminpar_spark.operators import metrics
+
+
+def part(spark, assign: dict[int, int]):
+    return spark.createDataFrame(
+        [(k, v) for k, v in assign.items()], "id long, block int"
+    )
+
+
+def test_star_cuts(spark):
+    g = fixtures.star5(spark)
+    # {0}|{1,2,3,4}: cut = 4*3 = 12
+    p = part(spark, {0: 0, 1: 1, 2: 1, 3: 1, 4: 1})
+    assert metrics.edge_cut(g, p) == 12
+    # center moved to leaves' block: cut = 0
+    p0 = part(spark, {i: 1 for i in range(5)})
+    assert metrics.edge_cut(g, p0) == 0
+    # {0,1,2}|{3,4}: cut = 2*3 = 6
+    p2 = part(spark, {0: 0, 1: 0, 2: 0, 3: 1, 4: 1})
+    assert metrics.edge_cut(g, p2) == 6
+    # 5-way singletons: cut = 12
+    p5 = part(spark, {i: i for i in range(5)})
+    assert metrics.edge_cut(g, p5) == 12
+
+
+def test_star_imbalance(spark):
+    g = fixtures.star5(spark)
+    # {0}|{1,2,3,4}: weights 4|4, W=8, ceil(8/2)=4 -> imbalance 0
+    p = part(spark, {0: 0, 1: 1, 2: 1, 3: 1, 4: 1})
+    assert metrics.imbalance(g, p, k=2) == pytest.approx(0.0)
+    # {0,1,2}|{3,4}: weights 6|2 -> 6/4 - 1 = 0.5 (metrics_test.cc:62-70)
+    p2 = part(spark, {0: 0, 1: 0, 2: 0, 3: 1, 4: 1})
+    assert metrics.imbalance(g, p2, k=2) == pytest.approx(0.5)
+
+
+def test_quality_feasibility(spark):
+    g = fixtures.star5(spark)
+    p = part(spark, {0: 0, 1: 1, 2: 1, 3: 1, 4: 1})
+    q = metrics.quality(g, p, k=2, epsilon=0.0)
+    assert q.cut == 12 and q.feasible and q.total_overload == 0
+    p2 = part(spark, {0: 0, 1: 0, 2: 0, 3: 1, 4: 1})
+    q2 = metrics.quality(g, p2, k=2, epsilon=0.0)
+    assert not q2.feasible and q2.total_overload == 2  # block0 weight 6, cap 4
+
+
+def test_weighted_k3_cut(spark):
+    g = fixtures.k3(spark, weighted=True)
+    # {0}|{1,2}: cut = w(0,1)+w(0,2) = 3 (FIXTURES.md §2.1)
+    p = part(spark, {0: 0, 1: 1, 2: 1})
+    assert metrics.edge_cut(g, p) == 3

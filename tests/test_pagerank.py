@@ -1,0 +1,60 @@
+"""PageRank vs exact numpy power iteration (FIXTURES.md §3 oracle; allclose 1e-6)."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from kaminpar_spark import fixtures
+from kaminpar_spark.operators.pagerank import pagerank
+
+
+def numpy_pagerank(n, src, dst, d=0.85, tol=1e-12, iters=500):
+    deg = np.bincount(src, minlength=n).astype(float)
+    r = np.full(n, 1.0 / n)
+    inv = np.where(deg > 0, 1.0 / np.maximum(deg, 1), 0.0)
+    for _ in range(iters):
+        contrib = r * inv
+        s = np.zeros(n)
+        np.add.at(s, dst, contrib[src])
+        dangling = r[deg == 0].sum()
+        r_new = (1 - d) / n + d * (s + dangling / n)
+        if np.abs(r_new - r).sum() < tol:
+            r = r_new
+            break
+        r = r_new
+    return r
+
+
+def test_pagerank_k3(spark):
+    g = fixtures.k3(spark)
+    res = {r["id"]: r["rank"] for r in pagerank(g, tol=1e-10).collect()}
+    for i in range(3):
+        assert abs(res[i] - 1 / 3) < 1e-8
+
+
+def test_pagerank_star(spark):
+    g = fixtures.star5(spark)
+    src = np.array([0, 0, 0, 0, 1, 2, 3, 4])
+    dst = np.array([1, 2, 3, 4, 0, 0, 0, 0])
+    want = numpy_pagerank(5, src, dst)
+    got = {r["id"]: r["rank"] for r in pagerank(g, tol=1e-10).collect()}
+    for i in range(5):
+        assert abs(got[i] - want[i]) < 1e-6
+
+
+def test_pagerank_er_oracle(spark):
+    g, src, dst = fixtures.erdos_renyi(spark, n=500, p=0.01, seed=42, hub_overlay=3)
+    want = numpy_pagerank(500, src, dst)
+    got = {r["id"]: r["rank"] for r in pagerank(g, tol=1e-10, max_iters=200).collect()}
+    arr = np.array([got.get(i, 0.0) for i in range(500)])
+    assert np.allclose(arr, want, atol=1e-6)
+
+
+def test_pagerank_salted_matches(spark):
+    g, src, dst = fixtures.erdos_renyi(spark, n=400, p=0.01, seed=1, hub_overlay=2)
+    gp = g.prepare(num_partitions=8, hub_degree_threshold=10, salt_factor=4, spark=spark)
+    want = numpy_pagerank(400, src, dst)
+    got = {r["id"]: r["rank"] for r in pagerank(gp, tol=1e-10, max_iters=200).collect()}
+    gp.unpersist()
+    arr = np.array([got.get(i, 0.0) for i in range(400)])
+    assert np.allclose(arr, want, atol=1e-6)

@@ -1,0 +1,38 @@
+"""Triangle counting vs exact numpy oracle (trace of A^3 / 6)."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from kaminpar_spark import fixtures
+from kaminpar_spark.operators.triangles import triangle_count, triangles_per_node
+
+
+def numpy_triangles(n, src, dst):
+    a = np.zeros((n, n))
+    a[src, dst] = 1
+    return int(round(np.trace(a @ a @ a) / 6))
+
+
+def test_k3_one_triangle(spark):
+    g = fixtures.k3(spark)
+    assert triangle_count(g) == 1
+    per = {r["id"]: r["triangles"] for r in triangles_per_node(g).collect()}
+    assert per == {0: 1, 1: 1, 2: 1}
+
+
+def test_p2_no_triangle(spark):
+    assert triangle_count(fixtures.p2(spark)) == 0
+
+
+def test_clique_pendant(spark):
+    g = fixtures.clique_pendant(spark)
+    assert triangle_count(g) == 4  # C(4,3) in the 4-clique
+    per = {r["id"]: r["triangles"] for r in triangles_per_node(g).collect()}
+    assert per == {0: 3, 1: 3, 2: 3, 3: 3, 4: 0, 5: 0}
+
+
+def test_er_oracle(spark):
+    g, src, dst = fixtures.erdos_renyi(spark, n=300, p=0.03, seed=42, hub_overlay=2)
+    want = numpy_triangles(300, src, dst)
+    assert triangle_count(g) == want
