@@ -1,0 +1,91 @@
+"""Bench harness (driver contract): headline queries at $SPARK_GRAFT_SF_DIR
+on local[$SPARK_GRAFT_CPUS]; prints ONE JSON line.
+
+Headline metric (BASELINE.json): edges processed/sec per superstep for
+PageRank + LPA to convergence on the transcript-derived edge table —
+total_half_edges * supersteps / wall_sec. Per-query wall times are also
+reported. Scaling protocol (N vs 4N cores) lives in scripts/scaling_bench.py
+which runs this at SPARK_GRAFT_CPUS=8 and =32 and writes BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    pr_iters = int(os.environ.get("SPARK_GRAFT_PR_ITERS", "10"))
+    lpa_iters = int(os.environ.get("SPARK_GRAFT_LPA_ITERS", "8"))
+
+    from kaminpar_spark.session import get_spark
+    from kaminpar_spark.sources.transcripts import synth_transcripts, transcript_graph
+    from kaminpar_spark.operators.pagerank import pagerank
+    from kaminpar_spark.operators.labelprop import label_propagation
+    from kaminpar_spark.operators.components import connected_components
+    from kaminpar_spark.operators.triangles import triangle_count
+
+    spark = get_spark("kaminpar_bench", cores=cpus)
+    t_all = time.time()
+    queries: dict[str, float] = {}
+
+    # ---- ETL: transcripts -> edge table (scalable dense ids) ----
+    t0 = time.time()
+    n_convs = spark.read.parquet(f"{sf_dir}/orders.parquet").count()
+    t = synth_transcripts(spark, n_convs)
+    g, _ = transcript_graph(t, n_convs, stable_ids=False, num_partitions=2 * cpus)
+    gp = g.prepare(num_partitions=2 * cpus, hub_degree_threshold=1 << 13, salt_factor=8, spark=spark)
+    m = gp.num_half_edges()
+    n = gp.num_nodes()
+    queries["etl_edge_table"] = round(time.time() - t0, 3)
+
+    # ---- PageRank (fixed supersteps for a stable throughput metric) ----
+    t0 = time.time()
+    pagerank(gp, tol=0.0, max_iters=pr_iters).count()
+    pr_sec = time.time() - t0
+    queries["pagerank"] = round(pr_sec, 3)
+
+    # ---- LPA ----
+    t0 = time.time()
+    label_propagation(gp, max_iters=lpa_iters, semi_sync=True).count()
+    lpa_sec = time.time() - t0
+    queries["lpa"] = round(lpa_sec, 3)
+
+    # ---- CC ----
+    t0 = time.time()
+    cc_df = connected_components(gp, max_iters=30)
+    cc_df.select(F.countDistinct("comp")).count()
+    queries["connected_components"] = round(time.time() - t0, 3)
+
+    # ---- triangles ----
+    t0 = time.time()
+    triangle_count(gp)
+    queries["triangle_count"] = round(time.time() - t0, 3)
+
+    supersteps = pr_iters + lpa_iters
+    kernel_sec = pr_sec + lpa_sec
+    eps_per_superstep = m * supersteps / kernel_sec if kernel_sec > 0 else 0.0
+
+    out = {
+        "metric": "edges_per_sec_per_superstep",
+        "value": round(eps_per_superstep, 1),
+        "unit": "edges/sec",
+        "queries": queries,
+        "sf": sf_dir,
+        "cpus": cpus,
+        "graph": {"nodes": n, "half_edges": m, "supersteps": supersteps},
+        "total_sec": round(time.time() - t_all, 3),
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,217 @@
+"""Label propagation — one engine, three configs (SURVEY.md I1/I2/I3).
+
+The reference instantiates one CRTP LP template twice: size-constrained
+clustering for coarsening (parallel_label_propagation_coarsener.h:36) and
+block refinement (parallel_label_propagation_refiner.h:8). We mirror that:
+``lp_step`` is the shared superstep; configs differ only in the weight
+constraint and admission policy:
+
+- **community** (north-rule LPA): no weight cap.
+- **clustering** (coarsening, I2): soft cap ``max_cluster_weight`` (F5) —
+  a move is admitted only if the target cluster's weight at superstep start
+  plus the mover's weight fits. BSP can jointly overflow a cluster slightly,
+  like the reference's CAS races do (accept at
+  parallel_label_propagation_coarsener.h:134-139 is also approximate).
+- **refinement** (I3): HARD cap per target block — candidate movers are
+  ranked by gain within each target block and admitted in order while the
+  block's residual capacity lasts (Window + cumulative weight), the
+  deterministic BSP replacement for the reference's CAS admission
+  (parallel_label_propagation.h:229-243). Never overloads a block.
+
+One superstep (all configs):
+    scores  = edges ⋈ labels on src (GraphFrame.gather — salted layout)
+              .groupBy(dst, label).sum(weight)
+    best    = argmax_{label} score per dst, tie-break smallest label
+    move if best strictly beats the current label's score (ties keep)
+
+Semi-synchronous scheduling (``semi_sync=True``): only nodes with
+pmod(xxhash64(id), 2) == step%2 may move — the BSP de-correlation replacing
+the reference's randomized chunk order (parallel_label_propagation.h:103-167),
+and the standard fix for 2-cycle oscillation of synchronous LP on bipartite
+structures.
+
+Convergence metric: moved-label count (north rule).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from kaminpar_spark.graph import GraphFrame
+
+
+def label_scores(graph: GraphFrame, state: DataFrame) -> DataFrame:
+    """(id, label, score): total incident edge weight from node id toward each
+    adjacent label (J1 gather; map-side partial agg absorbs hub keys)."""
+    gathered = graph.gather(state.select("id", "label"), ["label"])
+    return (
+        gathered.groupBy(F.col("dst").alias("id"), "label")
+        .agg(F.sum("weight").alias("score"))
+    )
+
+
+def _best_and_current(graph: GraphFrame, state: DataFrame) -> DataFrame:
+    """Per node: current label, best adjacent label (max score, min label on
+    ties), plus both scores. Nodes with no neighbors keep their label."""
+    scores = label_scores(graph, state)
+    cur = state.select("id", F.col("label").alias("cur_label"))
+    own = (
+        scores.join(cur, "id")
+        .where(F.col("label") == F.col("cur_label"))
+        .select("id", F.col("score").alias("cur_score"))
+    )
+    best = scores.groupBy("id").agg(
+        F.max(F.struct(F.col("score"), (-F.col("label")).alias("neg"))).alias("b")
+    ).select(
+        "id",
+        F.col("b.score").alias("best_score"),
+        (-F.col("b.neg")).alias("best_label"),
+    )
+    return (
+        cur.join(best, "id", "left")
+        .join(own, "id", "left")
+        .select(
+            "id",
+            "cur_label",
+            F.coalesce("cur_score", F.lit(0)).alias("cur_score"),
+            F.coalesce("best_label", F.col("cur_label")).alias("best_label"),
+            F.coalesce("best_score", F.lit(0)).alias("best_score"),
+        )
+    )
+
+
+def lp_step(
+    graph: GraphFrame,
+    state: DataFrame,
+    step_idx: int = 0,
+    max_cluster_weight: int | None = None,
+    hard_caps: DataFrame | None = None,
+    semi_sync: bool = True,
+    seed: int = 42,
+) -> DataFrame:
+    """One LP superstep over state (id, label, weight).
+
+    max_cluster_weight: soft cap (clustering config).
+    hard_caps: (label, capacity) — refinement config; admission by gain order
+               within residual capacity (see module docstring).
+    Returns state with columns (id, label, weight, moved:int).
+    """
+    cand = _best_and_current(graph, state).join(
+        state.select("id", "weight"), "id"
+    )
+    wants_move = (F.col("best_label") != F.col("cur_label")) & (
+        F.col("best_score") > F.col("cur_score")
+    )
+    if semi_sync:
+        active = F.pmod(F.xxhash64(F.col("id") + F.lit(seed)), F.lit(2)) == F.lit(step_idx % 2)
+        wants_move = wants_move & active
+
+    cand = cand.withColumn("wants", wants_move)
+
+    if max_cluster_weight is None and hard_caps is None:
+        out = cand.select(
+            "id",
+            F.when(F.col("wants"), F.col("best_label")).otherwise(F.col("cur_label")).alias("label"),
+            "weight",
+            F.when(F.col("wants"), F.lit(1)).otherwise(F.lit(0)).alias("moved"),
+        )
+        return out
+
+    # current per-label weights at superstep start (BSP; A5 analog)
+    label_w = state.groupBy(F.col("label")).agg(F.sum("weight").alias("label_weight"))
+
+    if max_cluster_weight is not None:
+        # soft cap: admit if start-of-step target weight + mover fits
+        cand = cand.join(
+            label_w.select(F.col("label").alias("best_label"), "label_weight"),
+            "best_label",
+            "left",
+        ).withColumn(
+            "admit",
+            F.col("wants")
+            & (
+                F.coalesce("label_weight", F.lit(0)) + F.col("weight")
+                <= F.lit(max_cluster_weight)
+            ),
+        )
+    else:
+        # hard caps: gain-ordered cumulative admission per target block
+        gain = (F.col("best_score") - F.col("cur_score")).alias("gain")
+        movers = cand.where(F.col("wants")).select(
+            "id", "cur_label", "best_label", "weight", gain
+        )
+        caps = hard_caps.select(F.col("label").alias("best_label"), "capacity")
+        used = label_w.select(F.col("label").alias("best_label"), "label_weight")
+        w_adm = Window.partitionBy("best_label").orderBy(
+            F.desc("gain"), F.asc("id")
+        ).rowsBetween(Window.unboundedPreceding, 0)
+        admitted = (
+            movers.join(caps, "best_label", "left")
+            .join(used, "best_label", "left")
+            .withColumn("cum_w", F.sum("weight").over(w_adm))
+            .where(
+                F.coalesce("label_weight", F.lit(0)) + F.col("cum_w")
+                <= F.coalesce("capacity", F.lit(1 << 62))
+            )
+            .select("id", F.lit(True).alias("admit"))
+        )
+        cand = cand.join(admitted, "id", "left").withColumn(
+            "admit", F.coalesce("admit", F.lit(False))
+        )
+
+    return cand.select(
+        "id",
+        F.when(F.col("admit"), F.col("best_label")).otherwise(F.col("cur_label")).alias("label"),
+        "weight",
+        F.when(F.col("admit"), F.lit(1)).otherwise(F.lit(0)).alias("moved"),
+    )
+
+
+def label_propagation(
+    graph: GraphFrame,
+    max_iters: int = 10,
+    max_cluster_weight: int | None = None,
+    semi_sync: bool = True,
+    runner=None,
+    min_moved_frac: float = 0.0,
+    on_metrics=None,
+    name: str = "labelprop",
+) -> DataFrame:
+    """Run LP from singleton labels to (near-)convergence. Returns (id, label).
+
+    Stops when moved == 0, or moved/n <= min_moved_frac (the reference's
+    early-stop analog, parallel_label_propagation_coarsener.h:141-143).
+    """
+    from kaminpar_spark.plans.superstep import run_in_memory
+
+    n = graph.num_nodes()
+    state = graph.nodes.select(
+        "id", F.col("id").alias("label"), "weight", F.lit(0).alias("moved")
+    )
+
+    def step(s: DataFrame, i: int) -> DataFrame:
+        return lp_step(
+            graph, s, step_idx=i, max_cluster_weight=max_cluster_weight, semi_sync=semi_sync
+        )
+
+    def metrics(new: DataFrame) -> dict:
+        moved = new.agg(F.sum("moved")).first()[0] or 0
+        return {"moved": int(moved)}
+
+    # With semi-sync scheduling only half the nodes are active per step, so a
+    # single moved==0 step can be a fluke of the inactive half — require two
+    # consecutive quiet steps before declaring convergence.
+    history: list[int] = []
+
+    def converged(m: dict) -> bool:
+        history.append(m["moved"])
+        quiet = m["moved"] <= min_moved_frac * n
+        if not semi_sync:
+            return quiet
+        return quiet and len(history) >= 2 and history[-2] <= min_moved_frac * n
+
+    if runner is not None:
+        final = runner.run(name, state, step, metrics, converged, max_iters)
+    else:
+        final = run_in_memory(state, step, metrics, converged, max_iters, on_metrics)
+    return final.select("id", "label")

@@ -1,0 +1,124 @@
+"""Transcripts → edge table ETL (BASELINE.json input_hint; SURVEY.md §7.1).
+
+Input schema (Iceberg/parquet table of multi-turn conversation / agent
+transcripts): ``conv_id string, turn_idx int, role string, text string,
+tool string, ts timestamp``. The engine's native input — the edge table —
+derives from turn adjacency under the **stable ordering key (conv_id,
+turn_idx)**: consecutive turns link their *actors* (user / agent / tool
+participants); link multiplicity becomes edge weight; the node universe is
+the dense-ranked actor key set.
+
+The synthetic generator is **pure integer arithmetic** (no RNG, no hash
+functions), so the DuckDB correctness oracle in ``__spark_entry__.py`` can
+reproduce every row bit-for-bit with plain SQL — this is what backs the
+driver's per-turn text-equality check.
+
+Scale note: everything here is narrow transforms + one lag window partitioned
+by conv_id (bounded partitions: a conversation fits in memory by definition)
++ one groupBy(src,dst). At 10^12 turns the only shuffle is the
+groupBy(actor-pair) — hub actors (agents/tools, zipf-ish by construction) are
+absorbed by map-side partial aggregation; the dense-rank of actor keys uses
+the two-level ids.dense_ids scheme, not a global sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from kaminpar_spark.graph import GraphFrame
+from kaminpar_spark.ids import dense_ids, dense_ids_by_order
+
+N_AGENTS = 7  # shared assistant identities -> natural hubs
+N_TOOLS = 20  # raw tool pool; skew maps 3/4 of the mass onto tools 0..2
+
+
+def synth_transcripts(spark: SparkSession, n_convs: int) -> DataFrame:
+    """Deterministic synthetic transcripts, arithmetic-only (seedless).
+
+    conv c has 4 + (c % 9) turns; roles cycle user/assistant/tool; tool turns
+    use tool_id = r%4==0 ? r : r%3 with r=(c*31+t*17)%20 (zipf-ish hubs);
+    text = 'm_<c>_<t>'; ts = 2024-01-01 + (c*1000 + t*10) seconds.
+    """
+    convs = spark.range(n_convs).withColumnRenamed("id", "c")
+    turns = convs.select(
+        "c", F.explode(F.sequence(F.lit(0), (F.col("c") % 9 + 3).cast("int"))).alias("t")
+    )
+    r = (F.col("c") * 31 + F.col("t") * 17) % N_TOOLS
+    tool_id = F.when(r % 4 == 0, r).otherwise(r % 3)
+    role = (
+        F.when(F.col("t") % 3 == 0, F.lit("user"))
+        .when(F.col("t") % 3 == 1, F.lit("assistant"))
+        .otherwise(F.lit("tool"))
+    )
+    return turns.select(
+        F.concat(F.lit("conv_"), F.lpad(F.col("c").cast("string"), 8, "0")).alias("conv_id"),
+        F.col("t").cast("int").alias("turn_idx"),
+        role.alias("role"),
+        F.concat(F.lit("m_"), F.col("c").cast("string"), F.lit("_"), F.col("t").cast("string")).alias("text"),
+        F.when(
+            F.col("t") % 3 == 2,
+            F.concat(F.lit("tool_"), tool_id.cast("string")),
+        ).alias("tool"),
+        (
+            F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+            + F.make_dt_interval(F.lit(0), F.lit(0), F.lit(0), F.col("c") * 1000 + F.col("t") * 10)
+        ).alias("ts"),
+    )
+
+
+def actor_column(n_convs: int) -> F.Column:
+    """Actor key of a turn row (expects columns conv_id/turn_idx/role/tool).
+
+    user turns  -> 'user_<c mod U>'  with U = max(1, n_convs//4)
+    agent turns -> 'agent_<c mod 7>'
+    tool turns  -> 'tool_<tool_id>'  (from the tool column)
+    where c is recovered from conv_id's zero-padded suffix.
+    """
+    n_users = max(1, n_convs // 4)
+    c = F.substring("conv_id", 6, 8).cast("long")
+    return (
+        F.when(F.col("role") == "user", F.concat(F.lit("user_"), (c % n_users).cast("string")))
+        .when(F.col("role") == "assistant", F.concat(F.lit("agent_"), (c % N_AGENTS).cast("string")))
+        .otherwise(F.col("tool"))
+    )
+
+
+def turn_links(transcripts: DataFrame, n_convs: int) -> DataFrame:
+    """(a_prev, a_cur) actor pairs of consecutive turns under the stable
+    ordering (conv_id, turn_idx); self-links dropped."""
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    t = transcripts.withColumn("actor", actor_column(n_convs))
+    return (
+        t.withColumn("prev_actor", F.lag("actor").over(w))
+        .where(F.col("prev_actor").isNotNull() & (F.col("prev_actor") != F.col("actor")))
+        .select(F.col("prev_actor").alias("a_src"), F.col("actor").alias("a_dst"))
+    )
+
+
+def transcript_graph(
+    transcripts: DataFrame,
+    n_convs: int,
+    stable_ids: bool = False,
+    num_partitions: int = 64,
+) -> tuple[GraphFrame, DataFrame]:
+    """Full ETL: transcripts -> (GraphFrame, actor_map).
+
+    actor_map: (actor string, id long) — dense 0..n-1. ``stable_ids=True``
+    orders ids by actor key (single-partition sort; oracle/test scale only);
+    default uses the scalable two-level dense-id scheme.
+    """
+    links = turn_links(transcripts, n_convs)
+    actors = links.select(F.col("a_src").alias("actor")).unionByName(
+        links.select(F.col("a_dst").alias("actor"))
+    )
+    if stable_ids:
+        amap = dense_ids_by_order(actors, "actor", out="id")
+    else:
+        amap = dense_ids(actors, "actor", num_partitions=num_partitions, out="id")
+    pairs = (
+        links.join(amap.withColumnRenamed("actor", "a_src").withColumnRenamed("id", "src"), "a_src")
+        .join(amap.withColumnRenamed("actor", "a_dst").withColumnRenamed("id", "dst"), "a_dst")
+        .select("src", "dst")
+    )
+    g = GraphFrame.from_edge_pairs(pairs, symmetrize=True)
+    return g, amap

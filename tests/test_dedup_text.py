@@ -1,0 +1,134 @@
+"""Dedup, text analysis, similarity — numpy/python oracles on tiny corpora."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from kaminpar_spark.functions import dedup, similarity, text
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy dog"),  # exact dup of 0
+        (2, "the quick brown fox leaps over the lazy dog"),  # near dup
+        (3, "completely different content about spark engines"),
+        (4, "el rapido zorro marron salta sobre el perro"),
+        (5, "spark engines process completely different content about"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(spark, docs):
+    groups = {r["keep_id"]: r["dup_count"] for r in dedup.exact_dedup_groups(docs).collect()}
+    assert groups[0] == 2  # docs 0,1 identical
+    assert len(groups) == 5
+    kept = sorted(r["doc_id"] for r in dedup.exact_dedup(docs).collect())
+    assert kept == [0, 2, 3, 4, 5]
+
+
+def test_ngram_jaccard(spark, docs):
+    """Exact Jaccard on 3-shingles: doc0 vs doc2 differ in one word ->
+    shingles overlap substantially; dup pair (0,1) has jaccard 1.0."""
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(docs, threshold=0.0).collect()
+    }
+    assert pairs[(0, 1)] == pytest.approx(1.0)
+    # oracle: compute jaccard of 3-gram sets in python
+    def sh(t):
+        w = t.split()
+        return {" ".join(w[i : i + 3]) for i in range(max(1, len(w) - 2))}
+
+    a, c = sh("the quick brown fox jumps over the lazy dog"), sh(
+        "the quick brown fox leaps over the lazy dog"
+    )
+    want = len(a & c) / len(a | c)
+    assert pairs[(0, 2)] == pytest.approx(want)
+    assert (3, 5) in pairs  # shared shingles? only if >=1 common 3-gram
+
+
+def test_minhash_estimates_jaccard(spark, docs):
+    res = dedup.minhash_dedup_pairs(docs, threshold=0.2, num_hashes=128, bands=32)
+    got = {(r["id_a"], r["id_b"]): r["est_jaccard"] for r in res.collect()}
+    assert got[(0, 1)] == pytest.approx(1.0)
+    # true jaccard(0,2) = 4/10 = 0.4 (3 of 7 shingles changed)
+    assert (0, 2) in got
+    assert abs(got[(0, 2)] - 0.4) < 0.2  # minhash estimate tolerance
+    assert (0, 3) not in got
+
+
+def test_simhash_near_pairs(spark, docs):
+    sh = dedup.simhash(docs)
+    vals = {r["id"]: r["simhash"] for r in sh.collect()}
+    assert vals[0] == vals[1]  # identical docs, identical simhash
+    pairs = dedup.simhash_near_pairs(sh, max_hamming=16)
+    got = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs.collect()}
+    assert got[(0, 1)] == 0
+    assert (0, 2) in got  # one-word change -> small hamming distance
+
+
+def test_token_counts(spark, docs):
+    got = {r["doc_id"]: r["n_tokens"] for r in text.token_counts(docs).collect()}
+    assert got[0] == 9 and got[3] == 6
+
+
+def test_quality_scores(spark, docs):
+    row = {r["doc_id"]: r for r in text.quality_scores(docs).collect()}
+    assert row[0]["n_chars"] == len("the quick brown fox jumps over the lazy dog")
+    assert row[0]["stopword_ratio"] == pytest.approx(round(2 / 9, 6))  # 'the' x2
+
+
+def test_language_id(spark, docs):
+    got = {r["doc_id"]: r["lang_pred"] for r in text.language_id(docs).collect()}
+    assert got[0] == "en"
+    assert got[4] == "es"  # 'el' x2 beats everything
+
+
+def test_fingerprints_stable(spark, docs):
+    f1 = {r["doc_id"]: r["fingerprint"] for r in text.fingerprints(docs).collect()}
+    f2 = {r["doc_id"]: r["fingerprint"] for r in text.fingerprints(docs).collect()}
+    assert f1 == f2
+    assert f1[0] == f1[1] and f1[0] != f1[3]
+
+
+def test_bpe_ish_counts(spark, docs):
+    got = {r["doc_id"]: r["n_subword_tokens"] for r in text.bpe_ish_token_counts(docs).collect()}
+    assert all(v > 0 for v in got.values())
+    # 'completely different content about spark engines' -> pieces of <=4 chars
+    assert got[3] >= 10
+
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    rng = np.random.default_rng(42)
+    base = rng.standard_normal((20, 16)).astype(np.float32)
+    base[1] = base[0] + 0.01 * rng.standard_normal(16).astype(np.float32)  # near-dup of 0
+    rows = [(i, [float(x) for x in base[i]]) for i in range(20)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>"), base
+
+
+def test_brute_force_topk_matches_numpy(spark, vecs):
+    df, base = vecs
+    got = similarity.brute_force_topk(df, df.where(F.col("vec_id") == 0), k=5).collect()
+    sims = base @ base[0] / (np.linalg.norm(base, axis=1) * np.linalg.norm(base[0]))
+    order = [i for i in np.argsort(np.round(-sims, 4), kind="stable") if i != 0][:5]
+    assert [r["nn_id"] for r in got] == order
+    assert got[0]["nn_id"] == 1  # the planted near-dup
+
+
+def test_lsh_topk_finds_near_dup(spark, vecs):
+    df, _ = vecs
+    got = similarity.lsh_topk(df, df.where(F.col("vec_id") == 0), k=5, num_planes=6)
+    rows = got.collect()
+    assert rows and rows[0]["nn_id"] == 1  # near-identical vector shares every bucket
+
+
+def test_embedding_near_dup_pairs(spark, vecs):
+    df, _ = vecs
+    got = similarity.embedding_near_dup_pairs(df, threshold=0.95, num_planes=6)
+    pairs = {(r["id_a"], r["id_b"]) for r in got.collect()}
+    assert (0, 1) in pairs

@@ -1,0 +1,68 @@
+"""Transcript ETL: deterministic generation, stable ordering, edge derivation."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kaminpar_spark.sources.transcripts import (
+    synth_transcripts,
+    transcript_graph,
+    turn_links,
+)
+
+
+def test_deterministic_generation(spark):
+    t1 = synth_transcripts(spark, 50).orderBy("conv_id", "turn_idx").collect()
+    t2 = synth_transcripts(spark, 50).orderBy("conv_id", "turn_idx").collect()
+    assert t1 == t2
+    assert len(t1) == sum(4 + (c % 9) for c in range(50))
+
+
+def test_schema_matches_input_hint(spark):
+    t = synth_transcripts(spark, 5)
+    assert [f.name for f in t.schema.fields] == ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    types = {f.name: f.dataType.simpleString() for f in t.schema.fields}
+    assert types["turn_idx"] == "int" and types["ts"] == "timestamp"
+    # tool is set iff role == 'tool'
+    assert t.where((F.col("role") == "tool") & F.col("tool").isNull()).count() == 0
+    assert t.where((F.col("role") != "tool") & F.col("tool").isNotNull()).count() == 0
+
+
+def test_per_turn_text_equality(spark):
+    """Per-turn text equality under stable (conv_id, turn_idx) ordering —
+    regenerating and joining on the ordering key gives identical text."""
+    a = synth_transcripts(spark, 40)
+    b = synth_transcripts(spark, 40).withColumnRenamed("text", "text_b")
+    j = a.join(b.select("conv_id", "turn_idx", "text_b"), ["conv_id", "turn_idx"])
+    assert j.where(F.col("text") != F.col("text_b")).count() == 0
+    assert j.count() == a.count()
+
+
+def test_turn_links_no_self(spark):
+    t = synth_transcripts(spark, 30)
+    links = turn_links(t, 30)
+    assert links.where(F.col("a_src") == F.col("a_dst")).count() == 0
+    assert links.count() > 0
+
+
+def test_transcript_graph_valid(spark):
+    t = synth_transcripts(spark, 60)
+    g, amap = transcript_graph(t, 60, stable_ids=True)
+    g.validate()
+    n = g.num_nodes()
+    ids = sorted(r["id"] for r in amap.collect())
+    assert ids == list(range(len(ids)))  # dense
+    assert n <= len(ids)
+    # hubs exist: agents appear in many conversations
+    maxdeg = g.degrees().agg(F.max("degree")).first()[0]
+    assert maxdeg > 10
+
+
+def test_dense_ids_scalable_matches_count(spark):
+    t = synth_transcripts(spark, 60)
+    g1, amap1 = transcript_graph(t, 60, stable_ids=True)
+    g2, amap2 = transcript_graph(t, 60, stable_ids=False, num_partitions=8)
+    # same actor universe, same dense range, same graph size
+    assert amap1.count() == amap2.count()
+    assert g1.num_half_edges() == g2.num_half_edges()
+    assert sorted(r["id"] for r in amap2.collect()) == list(range(amap2.count()))
