@@ -34,13 +34,17 @@ def percentile_index(n: int, p: float) -> int:
     return max(0, min(n - 1, math.ceil(p * n) - 1))
 
 
-def adaptive_epsilon(epsilon: float, k_final: int, k: int, total_weight: int, sub_weight: int, k_sub: int) -> float:
-    """Per-bisection-level eps' = ((1+eps) * k_final/k * W/W_sub)^(1/ceil(log2 k_sub)) - 1
-    (context.cc:384-393)."""
+def adaptive_epsilon(
+    epsilon: float, k_final: int, k_sub: int, total_weight: int, sub_weight: int
+) -> float:
+    """2-way adaptive epsilon (context.cc:384-393, compute_2way_adaptive_epsilon):
+    base = (1+eps) * k_sub * W_root / (k_final * W_sub),
+    eps' = max(base^(1/ceil(log2 k_sub)) - 1, 1e-4) — spreads the global
+    imbalance budget over the remaining bisection levels of this subgraph."""
     if k_sub <= 1:
         return epsilon
-    base = (1 + epsilon) * (k_final / k) * (total_weight / max(sub_weight, 1))
-    return base ** (1 / ceil_log2(k_sub)) - 1
+    base = (1 + epsilon) * k_sub * total_weight / (k_final * max(sub_weight, 1))
+    return max(base ** (1 / ceil_log2(k_sub)) - 1, 1e-4)
 
 
 def max_cluster_weight_epsilon_block(

@@ -23,10 +23,17 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window, functions as F
 
 
-def dense_ids(df: DataFrame, key: str, num_partitions: int = 64, out: str = "dense_id") -> DataFrame:
-    """Map ``distinct df[key]`` -> dense 0..n-1 longs. Returns (key, out)."""
+def dense_ids(
+    df: DataFrame, key: str, num_partitions: int | None = None, out: str = "dense_id"
+) -> DataFrame:
+    """Map ``distinct df[key]`` -> dense 0..n-1 longs. Returns (key, out).
+    Default partition count follows spark.sql.shuffle.partitions."""
     import pandas as pd  # noqa: F401  (imported for the kernel closure)
 
+    if num_partitions is None:
+        num_partitions = int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+        )
     keys = df.select(key).distinct().repartition(num_partitions, key)
     keys = keys.sortWithinPartitions(key)  # determinism within partition
     counts = (

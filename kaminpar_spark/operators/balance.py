@@ -1,0 +1,167 @@
+"""Balancer — drain overloaded blocks (SURVEY.md I4).
+
+Reference: refinement/parallel_balancer.cc:6-293 — per overloaded block, a PQ
+of border nodes ordered by *relative gain* (gain>=0 ? gain*weight :
+gain/weight, parallel_balancer.h:109-115); pop, move to the best adjacent
+non-full block, else to a random underloaded block.
+
+BSP re-expression per round (deterministic, no CAS):
+1. compute per-node best external target among blocks with residual capacity
+   (the J1 gather + argmax, excluding infeasible targets like
+   parallel_balancer.cc:219),
+2. rank candidates inside each overloaded source block by relative gain
+   (W4 substitute: Window + row_number),
+3. admit the top slice whose cumulative weight <= the block's overload, AND
+   (per target) whose cumulative weight <= the target's residual capacity,
+4. repeat until total_overload == 0 or max_rounds.
+
+Fallback targets: nodes with no feasible adjacent block are sent to the
+lightest underloaded block (deterministic stand-in for the reference's random
+move, parallel_balancer.cc:262-283).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from kaminpar_spark.graph import GraphFrame
+from kaminpar_spark.operators.labelprop import label_scores
+from kaminpar_spark.plans.lineage import truncate
+
+
+def balance_round(
+    graph: GraphFrame, partition: DataFrame, max_block_weight: int
+) -> DataFrame:
+    """One balancer round. partition: (id, block). Returns updated (id, block)."""
+    state = partition.select("id", F.col("block").cast("long").alias("label"))
+    # bw and scores are each referenced several times below; materialize them
+    # (vertex-scale, cheap) so the optimizer sees flat leaves instead of an
+    # exponentially-expanding tree of self-references.
+    bw = (
+        graph.nodes.join(partition, "id")
+        .groupBy("block")
+        .agg(F.sum("weight").alias("bweight"))
+    )
+    bw = truncate(bw)
+    over = bw.where(F.col("bweight") > max_block_weight)
+    if over.limit(1).count() == 0:
+        return partition
+
+    scores = truncate(label_scores(graph, state))  # (id, label, score)
+    cur = partition.join(graph.nodes.select("id", "weight"), "id")
+    cur_score = (
+        scores.join(
+            partition.select("id", F.col("block").cast("long").alias("label")),
+            ["id", "label"],
+        )
+        .select("id", F.col("score").alias("cur_score"))
+    )
+    # movers: nodes in overloaded blocks
+    movers = cur.join(over.select("block"), "block", "left_semi")
+    # candidate targets: adjacent blocks with residual capacity
+    resid = bw.select(
+        F.col("block").cast("long").alias("label"),
+        (F.lit(max_block_weight) - F.col("bweight")).alias("residual"),
+    )
+    cand = (
+        movers.join(scores, "id")
+        .where(F.col("label") != F.col("block").cast("long"))
+        .join(resid, "label")
+        .where(F.col("residual") >= F.col("weight"))
+        .join(cur_score, "id", "left")
+        .withColumn("gain", F.col("score") - F.coalesce("cur_score", F.lit(0)))
+    )
+    # best target per node: max (gain, -label)
+    best = (
+        cand.groupBy("id", "block", "weight")
+        .agg(F.max(F.struct(F.col("gain"), (-F.col("label")).alias("neg"))).alias("b"))
+        .select(
+            "id",
+            "block",
+            "weight",
+            F.col("b.gain").alias("gain"),
+            (-F.col("b.neg")).alias("target"),
+        )
+        .withColumn(
+            "rel_gain",
+            F.when(F.col("gain") >= 0, F.col("gain") * F.col("weight"))
+            .otherwise(F.col("gain") / F.col("weight"))
+            .cast("double"),
+        )
+    )
+    # fallback: movers with NO feasible adjacent block go to the lightest
+    # block with residual capacity (deterministic replacement for the
+    # reference's random move, parallel_balancer.cc:262-283). They carry the
+    # lowest possible rel_gain so gain-ordered admission drains real
+    # candidates first.
+    lightest = (
+        bw.where(F.col("bweight") < max_block_weight)
+        .orderBy(F.asc("bweight"), F.asc("block"))
+        .limit(1)
+        .select(F.col("block").cast("long").alias("fb_target"))
+    )
+    no_target = (
+        movers.join(best.select("id"), "id", "left_anti")
+        .crossJoin(F.broadcast(lightest))
+        .where(F.col("fb_target") != F.col("block").cast("long"))
+        .select(
+            "id",
+            "block",
+            "weight",
+            F.lit(None).cast("long").alias("gain"),
+            F.col("fb_target").alias("target"),
+            F.lit(float("-inf")).alias("rel_gain"),
+        )
+    )
+    best = best.select("id", "block", "weight", "gain", "target", "rel_gain").unionByName(
+        no_target
+    )
+    # admit per source block: cumulative weight <= overload
+    overload = over.select(
+        "block", (F.col("bweight") - F.lit(max_block_weight)).alias("overload")
+    )
+    w_src = Window.partitionBy("block").orderBy(F.desc("rel_gain"), F.asc("id")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    admitted_src = (
+        best.join(overload, "block")
+        .withColumn("cum_w", F.sum("weight").over(w_src))
+        .where(F.col("cum_w") <= F.col("overload") + F.col("weight"))
+    )
+    # admit per target: cumulative weight <= residual
+    w_tgt = Window.partitionBy("target").orderBy(F.desc("rel_gain"), F.asc("id")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    admitted = (
+        admitted_src.join(resid.withColumnRenamed("label", "target"), "target")
+        .withColumn("cum_t", F.sum("weight").over(w_tgt))
+        .where(F.col("cum_t") <= F.col("residual"))
+        .select("id", F.col("target").cast("int").alias("new_block"))
+    )
+    return (
+        partition.join(admitted, "id", "left")
+        .select("id", F.coalesce("new_block", "block").cast("int").alias("block"))
+    )
+
+
+def balance(
+    graph: GraphFrame,
+    partition: DataFrame,
+    max_block_weight: int,
+    max_rounds: int = 10,
+) -> DataFrame:
+    """Iterate balance rounds until no block exceeds max_block_weight."""
+    part = truncate(partition)
+    for _ in range(max_rounds):
+        bw = (
+            graph.nodes.join(part, "id")
+            .groupBy("block")
+            .agg(F.sum("weight").alias("bweight"))
+        )
+        total_over = bw.agg(
+            F.sum(F.greatest(F.lit(0), F.col("bweight") - max_block_weight))
+        ).first()[0]
+        if not total_over:
+            break
+        part = truncate(balance_round(graph, part, max_block_weight))
+    return part

@@ -41,7 +41,7 @@ def contract(
     graph: GraphFrame,
     clustering: DataFrame,
     stable_ids: bool = False,
-    num_partitions: int = 64,
+    num_partitions: int | None = None,
 ) -> ContractionResult:
     """clustering: (id, cluster). Cluster keys may be arbitrary longs; they
     are densified to 0..n_coarse-1."""

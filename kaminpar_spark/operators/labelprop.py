@@ -38,6 +38,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window, functions as F
 
 from kaminpar_spark.graph import GraphFrame
+from kaminpar_spark.plans.lineage import truncate
 
 
 def label_scores(graph: GraphFrame, state: DataFrame) -> DataFrame:
@@ -95,10 +96,18 @@ def lp_step(
     hard_caps: (label, capacity) — refinement config; admission by gain order
                within residual capacity (see module docstring).
     Returns state with columns (id, label, weight, moved:int).
+
+    Plan-size note: the candidate table is referenced several times below
+    (admission windows, label weights). Vertex-scale intermediates are
+    eagerly localCheckpointed to keep Catalyst's plan tree flat — without
+    this, repeated self-references over unknown-size leaves send the
+    optimizer's BigInt size estimation into combinatorial blowup.
     """
     cand = _best_and_current(graph, state).join(
         state.select("id", "weight"), "id"
     )
+    if max_cluster_weight is not None or hard_caps is not None:
+        cand = truncate(cand)
     wants_move = (F.col("best_label") != F.col("cur_label")) & (
         F.col("best_score") > F.col("cur_score")
     )
@@ -118,46 +127,44 @@ def lp_step(
         return out
 
     # current per-label weights at superstep start (BSP; A5 analog)
-    label_w = state.groupBy(F.col("label")).agg(F.sum("weight").alias("label_weight"))
+    label_w = truncate(
+        state.groupBy(F.col("label")).agg(F.sum("weight").alias("label_weight"))
+    )
 
-    if max_cluster_weight is not None:
-        # soft cap: admit if start-of-step target weight + mover fits
-        cand = cand.join(
-            label_w.select(F.col("label").alias("best_label"), "label_weight"),
-            "best_label",
-            "left",
-        ).withColumn(
-            "admit",
-            F.col("wants")
-            & (
-                F.coalesce("label_weight", F.lit(0)) + F.col("weight")
-                <= F.lit(max_cluster_weight)
-            ),
-        )
-    else:
-        # hard caps: gain-ordered cumulative admission per target block
-        gain = (F.col("best_score") - F.col("cur_score")).alias("gain")
-        movers = cand.where(F.col("wants")).select(
-            "id", "cur_label", "best_label", "weight", gain
-        )
+    # Capacity-respecting admission, shared by both cap configs: candidate
+    # movers are ranked by gain within each TARGET label and admitted while
+    # start-of-step weight + cumulative mover weight fits the capacity.
+    # A naive "check start-of-step weight only" soft cap suffers a BSP
+    # stampede: every neighbor of a hub joins it in the same superstep
+    # (observed: cap 6, resulting cluster weight 96 on the transcript graph).
+    # The reference's CAS loop serializes those joins
+    # (parallel_label_propagation.h:229-243); the window admission is the
+    # deterministic bulk-synchronous equivalent.
+    gain = (F.col("best_score") - F.col("cur_score")).alias("gain")
+    movers = cand.where(F.col("wants")).select(
+        "id", "cur_label", "best_label", "weight", gain
+    )
+    used = label_w.select(F.col("label").alias("best_label"), "label_weight")
+    if hard_caps is not None:
         caps = hard_caps.select(F.col("label").alias("best_label"), "capacity")
-        used = label_w.select(F.col("label").alias("best_label"), "label_weight")
-        w_adm = Window.partitionBy("best_label").orderBy(
-            F.desc("gain"), F.asc("id")
-        ).rowsBetween(Window.unboundedPreceding, 0)
-        admitted = (
-            movers.join(caps, "best_label", "left")
-            .join(used, "best_label", "left")
-            .withColumn("cum_w", F.sum("weight").over(w_adm))
-            .where(
-                F.coalesce("label_weight", F.lit(0)) + F.col("cum_w")
-                <= F.coalesce("capacity", F.lit(1 << 62))
-            )
-            .select("id", F.lit(True).alias("admit"))
+        movers = movers.join(caps, "best_label", "left")
+    else:
+        movers = movers.withColumn("capacity", F.lit(max_cluster_weight))
+    w_adm = Window.partitionBy("best_label").orderBy(
+        F.desc("gain"), F.asc("id")
+    ).rowsBetween(Window.unboundedPreceding, 0)
+    admitted = (
+        movers.join(used, "best_label", "left")
+        .withColumn("cum_w", F.sum("weight").over(w_adm))
+        .where(
+            F.coalesce("label_weight", F.lit(0)) + F.col("cum_w")
+            <= F.coalesce("capacity", F.lit(1 << 62))
         )
-        cand = cand.join(admitted, "id", "left").withColumn(
-            "admit", F.coalesce("admit", F.lit(False))
-        )
+        .select("id", F.lit(True).alias("admit"))
+    )
+    cand = cand.join(admitted, "id", "left").withColumn(
+        "admit", F.coalesce("admit", F.lit(False))
+    )
 
     return cand.select(
         "id",

@@ -91,9 +91,17 @@ def pagerank(
 
     n = graph.num_nodes()
     state = init_ranks(graph, n, weighted=weighted)
+    # one upfront job: if no dangling nodes exist, skip the per-step
+    # dangling-mass aggregate entirely (one Spark job per superstep saved)
+    has_dangling = (
+        state.where(F.col("out_norm") == 0.0).limit(1).count() > 0
+    )
 
     def step(s: DataFrame, i: int) -> DataFrame:
-        return pagerank_step(graph, s, n, damping, weighted)
+        return pagerank_step(
+            graph, s, n, damping, weighted,
+            dangling_mass=None if has_dangling else 0.0,
+        )
 
     def metrics(new: DataFrame) -> dict:
         r = new.agg(

@@ -1,0 +1,354 @@
+"""Driver-side initial partitioning of the coarsest graph (SURVEY.md §2.10).
+
+The deep-multilevel pipeline coarsens until n <= ~2*contraction_limit, then
+the coarsest graph is the ONLY thing collected to the driver (the Spark
+analog of the reference running initial partitioning on the coarsest graph,
+partitioning_scheme/parallel_recursive_bisection.cc:73-123). Everything here
+is plain numpy/heapq on CSR arrays, seeded and deterministic:
+
+- bipartitioner portfolio: random (random_bipartitioner.h:20-29), BFS growers
+  with block-selection strategies (bfs_bipartitioner.h:84-164), greedy graph
+  growing (greedy_graph_growing_bipartitioner.cc:4-61)
+- 2-way FM refinement with rollback to the best prefix and a fruitless-move
+  stop (initial_refiner.h:162-416)
+- pool: repetitions x algorithms, keep best by (feasible, cut, imbalance)
+  (pool_bipartitioner.h:120-220)
+- recursive bisection to k with adaptive epsilon per level (helper.cc:87-176,
+  context.cc:384-393) and ceil/floor k splitting (utility/math.h:51)
+"""
+
+from __future__ import annotations
+
+import heapq
+import math
+from dataclasses import dataclass
+
+import numpy as np
+
+from kaminpar_spark.functions.rules import adaptive_epsilon, split_integral
+
+
+@dataclass
+class SmallGraph:
+    """CSR graph on the driver. indptr: n+1, indices/eweights: m (half-edges)."""
+
+    indptr: np.ndarray
+    indices: np.ndarray
+    eweights: np.ndarray
+    nweights: np.ndarray
+
+    @property
+    def n(self) -> int:
+        return len(self.indptr) - 1
+
+    @property
+    def total_weight(self) -> int:
+        return int(self.nweights.sum())
+
+    @staticmethod
+    def from_edges(n: int, src: np.ndarray, dst: np.ndarray, w: np.ndarray, nw: np.ndarray) -> "SmallGraph":
+        order = np.argsort(src, kind="stable")
+        src, dst, w = src[order], dst[order], w[order]
+        indptr = np.zeros(n + 1, dtype=np.int64)
+        np.add.at(indptr, src + 1, 1)
+        indptr = np.cumsum(indptr)
+        return SmallGraph(indptr, dst.astype(np.int64), w.astype(np.int64), nw.astype(np.int64))
+
+    def neighbors(self, u: int):
+        s, e = self.indptr[u], self.indptr[u + 1]
+        return self.indices[s:e], self.eweights[s:e]
+
+
+def cut_of(g: SmallGraph, part: np.ndarray) -> int:
+    src = np.repeat(np.arange(g.n), np.diff(g.indptr))
+    cross = part[src] != part[g.indices]
+    return int(g.eweights[cross].sum() // 2)
+
+
+def _block_weights(g: SmallGraph, part: np.ndarray, k: int = 2) -> np.ndarray:
+    return np.bincount(part, weights=g.nweights, minlength=k).astype(np.int64)
+
+
+def bipartition_random(g: SmallGraph, caps: tuple[float, float], rng: np.random.Generator) -> np.ndarray:
+    """Random block, fall back to the other on overflow (random_bipartitioner.h:20-29).
+    ``caps`` are per-side max weights (supports k1:k2 ratio splits)."""
+    part = np.zeros(g.n, dtype=np.int64)
+    bw = [0, 0]
+    for u in rng.permutation(g.n):
+        b = int(rng.integers(0, 2))
+        if bw[b] + g.nweights[u] > caps[b]:
+            b = 1 - b
+        part[u] = b
+        bw[b] += g.nweights[u]
+    return part
+
+
+def _pseudo_peripheral(g: SmallGraph, rng: np.random.Generator) -> tuple[int, int]:
+    """BFS from a random node, take the farthest; repeat once
+    (graph_utils.cc:317-360)."""
+    def bfs_far(s):
+        dist = -np.ones(g.n, dtype=np.int64)
+        dist[s] = 0
+        q = [s]
+        last = s
+        while q:
+            nq = []
+            for u in q:
+                for v in g.neighbors(u)[0]:
+                    if dist[v] < 0:
+                        dist[v] = dist[u] + 1
+                        nq.append(v)
+                        last = v
+            q = nq
+        return last
+
+    s = int(rng.integers(0, g.n))
+    a = bfs_far(s)
+    b = bfs_far(a)
+    return a, b
+
+
+def bipartition_bfs(
+    g: SmallGraph, caps: tuple[float, float], rng: np.random.Generator, strategy: str = "alternating"
+) -> np.ndarray:
+    """Grow two blocks by BFS from pseudo-peripheral seeds; block switching by
+    strategy (bfs_bipartitioner.h:20-57: alternating | lighter | sequential)."""
+    a, b = _pseudo_peripheral(g, rng)
+    part = -np.ones(g.n, dtype=np.int64)
+    queues = [[a], [b]]
+    bw = [0, 0]
+    cur = 0
+    assigned = 0
+    bounced = np.zeros(g.n, dtype=bool)  # each node may be rerouted once only
+    while assigned < g.n:
+        if strategy == "alternating":
+            cur = 1 - cur
+        elif strategy == "lighter":
+            cur = 0 if bw[0] <= bw[1] else 1
+        # sequential: fill block 0 to its target weight, then block 1
+        elif strategy == "sequential":
+            cur = 0 if bw[0] + 1 <= caps[0] / 1.0 - 1 else 1
+        q = queues[cur]
+        moved = False
+        while q:
+            u = q.pop(0)
+            if part[u] >= 0:
+                continue
+            if (
+                not bounced[u]
+                and bw[cur] + g.nweights[u] > caps[cur]
+                and bw[1 - cur] + g.nweights[u] <= caps[1 - cur]
+            ):
+                bounced[u] = True
+                queues[1 - cur].append(u)
+                continue
+            part[u] = cur
+            bw[cur] += g.nweights[u]
+            assigned += 1
+            q.extend(v for v in g.neighbors(u)[0] if part[v] < 0)
+            moved = True
+            break
+        if not moved:
+            # queue exhausted: seed from any unassigned node
+            rest = np.nonzero(part < 0)[0]
+            if len(rest) == 0:
+                break
+            queues[cur].append(int(rest[0]))
+    part[part < 0] = 0
+    return part
+
+
+def bipartition_ggg(g: SmallGraph, caps: tuple[float, float], rng: np.random.Generator) -> np.ndarray:
+    """Greedy graph growing: start all in V0, grow V1 from a random seed by
+    max gain until V1 reaches its target weight
+    (greedy_graph_growing_bipartitioner.cc:4-61)."""
+    part = np.zeros(g.n, dtype=np.int64)
+    target = g.total_weight - min(caps[0], g.total_weight)  # leave V0 within cap
+    seed = int(rng.integers(0, g.n))
+    gain = {}  # node -> gain of moving to V1
+    pq = []  # (-gain, node)
+    in_v1 = np.zeros(g.n, dtype=bool)
+
+    def push(u):
+        nbrs, ws = g.neighbors(u)
+        gn = int(ws[in_v1[nbrs]].sum() - ws[~in_v1[nbrs]].sum())
+        gain[u] = gn
+        heapq.heappush(pq, (-gn, u))
+
+    push(seed)
+    w1 = 0
+    while pq and w1 < target:
+        ng, u = heapq.heappop(pq)
+        if in_v1[u] or -ng != gain.get(u):
+            continue
+        in_v1[u] = True
+        part[u] = 1
+        w1 += g.nweights[u]
+        for v in g.neighbors(u)[0]:
+            if not in_v1[v]:
+                push(v)
+    return part
+
+
+def fm_refine_2way(
+    g: SmallGraph,
+    part: np.ndarray,
+    caps: tuple[float, float] | float,
+    max_iterations: int = 5,
+    fruitless_moves: int = 100,
+    rng: np.random.Generator | None = None,
+) -> np.ndarray:
+    """2-way FM with per-block PQs, rollback to the best accepted prefix, and
+    a fruitless-move stop (initial_refiner.h:162-416). Selection policy:
+    prefer moving out of the heavier block when both PQs nonempty
+    (MaxOverloadSelectionPolicy, initial_refiner.h:60-105)."""
+    if not isinstance(caps, tuple):
+        caps = (caps, caps)
+    part = part.copy()
+    for _ in range(max_iterations):
+        bw = _block_weights(g, part)
+        gains = np.zeros(g.n, dtype=np.int64)
+        src_rep = np.repeat(np.arange(g.n), np.diff(g.indptr))
+        same = part[src_rep] == part[g.indices]
+        np.add.at(gains, src_rep, np.where(same, -g.eweights, g.eweights))
+        pqs = [[], []]
+        valid = [{}, {}]
+        for u in range(g.n):
+            b = part[u]
+            heapq.heappush(pqs[b], (-gains[u], u))
+            valid[b][u] = gains[u]
+        moved_order: list[int] = []
+        cum_gain = 0
+        best_gain, best_prefix = 0, 0
+        locked = np.zeros(g.n, dtype=bool)
+        fruitless = 0
+        while (pqs[0] or pqs[1]) and fruitless < fruitless_moves:
+            b = 0 if bw[0] >= bw[1] else 1
+            if not pqs[b]:
+                b = 1 - b
+            ng, u = heapq.heappop(pqs[b])
+            if locked[u] or u not in valid[b] or -ng != valid[b][u]:
+                continue
+            del valid[b][u]
+            if bw[1 - b] + g.nweights[u] > caps[1 - b]:
+                continue
+            # move u
+            part[u] = 1 - b
+            bw[b] -= g.nweights[u]
+            bw[1 - b] += g.nweights[u]
+            locked[u] = True
+            moved_order.append(u)
+            cum_gain += -ng
+            if cum_gain > best_gain:
+                best_gain, best_prefix = cum_gain, len(moved_order)
+                fruitless = 0
+            else:
+                fruitless += 1
+            # update neighbor gains by +-2w(e) (initial_refiner.h:285-307)
+            nbrs, ws = g.neighbors(u)
+            for v, w in zip(nbrs, ws):
+                if locked[v]:
+                    continue
+                delta = 2 * w if part[v] == part[u] else -2 * w
+                # recompute from scratch is simpler and n is small:
+                vn, vw = g.neighbors(v)
+                gv = int(vw[part[vn] != part[v]].sum() - vw[part[vn] == part[v]].sum())
+                vb = part[v]
+                valid[vb][v] = gv
+                heapq.heappush(pqs[vb], (-gv, v))
+        # rollback to best prefix (initial_refiner.h:320)
+        for u in moved_order[best_prefix:]:
+            part[u] = 1 - part[u]
+        if best_gain == 0:
+            break
+    return part
+
+
+_PORTFOLIO = [
+    ("random", bipartition_random),
+    ("bfs_alternating", lambda g, c, rng: bipartition_bfs(g, c, rng, "alternating")),
+    ("bfs_lighter", lambda g, c, rng: bipartition_bfs(g, c, rng, "lighter")),
+    ("bfs_sequential", lambda g, c, rng: bipartition_bfs(g, c, rng, "sequential")),
+    ("ggg", bipartition_ggg),
+]
+
+
+def pool_bipartition(
+    g: SmallGraph,
+    epsilon: float,
+    seed: int = 42,
+    repetitions: int = 4,
+    ratio: tuple[int, int] = (1, 1),
+) -> np.ndarray:
+    """Portfolio + select best (feasible, cut) (pool_bipartitioner.h:120-220,
+    helper.h:77-104). Every candidate is FM-refined before scoring. ``ratio``
+    = (k1, k2) sets per-side target weights W*k1/k and W*k2/k (the reference
+    bisects toward the final_k split, helper.cc:87-176)."""
+    if g.n == 0:
+        return np.zeros(0, dtype=np.int64)
+    k1, k2 = ratio
+    slack = int(g.nweights.max(initial=1))
+    caps = tuple(
+        max(
+            (1 + epsilon) * math.ceil(g.total_weight * ks / (k1 + k2)),
+            math.ceil(g.total_weight * ks / (k1 + k2)) + slack,
+        )
+        for ks in (k1, k2)
+    )
+    rng = np.random.default_rng(seed)
+    best = None  # ((infeasible, cut), part)
+    for rep in range(repetitions):
+        for name, algo in _PORTFOLIO:
+            part = algo(g, caps, rng)
+            part = fm_refine_2way(g, part, caps, rng=rng)
+            bw = _block_weights(g, part)
+            infeasible = int(max(0, bw[0] - caps[0]) + max(0, bw[1] - caps[1]))
+            if g.n >= 2 and (bw[0] == 0 or bw[1] == 0):
+                infeasible += g.total_weight  # empty side = worst infeasibility
+            cand = (infeasible, cut_of(g, part))
+            if best is None or cand < best[0]:
+                best = (cand, part)
+    return best[1]
+
+
+def recursive_bisect(
+    g: SmallGraph,
+    k: int,
+    epsilon: float,
+    seed: int = 42,
+    k_final: int | None = None,
+    total_weight_root: int | None = None,
+) -> np.ndarray:
+    """Recursive bisection to k blocks (helper.cc:87-176). Adaptive epsilon
+    per level (context.cc:384-393); k split ceil/floor (utility/math.h:51)."""
+    k_final = k_final or k
+    total_weight_root = total_weight_root or g.total_weight
+    if k <= 1 or g.n == 0:
+        return np.zeros(g.n, dtype=np.int64)
+    eps_prime = adaptive_epsilon(epsilon, k_final, k, total_weight_root, g.total_weight)
+    k1, k2 = split_integral(k)
+    part = pool_bipartition(g, eps_prime, seed=seed, ratio=(k1, k2))
+    if k1 == 1 and k2 == 1:
+        return part
+    out = np.zeros(g.n, dtype=np.int64)
+    for side, k_side, offset in ((0, k1, 0), (1, k2, k1)):
+        members = np.nonzero(part == side)[0]
+        if len(members) == 0:
+            continue
+        remap = -np.ones(g.n, dtype=np.int64)
+        remap[members] = np.arange(len(members))
+        src = np.repeat(np.arange(g.n), np.diff(g.indptr))
+        mask = (remap[src] >= 0) & (remap[g.indices] >= 0)
+        sub = SmallGraph.from_edges(
+            len(members),
+            remap[src[mask]],
+            remap[g.indices[mask]],
+            g.eweights[mask],
+            g.nweights[members],
+        )
+        sub_part = recursive_bisect(
+            sub, k_side, epsilon, seed=seed + offset + 1,
+            k_final=k_final, total_weight_root=total_weight_root,
+        )
+        out[members] = offset + sub_part
+    return out

@@ -1,0 +1,194 @@
+"""Multilevel graph partitioner — the flagship pipeline (SURVEY.md §3.1).
+
+Spark-native re-expression of the reference's coarsen -> initial-partition ->
+uncoarsen+refine scheme (partitioning_scheme/parallel_recursive_bisection.cc):
+
+coarsen   while n > 2*C and shrink > 5% (context.h:148-150):
+             size-constrained LP clustering (I2, cap = F5 rule)
+             + distributed contraction (A1); (mapping, level) checkpointed
+initial   coarsest graph (n <= ~2C) collected to the driver — the ONLY
+             collect() — and partitioned by the numpy portfolio + recursive
+             bisection (plans/initial.py)
+uncoarsen for each level in reverse: project (J2), LP-refine with HARD block
+             caps (I3, gain-ordered capacity admission), then balancer (I4)
+             if infeasible
+
+Per-level metrics (edge cut, imbalance, n, m) are recorded in the lineage
+list; the facade returns an (id, block) DataFrame.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from kaminpar_spark.functions import rules
+from kaminpar_spark.graph import GraphFrame
+from kaminpar_spark.operators import metrics as M
+from kaminpar_spark.operators.balance import balance
+from kaminpar_spark.operators.contraction import ContractionResult, contract
+from kaminpar_spark.operators.labelprop import label_propagation, lp_step
+from kaminpar_spark.plans.initial import SmallGraph, recursive_bisect
+from kaminpar_spark.plans.lineage import truncate
+
+
+@dataclass
+class PartitionResult:
+    partition: DataFrame  # (id, block)
+    k: int
+    epsilon: float
+    cut: int
+    imbalance: float
+    feasible: bool
+    levels: list[dict] = field(default_factory=list)
+
+
+class Partitioner:
+    """Library facade (reference analog: library/libkaminpar.h:22-59
+    PartitionerBuilder -> partitioner.partition(k))."""
+
+    def __init__(
+        self,
+        graph: GraphFrame,
+        spark: SparkSession | None = None,
+        contraction_limit: int = 2000,
+        lp_iters: int = 5,
+        refine_iters: int = 5,
+        seed: int = 42,
+    ):
+        self.graph = graph
+        self.spark = spark or SparkSession.getActiveSession()
+        self.contraction_limit = contraction_limit
+        self.lp_iters = lp_iters
+        self.refine_iters = refine_iters
+        self.seed = seed
+
+    # ------------------------------------------------------------- pipeline
+    def partition(self, k: int, epsilon: float = 0.03) -> PartitionResult:
+        g = self.graph
+        total_w = g.total_node_weight()
+        max_node_w = g.max_node_weight()
+        cap = rules.max_block_weight(total_w, k, epsilon, max_node_w)
+        levels: list[dict] = []
+
+        # ---- coarsen ----
+        hierarchy: list[DataFrame] = []  # mappings fine->coarse per level
+        level_graphs: list[GraphFrame] = []  # graph each mapping projects back to
+        n = g.num_nodes()
+        t0 = time.time()
+        while n > 2 * self.contraction_limit:
+            cluster_cap = rules.max_cluster_weight_epsilon_block(
+                epsilon, total_w, n, self.contraction_limit, k
+            )
+            clustering = label_propagation(
+                g,
+                max_iters=self.lp_iters,
+                max_cluster_weight=cluster_cap,
+                semi_sync=True,
+                name=f"coarsen_lp_{len(hierarchy)}",
+            ).withColumnRenamed("label", "cluster")
+            res = contract(g, clustering)
+            # localCheckpoint returns a NEW DataFrame — truncate the coarse
+            # graph's lineage or every level chains all previous supersteps
+            coarse = GraphFrame(
+                edges=truncate(res.coarse.edges),
+                nodes=truncate(res.coarse.nodes),
+            )
+            res = ContractionResult(coarse=coarse, mapping=res.mapping)
+            mapping = truncate(res.mapping)
+            n_new = res.coarse.num_nodes()
+            levels.append(
+                {
+                    "stage": "coarsen",
+                    "level": len(hierarchy),
+                    "n": n_new,
+                    "m": res.coarse.num_half_edges(),
+                    "wall_sec": round(time.time() - t0, 3),
+                }
+            )
+            t0 = time.time()
+            hierarchy.append(mapping)
+            level_graphs.append(g)
+            stalled = n_new >= 0.95 * n  # <5% shrink -> stop (context.h:148-150)
+            g = res.coarse
+            n = n_new
+            if stalled:
+                break
+
+        # ---- initial partition (driver-side) ----
+        sg, ids = self._collect_small(g)
+        labels = recursive_bisect(sg, k, epsilon, seed=self.seed)
+        part = self.spark.createDataFrame(
+            [(int(i), int(b)) for i, b in zip(ids, labels)], "id long, block int"
+        )
+        levels.append(
+            {
+                "stage": "initial",
+                "n": int(sg.n),
+                "cut": int(_np_cut(sg, labels)),
+                "wall_sec": round(time.time() - t0, 3),
+            }
+        )
+
+        # ---- uncoarsen + refine ----
+        for li in range(len(hierarchy) - 1, -1, -1):
+            t0 = time.time()
+            mapping, fine_g = hierarchy[li], level_graphs[li]
+            part = mapping.join(
+                part.select(F.col("id").alias("c_id"), "block"), "c_id"
+            ).select("id", "block")
+            part = self._refine(fine_g, part, k, cap)
+            levels.append(
+                {"stage": "uncoarsen", "level": li, "wall_sec": round(time.time() - t0, 3)}
+            )
+
+        part = truncate(part)
+        q = M.quality(self.graph, part, k, epsilon)
+        return PartitionResult(
+            partition=part,
+            k=k,
+            epsilon=epsilon,
+            cut=q.cut,
+            imbalance=q.imbalance,
+            feasible=q.feasible,
+            levels=levels,
+        )
+
+    # ------------------------------------------------------------- helpers
+    def _collect_small(self, g: GraphFrame) -> tuple[SmallGraph, np.ndarray]:
+        nodes = g.nodes.orderBy("id").collect()
+        ids = np.array([r["id"] for r in nodes], dtype=np.int64)
+        nw = np.array([r["weight"] for r in nodes], dtype=np.int64)
+        remap = {int(i): j for j, i in enumerate(ids)}
+        edges = g.edges.collect()
+        src = np.array([remap[r["src"]] for r in edges], dtype=np.int64)
+        dst = np.array([remap[r["dst"]] for r in edges], dtype=np.int64)
+        w = np.array([r["weight"] for r in edges], dtype=np.int64)
+        return SmallGraph.from_edges(len(ids), src, dst, w, nw), ids
+
+    def _refine(self, g: GraphFrame, part: DataFrame, k: int, cap: int) -> DataFrame:
+        caps = self.spark.createDataFrame(
+            [(b, cap) for b in range(k)], "label long, capacity long"
+        )
+        state = part.join(g.nodes.select("id", "weight"), "id").select(
+            "id", F.col("block").cast("long").alias("label"), "weight"
+        )
+        state = truncate(state)
+        for i in range(self.refine_iters):
+            new = lp_step(g, state, step_idx=i, hard_caps=caps, semi_sync=True)
+            new = truncate(new)
+            moved = new.agg(F.sum("moved")).first()[0] or 0
+            state = new.select("id", "label", "weight")
+            if moved == 0 and i > 0:
+                break
+        refined = state.select("id", F.col("label").cast("int").alias("block"))
+        return balance(g, refined, cap, max_rounds=5)
+
+
+def _np_cut(sg: SmallGraph, labels: np.ndarray) -> int:
+    from kaminpar_spark.plans.initial import cut_of
+
+    return cut_of(sg, labels)

@@ -34,6 +34,8 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame
 
+from kaminpar_spark.plans.lineage import truncate
+
 StepFn = Callable[[DataFrame, int], DataFrame]
 MetricsFn = Callable[[DataFrame], dict]
 ConvergedFn = Callable[[dict], bool]
@@ -49,9 +51,9 @@ def run_in_memory(
 ) -> DataFrame:
     """Fast path: localCheckpoint per superstep (materialize + truncate
     lineage, stays in the block manager). Used by tests and bench inner loops."""
-    state = state.localCheckpoint(eager=True)
+    state = truncate(state)
     for i in range(max_iters):
-        new = step(state, i).localCheckpoint(eager=True)
+        new = truncate(step(state, i))
         m = metrics(new)
         state = new
         if on_metrics:
@@ -118,7 +120,7 @@ class SuperstepRunner:
             if last.get("converged"):
                 return state
             start = last["step"] + 1
-        state = state.localCheckpoint(eager=True)
+        state = truncate(state)
         for i in range(start, max_iters):
             t0 = time.time()
             new = step(state, i)
@@ -128,7 +130,7 @@ class SuperstepRunner:
                 new.write.mode("overwrite").parquet(snap)
                 new = self.spark.read.parquet(snap)
             else:
-                new = new.localCheckpoint(eager=True)
+                new = truncate(new)
             rows = new.count()
             m = metrics(new)
             is_conv = converged(m)

@@ -99,7 +99,7 @@ def transcript_graph(
     transcripts: DataFrame,
     n_convs: int,
     stable_ids: bool = False,
-    num_partitions: int = 64,
+    num_partitions: int | None = None,
 ) -> tuple[GraphFrame, DataFrame]:
     """Full ETL: transcripts -> (GraphFrame, actor_map).
 

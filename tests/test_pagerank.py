@@ -8,7 +8,7 @@ from kaminpar_spark import fixtures
 from kaminpar_spark.operators.pagerank import pagerank
 
 
-def numpy_pagerank(n, src, dst, d=0.85, tol=1e-12, iters=500):
+def numpy_pagerank(n, src, dst, d=0.85, tol=1e-12, iters=500):  # noqa: D103
     deg = np.bincount(src, minlength=n).astype(float)
     r = np.full(n, 1.0 / n)
     inv = np.where(deg > 0, 1.0 / np.maximum(deg, 1), 0.0)
@@ -33,19 +33,23 @@ def test_pagerank_k3(spark):
 
 
 def test_pagerank_star(spark):
+    """Fixed-iteration comparison: BSP supersteps must track numpy power
+    iteration exactly (same trajectory, float-assoc error only). The star
+    oscillates, so convergence to 1e-10 would need ~130 supersteps — pinning
+    iterations keeps the test fast without weakening the check."""
     g = fixtures.star5(spark)
     src = np.array([0, 0, 0, 0, 1, 2, 3, 4])
     dst = np.array([1, 2, 3, 4, 0, 0, 0, 0])
-    want = numpy_pagerank(5, src, dst)
-    got = {r["id"]: r["rank"] for r in pagerank(g, tol=1e-10).collect()}
+    want = numpy_pagerank(5, src, dst, tol=0.0, iters=40)
+    got = {r["id"]: r["rank"] for r in pagerank(g, tol=0.0, max_iters=40).collect()}
     for i in range(5):
-        assert abs(got[i] - want[i]) < 1e-6
+        assert abs(got[i] - want[i]) < 1e-9
 
 
 def test_pagerank_er_oracle(spark):
     g, src, dst = fixtures.erdos_renyi(spark, n=500, p=0.01, seed=42, hub_overlay=3)
     want = numpy_pagerank(500, src, dst)
-    got = {r["id"]: r["rank"] for r in pagerank(g, tol=1e-10, max_iters=200).collect()}
+    got = {r["id"]: r["rank"] for r in pagerank(g, tol=1e-9, max_iters=80).collect()}
     arr = np.array([got.get(i, 0.0) for i in range(500)])
     assert np.allclose(arr, want, atol=1e-6)
 
@@ -54,7 +58,7 @@ def test_pagerank_salted_matches(spark):
     g, src, dst = fixtures.erdos_renyi(spark, n=400, p=0.01, seed=1, hub_overlay=2)
     gp = g.prepare(num_partitions=8, hub_degree_threshold=10, salt_factor=4, spark=spark)
     want = numpy_pagerank(400, src, dst)
-    got = {r["id"]: r["rank"] for r in pagerank(gp, tol=1e-10, max_iters=200).collect()}
+    got = {r["id"]: r["rank"] for r in pagerank(gp, tol=1e-9, max_iters=80).collect()}
     gp.unpersist()
     arr = np.array([got.get(i, 0.0) for i in range(400)])
     assert np.allclose(arr, want, atol=1e-6)
