@@ -1,0 +1,109 @@
+"""spark-submit entrypoint (reference analog: apps/kaminpar.cc CLI surface).
+
+Usage (sandbox / cluster):
+    spark-submit --py-files kaminpar_spark.zip -m kaminpar_spark.cli \\
+        partition -G /data/edges.parquet -k 8 --epsilon 0.03 \\
+        --save-partition /out/partition
+    ... pagerank|components|labelprop|triangles|stats with the same -G input
+
+-G accepts a parquet edge table (src,dst[,weight]), a METIS .graph file, or
+a SNAP .txt edge list (format by extension). Prints a RESULT line like the
+reference (apps/kaminpar.cc:45-69).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def load_graph(spark, path: str, symmetrize: bool):
+    from kaminpar_spark.graph import GraphFrame
+    from kaminpar_spark.sources.metis import read_metis
+    from kaminpar_spark.sources.snap import read_snap
+
+    if path.endswith(".graph"):
+        return read_metis(spark, path)
+    if path.endswith((".txt", ".tsv")):
+        return read_snap(spark, path)
+    edges = spark.read.parquet(path)
+    return GraphFrame.from_edge_pairs(edges, symmetrize=symmetrize)
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="kaminpar-spark")
+    ap.add_argument("command", choices=["partition", "pagerank", "components", "labelprop", "triangles", "stats"])
+    ap.add_argument("-G", "--graph", required=True)
+    ap.add_argument("-k", type=int, default=2)
+    ap.add_argument("--epsilon", type=float, default=0.03)
+    ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument("--threads", type=int, default=None, help="local[N] cores")
+    ap.add_argument("--save-partition", "--save", dest="save", default=None)
+    ap.add_argument("--workdir", default="/tmp/kaminpar_spark_work")
+    ap.add_argument("--max-iters", type=int, default=50)
+    ap.add_argument("--no-symmetrize", action="store_true")
+    ap.add_argument("--contraction-limit", type=int, default=2000)
+    args = ap.parse_args(argv)
+
+    from kaminpar_spark.session import get_spark
+
+    spark = get_spark("kaminpar_spark_cli", cores=args.threads)
+    g = load_graph(spark, args.graph, symmetrize=not args.no_symmetrize)
+    t0 = time.time()
+
+    if args.command == "partition":
+        from kaminpar_spark.plans.partitioner import Partitioner
+
+        res = Partitioner(
+            g, spark, contraction_limit=args.contraction_limit, seed=args.seed
+        ).partition(args.k, args.epsilon)
+        if args.save:
+            res.partition.write.mode("overwrite").parquet(args.save)
+        print(
+            f"RESULT cut={res.cut} imbalance={res.imbalance:.6f} "
+            f"feasible={int(res.feasible)} k={res.k} time={time.time()-t0:.3f}s"
+        )
+    elif args.command == "pagerank":
+        from kaminpar_spark.operators.pagerank import pagerank
+        from kaminpar_spark.plans.superstep import SuperstepRunner
+
+        runner = SuperstepRunner(spark, args.workdir)
+        pr = pagerank(g, max_iters=args.max_iters, runner=runner)
+        if args.save:
+            pr.write.mode("overwrite").parquet(args.save)
+        top = pr.orderBy("rank", ascending=False).limit(5).collect()
+        print(f"RESULT top5={[(r['id'], round(r['rank'], 6)) for r in top]} time={time.time()-t0:.3f}s")
+    elif args.command == "components":
+        from kaminpar_spark.operators.components import connected_components
+
+        cc = connected_components(g, max_iters=args.max_iters)
+        n_comp = cc.select("comp").distinct().count()
+        if args.save:
+            cc.write.mode("overwrite").parquet(args.save)
+        print(f"RESULT n_components={n_comp} time={time.time()-t0:.3f}s")
+    elif args.command == "labelprop":
+        from kaminpar_spark.operators.labelprop import label_propagation
+
+        labels = label_propagation(g, max_iters=args.max_iters)
+        n_comm = labels.select("label").distinct().count()
+        if args.save:
+            labels.write.mode("overwrite").parquet(args.save)
+        print(f"RESULT n_communities={n_comm} time={time.time()-t0:.3f}s")
+    elif args.command == "triangles":
+        from kaminpar_spark.operators.triangles import triangle_count
+
+        n = triangle_count(g)
+        print(f"RESULT triangles={n} time={time.time()-t0:.3f}s")
+    elif args.command == "stats":
+        from dataclasses import asdict
+
+        from kaminpar_spark.operators.stats import graph_stats
+
+        print("RESULT " + json.dumps(asdict(graph_stats(g))))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -71,12 +71,22 @@ def imbalance(graph: GraphFrame, partition: DataFrame, k: int | None = None) -> 
 
 
 def quality(
-    graph: GraphFrame, partition: DataFrame, k: int, epsilon: float
+    graph: GraphFrame,
+    partition: DataFrame,
+    k: int,
+    epsilon: float,
+    max_node_weight: int | None = None,
 ) -> PartitionQuality:
     """One pass over the partition computing cut/imbalance/overload/feasibility
-    (metrics.cc:38-71 semantics: feasible iff every block weight <= L_max)."""
+    (metrics.cc:38-71 semantics: feasible iff every block weight <= L_max).
+    For weighted graphs, L_max is relaxed by the max node weight
+    (context.cc:96-130) — pass ``max_node_weight`` (or None to compute it)."""
+    from kaminpar_spark.functions.rules import max_block_weight as rule_cap
+
     total = graph.total_node_weight()
-    cap = max_block_weight(total, k, epsilon)
+    if max_node_weight is None:
+        max_node_weight = graph.max_node_weight()
+    cap = rule_cap(total, k, epsilon, max_node_weight)
     bw = block_weights(graph, partition)
     row = bw.agg(
         F.max("block_weight").alias("mx"),

@@ -1,0 +1,24 @@
+"""SNAP edge-list reader (SURVEY.md S5) — distributed, unlike the METIS one.
+
+Reference: apps/tools/converter/snap.h:11-33 — tab-separated ``u\\tv`` lines,
+``#`` comments, dedup + symmetrize. Spark-native: ``spark.read.csv`` with a
+comment char; dedup/symmetrization via GraphFrame.from_edge_pairs. This path
+scales to arbitrarily large edge lists (the CSV scan is splittable).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession, functions as F
+
+from kaminpar_spark.graph import GraphFrame
+
+
+def read_snap(spark: SparkSession, path: str, sep: str = "\t") -> GraphFrame:
+    df = (
+        spark.read.option("comment", "#")
+        .option("sep", sep)
+        .schema("src long, dst long")
+        .csv(path)
+        .where(F.col("src").isNotNull() & F.col("dst").isNotNull())
+    )
+    return GraphFrame.from_edge_pairs(df, symmetrize=True)

@@ -46,8 +46,13 @@ def test_quality_feasibility(spark):
     q = metrics.quality(g, p, k=2, epsilon=0.0)
     assert q.cut == 12 and q.feasible and q.total_overload == 0
     p2 = part(spark, {0: 0, 1: 0, 2: 0, 3: 1, 4: 1})
-    q2 = metrics.quality(g, p2, k=2, epsilon=0.0)
-    assert not q2.feasible and q2.total_overload == 2  # block0 weight 6, cap 4
+    # unrelaxed (unit-weight semantics): block0 weight 6 > cap 4 -> infeasible
+    q2 = metrics.quality(g, p2, k=2, epsilon=0.0, max_node_weight=1)
+    assert not q2.feasible and q2.total_overload == 2
+    # weighted-graph relaxation (context.cc:96-130): cap = ceil(W/k)+max_node_w
+    # = 4+4 = 8 -> weight 6 is feasible
+    q3 = metrics.quality(g, p2, k=2, epsilon=0.0)
+    assert q3.feasible and q3.total_overload == 0
 
 
 def test_weighted_k3_cut(spark):

@@ -1,0 +1,93 @@
+"""Structured Streaming ingest + multimodal plumbing."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from kaminpar_spark.functions.multimodal import (
+    frame_sample_plan,
+    media_features,
+    size_bucketed,
+    synth_media,
+)
+from kaminpar_spark.sources.transcripts import synth_transcripts, turn_links
+from kaminpar_spark.streaming.ingest import (
+    compact_edge_deltas,
+    sessionize_events,
+    stream_transcript_edges,
+    windowed_event_counts,
+)
+
+
+def test_stream_edges_matches_batch(spark, tmp_path):
+    """availableNow streaming pass over a transcript directory must produce
+    the same compacted edge multiset as the batch ETL."""
+    n_convs = 40
+    t = synth_transcripts(spark, n_convs)
+    in_dir, out_dir, chk = str(tmp_path / "in"), str(tmp_path / "out"), str(tmp_path / "chk")
+    t.repartition(1, "conv_id").write.parquet(in_dir)  # conv stays in one file
+    q = stream_transcript_edges(spark, in_dir, out_dir, chk, n_convs)
+    q.awaitTermination(120)
+    streamed = compact_edge_deltas(spark, out_dir)
+    batch = (
+        turn_links(t, n_convs)
+        .unionByName(
+            turn_links(t, n_convs).select(
+                F.col("a_dst").alias("a_src"), F.col("a_src").alias("a_dst")
+            )
+        )
+        .groupBy("a_src", "a_dst")
+        .agg(F.count("*").cast("long").alias("weight"))
+    )
+    got = {(r["a_src"], r["a_dst"]): r["weight"] for r in streamed.collect()}
+    want = {(r["a_src"], r["a_dst"]): r["weight"] for r in batch.collect()}
+    assert got == want
+
+
+def test_windowed_event_counts_batch(spark):
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    agg = windowed_event_counts(ev, "1 hour")
+    rows = agg.collect()
+    assert len(rows) > 0
+    assert sum(r["n_events"] for r in rows) == ev.count()
+
+
+def test_sessionize_events(spark):
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    s = sessionize_events(ev, "30 minutes")
+    rows = s.collect()
+    assert len(rows) > 0
+    assert sum(r["n_events"] for r in rows) == ev.count()
+    assert all(r["session_end"] > r["session_start"] for r in rows)
+
+
+def test_media_features_deterministic(spark):
+    media = synth_media(spark, n=30)
+    rows1 = media_features(media).collect()
+    f1 = {r["media_id"]: r["feature"] for r in rows1}
+    f2 = {r["media_id"]: r["feature"] for r in media_features(media).collect()}
+    assert f1 == f2
+    assert len(f1) == 30
+    kinds = {r["media_id"]: r["kind"] for r in rows1}
+    for mid, v in f1.items():
+        assert len(v) == 16
+        if kinds[mid] in ("image", "audio"):
+            assert abs(sum(v) - 1.0) < 1e-9  # normalized histogram
+        else:  # video: decoder stubbed out entirely -> zero feature
+            assert sum(v) == 0.0
+
+
+def test_frame_sample_plan(spark):
+    media = synth_media(spark, n=30)
+    plan = frame_sample_plan(media, every_ms=200)
+    rows = plan.collect()
+    assert all(r["frame_ts_ms"] % 200 == 0 for r in rows)
+    vids = media.where(F.col("kind") == "video").select("media_id", "meta.duration_ms").collect()
+    want = sum(int(np.ceil(r["duration_ms"] / 200)) for r in vids)
+    assert len(rows) == want
+
+
+def test_size_bucketed_preserves_rows(spark):
+    media = synth_media(spark, n=30)
+    assert size_bucketed(media, 4).count() == 30
