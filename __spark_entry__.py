@@ -30,12 +30,25 @@ def _n_convs(spark: SparkSession, sf_dir: str) -> int:
     return _load(spark, sf_dir, "orders").count()
 
 
+_GRAPH_CACHE: dict[str, tuple] = {}
+
+
 def _graph(spark: SparkSession, sf_dir: str):
+    """Transcript graph for the driver queries, memoized per sf_dir — the
+    driver runs every query in one process and each would otherwise redo the
+    full ETL. Edges/nodes are materialized with truncated lineage."""
+    if sf_dir in _GRAPH_CACHE:
+        return _GRAPH_CACHE[sf_dir]
+    from kaminpar_spark.graph import GraphFrame
+    from kaminpar_spark.plans.lineage import truncate
     from kaminpar_spark.sources.transcripts import synth_transcripts, transcript_graph
 
     n = _n_convs(spark, sf_dir)
     t = synth_transcripts(spark, n)
     g, amap = transcript_graph(t, n, stable_ids=True)
+    g = GraphFrame(edges=truncate(g.edges), nodes=truncate(g.nodes))
+    amap = truncate(amap)
+    _GRAPH_CACHE[sf_dir] = (g, amap)
     return g, amap
 
 
@@ -153,6 +166,146 @@ def _q_embedding_topk(spark, sf_dir):
     return brute_force_topk(emb, queries, k=10)
 
 
+def _q_windowed_events(spark, sf_dir):
+    from kaminpar_spark.streaming.ingest import windowed_event_counts
+
+    return windowed_event_counts(_load(spark, sf_dir, "events"), "1 hour")
+
+
+def _q_sessionized_events(spark, sf_dir):
+    from kaminpar_spark.streaming.ingest import sessionize_events
+
+    s = sessionize_events(_load(spark, sf_dir, "events"), "30 minutes")
+    return s.select("user_id", "session_start", "n_events", "sum_value")
+
+
+KCORE_K = 9
+KCORE_ROUNDS = 8
+
+
+def _q_kcore_peel8(spark, sf_dir):
+    """Exactly KCORE_ROUNDS peel rounds (k=KCORE_K) — fixed-round form so the
+    unrolled SQL oracle matches bit-for-bit regardless of convergence depth."""
+    from kaminpar_spark.plans.lineage import truncate
+
+    g, _ = _graph(spark, sf_dir)
+    edges = g.edges
+    for _ in range(KCORE_ROUNDS):
+        deg = edges.groupBy("src").agg(F.count("*").alias("d"))
+        victims = deg.where(F.col("d") < KCORE_K).select("src")
+        edges = truncate(
+            edges.join(victims, "src", "left_anti")
+            .join(victims.withColumnRenamed("src", "dst"), "dst", "left_anti")
+            .select("src", "dst", "weight")
+        )
+    return edges.select(F.col("src").alias("id")).distinct()
+
+
+LP_CAP = 8
+
+
+def _q_lp_capped_step(spark, sf_dir):
+    """One size-constrained LP superstep (soft cap via gain-ordered windowed
+    admission) from singleton labels — the coarsening kernel's admission
+    logic under oracle parity."""
+    from kaminpar_spark.operators.labelprop import lp_step
+
+    g, _ = _graph(spark, sf_dir)
+    state = g.nodes.select("id", F.col("id").alias("label"), "weight")
+    new = lp_step(g, state, max_cluster_weight=LP_CAP, semi_sync=False)
+    return new.select("id", "label")
+
+
+def _q_contraction_edges(spark, sf_dir):
+    """Coarse edge table after contracting the lp_step1 clustering (stable
+    dense ids) — SURVEY A1/A6/J3 under oracle parity."""
+    from kaminpar_spark.operators.contraction import contract
+    from kaminpar_spark.operators.labelprop import lp_step
+
+    g, _ = _graph(spark, sf_dir)
+    state = g.nodes.select("id", F.col("id").alias("label"), "weight")
+    clustering = lp_step(g, state, semi_sync=False).select(
+        "id", F.col("label").alias("cluster")
+    )
+    res = contract(g, clustering, stable_ids=True)
+    return res.coarse.edges
+
+
+def _q_contraction_nodes(spark, sf_dir):
+    from kaminpar_spark.operators.contraction import contract
+    from kaminpar_spark.operators.labelprop import lp_step
+
+    g, _ = _graph(spark, sf_dir)
+    state = g.nodes.select("id", F.col("id").alias("label"), "weight")
+    clustering = lp_step(g, state, semi_sync=False).select(
+        "id", F.col("label").alias("cluster")
+    )
+    res = contract(g, clustering, stable_ids=True)
+    return res.coarse.nodes
+
+
+def _q_pagerank_weighted5(spark, sf_dir):
+    from kaminpar_spark.operators.pagerank import pagerank
+
+    g, _ = _graph(spark, sf_dir)
+    pr = pagerank(g, tol=0.0, max_iters=PR_ITERS, weighted=True)
+    return pr.select("id", F.round("rank", 6).alias("rank"))
+
+
+def _q_language_id(spark, sf_dir):
+    from kaminpar_spark.functions.text import language_id
+
+    return language_id(_load(spark, sf_dir, "documents"))
+
+
+def _q_bpe_tokens(spark, sf_dir):
+    from kaminpar_spark.functions.text import bpe_ish_token_counts
+
+    return bpe_ish_token_counts(_load(spark, sf_dir, "documents"))
+
+
+def _q_ngram_jaccard(spark, sf_dir):
+    from kaminpar_spark.functions.dedup import ngram_jaccard_pairs
+
+    docs = _load(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
+    pairs = ngram_jaccard_pairs(docs, threshold=0.2)
+    return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+# ---- rows-only queries (hash-based sketches: no cross-engine oracle) ----
+def _q_minhash_near_dups(spark, sf_dir):
+    from kaminpar_spark.functions.dedup import minhash_dedup_pairs
+
+    docs = _load(spark, sf_dir, "documents")
+    return minhash_dedup_pairs(docs, threshold=0.7)
+
+
+def _q_simhash_near_dups(spark, sf_dir):
+    from kaminpar_spark.functions.dedup import simhash, simhash_near_pairs
+
+    docs = _load(spark, sf_dir, "documents")
+    return simhash_near_pairs(simhash(docs), max_hamming=8)
+
+
+def _q_lsh_topk(spark, sf_dir):
+    from kaminpar_spark.functions.similarity import lsh_topk
+
+    emb = _load(spark, sf_dir, "embeddings")
+    return lsh_topk(emb, emb.where(F.col("vec_id") < 5), k=10, num_planes=8)
+
+
+def _q_fingerprints(spark, sf_dir):
+    from kaminpar_spark.functions.text import fingerprints
+
+    return fingerprints(_load(spark, sf_dir, "documents"))
+
+
+def _q_media_features(spark, sf_dir):
+    from kaminpar_spark.functions.multimodal import media_features, synth_media
+
+    return media_features(synth_media(spark, n=64))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "transcript_turns": _q_transcript_turns,
@@ -169,6 +322,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": _q_token_counts,
         "text_quality": _q_text_quality,
         "embedding_topk": _q_embedding_topk,
+        "windowed_event_counts": _q_windowed_events,
+        "sessionized_events": _q_sessionized_events,
+        "kcore_peel8": _q_kcore_peel8,
+        "lp_capped_step": _q_lp_capped_step,
+        "contraction_edges": _q_contraction_edges,
+        "contraction_nodes": _q_contraction_nodes,
+        "pagerank_weighted5": _q_pagerank_weighted5,
+        "language_id": _q_language_id,
+        "bpe_token_counts": _q_bpe_tokens,
+        "ngram_jaccard": _q_ngram_jaccard,
+        # rows-only (hash-based; driver records the weaker check)
+        "minhash_near_dups": _q_minhash_near_dups,
+        "simhash_near_dups": _q_simhash_near_dups,
+        "lsh_topk": _q_lsh_topk,
+        "fingerprints": _q_fingerprints,
+        "media_features": _q_media_features,
     }
 
 
@@ -290,6 +459,124 @@ SELECT n.id, CAST(coalesce(b.label, n.id) AS BIGINT) AS label
 FROM nodes n LEFT JOIN best b ON n.id = b.id"""
 
 
+def _kcore_sql() -> str:
+    steps = ""
+    prev = "e0"
+    for i in range(1, KCORE_ROUNDS + 1):
+        steps += f""",
+v{i} AS MATERIALIZED (
+  SELECT src FROM (SELECT src, count(*) AS c FROM {prev} GROUP BY src) WHERE c < {KCORE_K}),
+e{i} AS MATERIALIZED (
+  SELECT * FROM {prev}
+  WHERE src NOT IN (SELECT src FROM v{i}) AND dst NOT IN (SELECT src FROM v{i}))"""
+        prev = f"e{i}"
+    return f"""WITH {_EDGES_CTE},
+e0 AS (SELECT src, dst, weight FROM edges){steps}
+SELECT DISTINCT src AS id FROM {prev}"""
+
+
+_LP_CAPPED_SQL = f"""WITH {_EDGES_CTE},
+sc AS MATERIALIZED (SELECT dst AS id, src AS label, sum(weight) AS score FROM edges GROUP BY dst, src),
+best AS MATERIALIZED (
+  SELECT id, label AS best_label, score AS best_score FROM (
+    SELECT id, label, score,
+           row_number() OVER (PARTITION BY id ORDER BY score DESC, label ASC) AS rn
+    FROM sc) t WHERE rn = 1),
+movers AS MATERIALIZED (
+  SELECT id, best_label, best_score AS gain FROM best
+  WHERE best_label <> id AND best_score > 0),
+adm AS MATERIALIZED (
+  SELECT id, best_label,
+         sum(1) OVER (PARTITION BY best_label ORDER BY gain DESC, id ASC
+                      ROWS UNBOUNDED PRECEDING) AS cum_w
+  FROM movers),
+admitted AS MATERIALIZED (SELECT id, best_label FROM adm WHERE 1 + cum_w <= {LP_CAP})
+SELECT n.id, CAST(coalesce(a.best_label, n.id) AS BIGINT) AS label
+FROM nodes n LEFT JOIN admitted a ON n.id = a.id"""
+
+_CONTRACTION_PREFIX = f"""WITH {_EDGES_CTE},
+sc AS MATERIALIZED (SELECT dst AS id, src AS label, sum(weight) AS score FROM edges GROUP BY dst, src),
+best AS MATERIALIZED (
+  SELECT id, label FROM (
+    SELECT id, label,
+           row_number() OVER (PARTITION BY id ORDER BY score DESC, label ASC) AS rn
+    FROM sc) t WHERE rn = 1),
+l1 AS MATERIALIZED (
+  SELECT n.id, CAST(coalesce(b.label, n.id) AS BIGINT) AS cluster
+  FROM nodes n LEFT JOIN best b ON n.id = b.id),
+cmap AS MATERIALIZED (
+  SELECT cluster, CAST(dense_rank() OVER (ORDER BY cluster) - 1 AS BIGINT) AS c_id
+  FROM (SELECT DISTINCT cluster FROM l1)),
+node_map AS MATERIALIZED (
+  SELECT l1.id, cmap.c_id FROM l1 JOIN cmap ON l1.cluster = cmap.cluster)"""
+
+_CONTRACTION_EDGES_SQL = (
+    _CONTRACTION_PREFIX
+    + """
+SELECT m1.c_id AS src, m2.c_id AS dst, CAST(sum(e.weight) AS BIGINT) AS weight
+FROM edges e JOIN node_map m1 ON e.src = m1.id JOIN node_map m2 ON e.dst = m2.id
+WHERE m1.c_id <> m2.c_id GROUP BY m1.c_id, m2.c_id"""
+)
+
+_CONTRACTION_NODES_SQL = (
+    _CONTRACTION_PREFIX
+    + """
+SELECT c_id AS id, CAST(count(*) AS BIGINT) AS weight FROM node_map GROUP BY c_id"""
+)
+
+
+def _pagerank_weighted_sql() -> str:
+    prev = "r0"
+    steps = ""
+    for i in range(1, PR_ITERS + 1):
+        steps += f""",
+r{i} AS MATERIALIZED (
+  SELECT d.id,
+         (0.15 / (SELECT n FROM nn)) + 0.85 * coalesce(s.x, 0) AS rank
+  FROM deg d LEFT JOIN (
+    SELECT e.dst AS id, sum(r.rank * e.weight / dg.weighted_degree) AS x
+    FROM edges e JOIN {prev} r ON e.src = r.id JOIN deg dg ON e.src = dg.id
+    GROUP BY e.dst) s
+  ON d.id = s.id)"""
+        prev = f"r{i}"
+    return f"""WITH {_EDGES_CTE},
+nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+r0 AS (SELECT id, 1.0 / (SELECT n FROM nn) AS rank FROM deg){steps}
+SELECT id, round(rank, 6) AS rank FROM {prev}"""
+
+
+_LANGID_SQL = """
+WITH h AS (
+  SELECT doc_id,
+    len(list_filter(string_split(text, ' '), x -> x IN ('der','die','das','und','ist','ein'))) AS h_de,
+    len(list_filter(string_split(text, ' '), x -> x IN ('the','and','of','to','is','in'))) AS h_en,
+    len(list_filter(string_split(text, ' '), x -> x IN ('el','la','de','que','y','en'))) AS h_es,
+    len(list_filter(string_split(text, ' '), x -> x IN ('le','la','de','et','un','est'))) AS h_fr
+  FROM documents)
+SELECT doc_id,
+  CASE WHEN h_de >= h_en AND h_de >= h_es AND h_de >= h_fr THEN 'de'
+       WHEN h_en >= h_es AND h_en >= h_fr THEN 'en'
+       WHEN h_es >= h_fr THEN 'es' ELSE 'fr' END AS lang_pred,
+  CAST(greatest(h_de, h_en, h_es, h_fr) AS BIGINT) AS lang_score
+FROM h"""
+
+_NGRAM_JACCARD_SQL = """
+WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents WHERE doc_id < 300),
+idx AS (SELECT doc_id, w, unnest(range(greatest(len(w) - 2, 1))) AS i FROM d),
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(array_slice(w, i + 1, i + 3), ' ') AS gram
+  FROM idx WHERE array_to_string(array_slice(w, i + 1, i + 3), ' ') <> ''),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+  FROM sh a JOIN sh b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id)
+SELECT i.id_a, i.id_b,
+       round(CAST(i.n_inter AS DOUBLE) / (sa.sz + sb.sz - i.n_inter), 6) AS jaccard
+FROM inter i JOIN sizes sa ON i.id_a = sa.doc_id JOIN sizes sb ON i.id_b = sb.doc_id
+WHERE CAST(i.n_inter AS DOUBLE) / (sa.sz + sb.sz - i.n_inter) >= 0.2"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "transcript_turns": f"WITH {_TRANSCRIPTS_CTE} "
@@ -332,4 +619,40 @@ SELECT qid, nn_id, cos FROM (
   SELECT qid, nn_id, cos,
          row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nn_id ASC) AS rn
   FROM scored) t WHERE rn <= 10""",
+        "windowed_event_counts": """
+SELECT date_trunc('hour', ts) AS window_start,
+       date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+       event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 6) AS sum_value
+FROM events GROUP BY 1, 2, 3""",
+        "sessionized_events": """
+WITH marked AS (
+  SELECT user_id, ts, value,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   >= INTERVAL 30 MINUTE OR
+                   lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events),
+sess AS (
+  SELECT user_id, ts, value,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM marked)
+SELECT user_id, min(ts) AS session_start,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 6) AS sum_value
+FROM sess GROUP BY user_id, session_id""",
+        "kcore_peel8": _kcore_sql(),
+        "lp_capped_step": _LP_CAPPED_SQL,
+        "contraction_edges": _CONTRACTION_EDGES_SQL,
+        "contraction_nodes": _CONTRACTION_NODES_SQL,
+        "pagerank_weighted5": _pagerank_weighted_sql(),
+        "language_id": _LANGID_SQL,
+        "bpe_token_counts": r"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '[a-zA-Z]{1,4}|[0-9]|[^a-zA-Z0-9\s]')) AS BIGINT)
+         AS n_subword_tokens
+FROM documents""",
+        "ngram_jaccard": _NGRAM_JACCARD_SQL,
     }

@@ -15,6 +15,10 @@ import os
 import sys
 import time
 
+
+def _phase(msg):
+    print(f"[bench] {msg}", file=sys.stderr, flush=True)
+
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pyspark.sql import functions as F
@@ -38,37 +42,48 @@ def main():
     queries: dict[str, float] = {}
 
     # ---- ETL: transcripts -> edge table (scalable dense ids) ----
+    # SPARK_GRAFT_BENCH_CONVS overrides the sf-derived conversation count so
+    # the scaling protocol can synthesize enough work to amortize fixed
+    # per-superstep overhead (scripts/scaling_bench.py).
     t0 = time.time()
-    n_convs = spark.read.parquet(f"{sf_dir}/orders.parquet").count()
+    n_convs = int(
+        os.environ.get("SPARK_GRAFT_BENCH_CONVS", "0")
+    ) or spark.read.parquet(f"{sf_dir}/orders.parquet").count()
     t = synth_transcripts(spark, n_convs)
     g, _ = transcript_graph(t, n_convs, stable_ids=False, num_partitions=2 * cpus)
     gp = g.prepare(num_partitions=2 * cpus, hub_degree_threshold=1 << 13, salt_factor=8, spark=spark)
     m = gp.num_half_edges()
     n = gp.num_nodes()
     queries["etl_edge_table"] = round(time.time() - t0, 3)
+    _phase("etl done")
 
-    # ---- PageRank (fixed supersteps for a stable throughput metric) ----
+    # ---- PageRank (fixed supersteps for a stable throughput metric; blocks
+    # of 5 chained supersteps amortize fixed planning/launch overhead) ----
     t0 = time.time()
     pagerank(gp, tol=0.0, max_iters=pr_iters).count()
     pr_sec = time.time() - t0
     queries["pagerank"] = round(pr_sec, 3)
+    _phase("pagerank done")
 
     # ---- LPA ----
     t0 = time.time()
-    label_propagation(gp, max_iters=lpa_iters, semi_sync=True).count()
+    label_propagation(gp, max_iters=lpa_iters, semi_sync=True, track_convergence=False).count()
     lpa_sec = time.time() - t0
     queries["lpa"] = round(lpa_sec, 3)
+    _phase("lpa done")
 
     # ---- CC ----
     t0 = time.time()
     cc_df = connected_components(gp, max_iters=30)
-    cc_df.select(F.countDistinct("comp")).count()
+    cc_df.agg(F.countDistinct("comp")).first()
     queries["connected_components"] = round(time.time() - t0, 3)
+    _phase("cc done")
 
     # ---- triangles ----
     t0 = time.time()
     triangle_count(gp)
     queries["triangle_count"] = round(time.time() - t0, 3)
+    _phase("triangles done")
 
     supersteps = pr_iters + lpa_iters
     kernel_sec = pr_sec + lpa_sec

@@ -36,6 +36,14 @@ def dense_ids(
         )
     keys = df.select(key).distinct().repartition(num_partitions, key)
     keys = keys.sortWithinPartitions(key)  # determinism within partition
+    # FREEZE the partition layout before the two passes. Without this, the
+    # counting job and the assignment job are separate executions and AQE may
+    # coalesce their shuffle partitions differently -> offset table keyed by
+    # the wrong pids -> overlapping id ranges (silent node merging; observed
+    # as a run-to-run half-edge count drift at bench scale).
+    from kaminpar_spark.plans.lineage import truncate
+
+    keys = truncate(keys)
     counts = (
         keys.groupBy(F.spark_partition_id().alias("pid")).count().collect()
     )

@@ -58,8 +58,11 @@ def connected_components(
     runner=None,
     two_phase: bool = True,
     on_metrics=None,
+    steps_per_block: int = 1,
 ) -> DataFrame:
-    """Returns (id, comp) where comp = min node id in the component."""
+    """Returns (id, comp) where comp = min node id in the component.
+    ``steps_per_block`` chains supersteps into one materialized plan to
+    amortize fixed driver overhead (see pagerank)."""
     from kaminpar_spark.plans.superstep import run_in_memory
 
     state = graph.nodes.select(
@@ -67,10 +70,12 @@ def connected_components(
     )
 
     def step(s: DataFrame, i: int) -> DataFrame:
-        new = cc_step(graph, s)
-        if two_phase:
-            new = _pointer_double(new)
-        return new
+        cur = s
+        for _ in range(steps_per_block):
+            cur = cc_step(graph, cur)
+            if two_phase:
+                cur = _pointer_double(cur)
+        return cur
 
     def metrics(new: DataFrame) -> dict:
         moved = new.where(F.col("comp") != F.col("old_comp")).count()
@@ -79,10 +84,11 @@ def connected_components(
     def converged(m: dict) -> bool:
         return m["moved"] == 0
 
+    n_blocks = -(-max_iters // steps_per_block)
     if runner is not None:
-        final = runner.run("connected_components", state, step, metrics, converged, max_iters)
+        final = runner.run("connected_components", state, step, metrics, converged, n_blocks)
     else:
-        final = run_in_memory(state, step, metrics, converged, max_iters, on_metrics)
+        final = run_in_memory(state, step, metrics, converged, n_blocks, on_metrics)
     return final.select("id", "comp")
 
 

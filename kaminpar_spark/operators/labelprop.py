@@ -183,6 +183,8 @@ def label_propagation(
     min_moved_frac: float = 0.0,
     on_metrics=None,
     name: str = "labelprop",
+    steps_per_block: int = 1,
+    track_convergence: bool = True,
 ) -> DataFrame:
     """Run LP from singleton labels to (near-)convergence. Returns (id, label).
 
@@ -196,12 +198,24 @@ def label_propagation(
         "id", F.col("id").alias("label"), "weight", F.lit(0).alias("moved")
     )
 
+    if max_cluster_weight is not None:
+        steps_per_block = 1  # capped config truncates internally per step
+
     def step(s: DataFrame, i: int) -> DataFrame:
-        return lp_step(
-            graph, s, step_idx=i, max_cluster_weight=max_cluster_weight, semi_sync=semi_sync
-        )
+        cur = s
+        for j in range(steps_per_block):
+            cur = lp_step(
+                graph,
+                cur,
+                step_idx=i * steps_per_block + j,
+                max_cluster_weight=max_cluster_weight,
+                semi_sync=semi_sync,
+            )
+        return cur
 
     def metrics(new: DataFrame) -> dict:
+        if not track_convergence:
+            return {"moved": -1}
         moved = new.agg(F.sum("moved")).first()[0] or 0
         return {"moved": int(moved)}
 
@@ -211,14 +225,17 @@ def label_propagation(
     history: list[int] = []
 
     def converged(m: dict) -> bool:
+        if not track_convergence:
+            return False
         history.append(m["moved"])
         quiet = m["moved"] <= min_moved_frac * n
         if not semi_sync:
             return quiet
         return quiet and len(history) >= 2 and history[-2] <= min_moved_frac * n
 
+    n_blocks = -(-max_iters // steps_per_block)
     if runner is not None:
-        final = runner.run(name, state, step, metrics, converged, max_iters)
+        final = runner.run(name, state, step, metrics, converged, n_blocks)
     else:
-        final = run_in_memory(state, step, metrics, converged, max_iters, on_metrics)
+        final = run_in_memory(state, step, metrics, converged, n_blocks, on_metrics)
     return final.select("id", "label")

@@ -38,24 +38,37 @@ def oriented_edges(graph: GraphFrame) -> DataFrame:
 
 
 def triangle_count(graph: GraphFrame) -> int:
-    """Total number of triangles in the graph."""
-    e = oriented_edges(graph)
+    """Total number of triangles in the graph.
+
+    The oriented edge set is materialized once (``truncate``) — it is
+    referenced three times (two wedge sides + closing edges), so this avoids
+    recomputing the orientation AND dodges an observed AQE wrong-result on
+    left-semi self-joins over shared unmaterialized subtrees (semi returned 0
+    where inner returned the right count; AQE off also returned the right
+    count). The closing join is an inner join: closing edges are unique per
+    (u, w), so each closed wedge matches exactly once.
+    """
+    from kaminpar_spark.plans.lineage import truncate
+
+    e = truncate(oriented_edges(graph))
     w1 = e.select(F.col("src").alias("u"), F.col("dst").alias("v"))
     w2 = e.select(F.col("src").alias("v"), F.col("dst").alias("w"))
     wedges = w1.join(w2, "v").select("u", "w")
     closing = e.select(F.col("src").alias("u"), F.col("dst").alias("w"))
-    n = wedges.join(closing, ["u", "w"], "left_semi").count()
+    n = wedges.join(closing, ["u", "w"], "inner").count()
     return int(n)
 
 
 def triangles_per_node(graph: GraphFrame) -> DataFrame:
     """(id, triangles) — number of triangles incident to each node."""
-    e = oriented_edges(graph)
+    from kaminpar_spark.plans.lineage import truncate
+
+    e = truncate(oriented_edges(graph))
     w1 = e.select(F.col("src").alias("u"), F.col("dst").alias("v"))
     w2 = e.select(F.col("src").alias("v"), F.col("dst").alias("w"))
     wedges = w1.join(w2, "v").select("u", "v", "w")
     closing = e.select(F.col("src").alias("u"), F.col("dst").alias("w"))
-    tri = wedges.join(closing, ["u", "w"], "left_semi")
+    tri = wedges.join(closing, ["u", "w"], "inner").select("u", "v", "w")
     per = (
         tri.select(F.explode(F.array("u", "v", "w")).alias("id"))
         .groupBy("id")

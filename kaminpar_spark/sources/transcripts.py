@@ -115,6 +115,13 @@ def transcript_graph(
         amap = dense_ids_by_order(actors, "actor", out="id")
     else:
         amap = dense_ids(actors, "actor", num_partitions=num_partitions, out="id")
+    # amap is referenced twice below (src and dst sides). Materialize it:
+    # joining two copies of the unmaterialized mapInPandas subtree is both
+    # wasteful and exposed an AQE self-join wrong-result (rows silently lost,
+    # partition-count dependent edge counts at bench scale).
+    from kaminpar_spark.plans.lineage import truncate
+
+    amap = truncate(amap)
     pairs = (
         links.join(amap.withColumnRenamed("actor", "a_src").withColumnRenamed("id", "src"), "a_src")
         .join(amap.withColumnRenamed("actor", "a_dst").withColumnRenamed("id", "dst"), "a_dst")

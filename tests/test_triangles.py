@@ -36,3 +36,16 @@ def test_er_oracle(spark):
     g, src, dst = fixtures.erdos_renyi(spark, n=300, p=0.03, seed=42, hub_overlay=2)
     want = numpy_triangles(300, src, dst)
     assert triangle_count(g) == want
+
+
+def test_transcript_graph_scalable_ids_regression(spark):
+    """Regression: triangle counting over the scalable dense-id ETL path
+    returned 0 under AQE (left-semi self-join wrong-result) until the
+    oriented edge set was materialized. Both id paths must agree."""
+    from kaminpar_spark.sources.transcripts import synth_transcripts, transcript_graph
+
+    t = synth_transcripts(spark, 300)
+    g1, _ = transcript_graph(t, 300, stable_ids=True)
+    g2, _ = transcript_graph(t, 300, stable_ids=False, num_partitions=8)
+    n1, n2 = triangle_count(g1), triangle_count(g2)
+    assert n1 == n2 > 0
