@@ -3,18 +3,25 @@
 Exact dedup is a hash groupBy; near-dup families (MinHash+LSH, SimHash,
 n-gram Jaccard) follow the shingle -> sketch -> band -> bucket-join shape that
 scales: candidate generation never compares all pairs, only bucket collisions.
-All sketch math is Arrow-vectorized numpy inside pandas UDFs; everything else
-is built-in DataFrame ops.
+
+Every sketch kernel is pure JVM (whole-stage codegen): MinHash signatures are
+k min-aggregates over affine permutations of the shingle hash, SimHash is a
+per-bit conditional-sum aggregate — there is NO Python dispatch anywhere in
+this module (the round-1 per-document applyInPandas kernels are gone). The
+hash primitive is the cross-engine polynomial hash (functions.hashing), so the
+DuckDB oracle reproduces every sketch bit-for-bit.
 """
 
 from __future__ import annotations
 
-import numpy as np
-import pandas as pd
-from pyspark.sql import DataFrame, functions as F, types as T
+from pyspark.sql import DataFrame, functions as F
 
-# deterministic 64-bit mixers for minhash permutations
-_MERSENNE = (1 << 61) - 1
+from kaminpar_spark.functions.hashing import (
+    POLY_MOD,
+    POLY_MULT2,
+    char_poly_hash,
+    minhash_perms,
+)
 
 
 def exact_dedup_groups(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -38,19 +45,30 @@ def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     return docs.join(keep, id_col, "left_semi")
 
 
-def shingles(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3) -> DataFrame:
+def shingles(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    portable: bool = False,
+) -> DataFrame:
     """(id, shingle_hash) — distinct hashed word n-gram shingles per doc.
     JVM-side: split -> sliding windows via transform over index sequence ->
-    xxhash64."""
+    hash. ``portable=True`` uses the cross-engine polynomial hash (range
+    [0, 2^31), required by minhash permutations and the DuckDB oracle);
+    default xxhash64 is the faster join-key-only variant."""
     toks = F.split(F.lower(F.col(text_col)), " ")
     idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
     grams = F.transform(
         idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))
     )
+    hash_col = (
+        char_poly_hash(F.col("gram")) if portable else F.xxhash64("gram")
+    )
     return (
         docs.select(F.col(id_col).alias("id"), F.explode(grams).alias("gram"))
         .where(F.col("gram") != "")
-        .select("id", F.xxhash64("gram").alias("shingle_hash"))
+        .select("id", hash_col.alias("shingle_hash"))
         .distinct()
     )
 
@@ -59,57 +77,48 @@ def minhash_signatures(
     sh: DataFrame, num_hashes: int = 64, seed: int = 42
 ) -> DataFrame:
     """(id, sig: array<long>) — minhash signature per doc from its shingle
-    hashes. The k permutations h_i(x) = (a_i*x + b_i) mod M are evaluated
-    vectorized in one grouped numpy kernel."""
-    rng = np.random.default_rng(seed)
-    a = rng.integers(1, _MERSENNE, size=num_hashes, dtype=np.int64)
-    b = rng.integers(0, _MERSENNE, size=num_hashes, dtype=np.int64)
-
-    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-        out_ids, out_sigs = [], []
-        for doc_id, grp in pdf.groupby("id"):
-            x = grp["shingle_hash"].to_numpy(dtype=np.uint64)
-            # (k, m) permuted hashes -> min over shingles
-            hx = (x[None, :] * a.astype(np.uint64)[:, None] + b.astype(np.uint64)[:, None]) % np.uint64(_MERSENNE)
-            out_ids.append(doc_id)
-            out_sigs.append(hx.min(axis=1).astype(np.int64).tolist())
-        return pd.DataFrame({"id": out_ids, "sig": out_sigs})
-
-    return sh.repartition("id").groupBy("id").applyInPandas(
-        kernel, schema="id long, sig array<long>"
+    hashes. The k permutations h_i(x) = (a_i*x + b_i) mod M are k JVM
+    min-aggregates in ONE groupBy (map-side partial agg; zero Python) —
+    shingle hashes must be in [0, M) (shingles(portable=True))."""
+    a, b = minhash_perms(num_hashes, seed)
+    x = F.col("shingle_hash")
+    aggs = [
+        F.min((F.lit(a[i]) * x + F.lit(b[i])) % F.lit(POLY_MOD)).alias(f"s{i}")
+        for i in range(num_hashes)
+    ]
+    per = sh.groupBy("id").agg(*aggs)
+    return per.select(
+        "id", F.array(*[F.col(f"s{i}") for i in range(num_hashes)]).alias("sig")
     )
 
 
 def lsh_candidate_pairs(sigs: DataFrame, bands: int = 16) -> DataFrame:
     """(id_a, id_b) candidate near-dup pairs: split signatures into bands,
-    bucket-join on (band, band_hash). Scale path: no all-pairs comparison —
-    the join key is the banded hash, hub buckets are bounded by band width."""
+    bucket-join on (band, band_key). Scale path: no all-pairs comparison —
+    the join key is the banded signature slice, hub buckets are bounded by
+    band width. The band key is the comma-joined slice (portable across
+    engines; at 100 TB wrap it in xxhash64 to shrink the shuffle key)."""
     k = bands
+    r = F.size("sig") / k
     banded = sigs.select(
         "id",
         F.posexplode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(k - 1)),
-                lambda b: F.xxhash64(
-                    F.concat_ws(
-                        ",",
-                        F.transform(
-                            F.slice(
-                                F.col("sig"),
-                                b * (F.size("sig") / k).cast("int") + 1,
-                                (F.size("sig") / k).cast("int"),
-                            ),
-                            lambda x: x.cast("string"),
-                        ),
-                    )
+                lambda b: F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.slice(F.col("sig"), b * r.cast("int") + 1, r.cast("int")),
+                        lambda x: x.cast("string"),
+                    ),
                 ),
             )
-        ).alias("band", "band_hash"),
+        ).alias("band", "band_key"),
     )
-    a = banded.select(F.col("id").alias("id_a"), "band", "band_hash")
-    bdf = banded.select(F.col("id").alias("id_b"), "band", "band_hash")
+    a = banded.select(F.col("id").alias("id_a"), "band", "band_key")
+    bdf = banded.select(F.col("id").alias("id_b"), "band", "band_key")
     return (
-        a.join(bdf, ["band", "band_hash"])
+        a.join(bdf, ["band", "band_key"])
         .where(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()
@@ -143,11 +152,13 @@ def minhash_dedup_pairs(
     num_hashes: int = 64,
     bands: int = 16,
     shingle_n: int = 3,
+    seed: int = 42,
 ) -> DataFrame:
     """End-to-end MinHash+LSH near-dup pipeline: (id_a, id_b, est_jaccard)
-    with est_jaccard >= threshold."""
-    sh = shingles(docs, id_col, text_col, n=shingle_n)
-    sigs = minhash_signatures(sh, num_hashes=num_hashes)
+    with est_jaccard >= threshold. Fully deterministic and reproducible in
+    ANSI SQL (see __spark_entry__.oracle_sql)."""
+    sh = shingles(docs, id_col, text_col, n=shingle_n, portable=True)
+    sigs = minhash_signatures(sh, num_hashes=num_hashes, seed=seed)
     cand = lsh_candidate_pairs(sigs, bands=bands)
     return minhash_jaccard(sigs, cand).where(F.col("est_jaccard") >= threshold)
 
@@ -188,49 +199,67 @@ def ngram_jaccard_pairs(
     )
 
 
+SIMHASH_BITS = 62  # 31 bits from each of two polynomial hash streams
+
+
 def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """(id, simhash) — 64-bit SimHash over word tokens: per-bit weighted vote
-    of token hashes, vectorized numpy in a pandas UDF over token explosion."""
+    """(id, simhash) — 62-bit SimHash over word tokens (with multiplicity):
+    per-bit weighted vote of token hashes. Bits 0..30 come from the base
+    polynomial hash, bits 31..61 from the mult=37 stream. The vote is 62
+    conditional-sum JVM aggregates in one groupBy — map-side partial agg,
+    zero Python, and bit-reproducible in the DuckDB oracle."""
     toks = (
-        docs.select(F.col(id_col).alias("id"), F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("tok"))
+        docs.select(
+            F.col(id_col).alias("id"),
+            F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("tok"),
+        )
         .where(F.col("tok") != "")
-        .select("id", F.xxhash64("tok").alias("h"))
+        .select(
+            "id",
+            char_poly_hash(F.col("tok")).alias("h1"),
+            char_poly_hash(F.col("tok"), mult=POLY_MULT2).alias("h2"),
+        )
     )
+    aggs = []
+    for j in range(SIMHASH_BITS):
+        src, shift = ("h1", j) if j < 31 else ("h2", j - 31)
+        bit = F.shiftright(F.col(src), shift).bitwiseAND(F.lit(1))
+        aggs.append(
+            F.sum(F.when(bit == 1, F.lit(1)).otherwise(F.lit(-1))).alias(f"v{j}")
+        )
+    votes = toks.groupBy("id").agg(*aggs)
+    sim = None
+    for j in range(SIMHASH_BITS):
+        term = F.when(F.col(f"v{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0)).cast("long")
+        sim = term if sim is None else sim + term
+    return votes.select("id", sim.alias("simhash"))
 
-    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-        out_ids, out_sh = [], []
-        for doc_id, grp in pdf.groupby("id"):
-            h = grp["h"].to_numpy(dtype=np.uint64)
-            bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(np.int64)
-            votes = (2 * bits - 1).sum(axis=0)
-            sh = np.uint64(0)
-            for i in np.nonzero(votes > 0)[0]:
-                sh |= np.uint64(1) << np.uint64(i)
-            out_ids.append(doc_id)
-            out_sh.append(np.int64(sh.astype(np.int64)))
-        return pd.DataFrame({"id": out_ids, "simhash": out_sh})
 
-    return toks.repartition("id").groupBy("id").applyInPandas(
-        kernel, schema="id long, simhash long"
-    )
+def simhash_bands(max_hamming: int, num_bits: int = SIMHASH_BITS) -> list[tuple[int, int]]:
+    """(shift, mask) per band for the pigeonhole trick: max_hamming+1 bands
+    that COVER all num_bits (remainder widens the first bands), so any pair
+    within the distance shares at least one exact band."""
+    nb = max_hamming + 1
+    base, rem = divmod(num_bits, nb)
+    out, shift = [], 0
+    for i in range(nb):
+        width = base + (1 if i < rem else 0)
+        out.append((shift, (1 << width) - 1))
+        shift += width
+    return out
 
 
 def simhash_near_pairs(sh: DataFrame, max_hamming: int = 3) -> DataFrame:
     """(id_a, id_b, hamming) pairs within Hamming distance, using the
-    pigeonhole band trick: split 64 bits into max_hamming+1 bands; any pair
-    within distance shares at least one exact band -> bucket-join, then exact
-    Hamming via bit_count(xor)."""
-    nb = max_hamming + 1
-    width = 64 // nb
-    mask = (1 << width) - 1
+    pigeonhole band trick: split the bits into max_hamming+1 covering bands;
+    any pair within distance shares at least one exact band -> bucket-join,
+    then exact Hamming via bit_count(xor)."""
     band_structs = [
         F.struct(
             F.lit(i).alias("band"),
-            F.shiftrightunsigned(F.col("simhash"), i * width)
-            .bitwiseAND(F.lit(mask))
-            .alias("band_val"),
+            F.shiftright(F.col("simhash"), shift).bitwiseAND(F.lit(mask)).alias("band_val"),
         )
-        for i in range(nb)
+        for i, (shift, mask) in enumerate(simhash_bands(max_hamming))
     ]
     bands = sh.select(
         "id",

@@ -76,29 +76,93 @@ def media_features(media: DataFrame, batch_rows: int = 64) -> DataFrame:
     """(media_id, kind, n_bytes, feature: array<float>) — decode + pooled
     feature extraction as an Arrow-batched mapInPandas kernel. The feature is
     a 16-bin intensity histogram (image) / energy profile (audio): cheap,
-    deterministic, and shaped exactly like a real embedding UDF."""
+    deterministic, and shaped exactly like a real embedding UDF.
+
+    The column access is vectorized (numpy arrays zipped once per batch); the
+    per-item decoder call is inherent — a codec decodes one blob at a time."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = {"media_id": [], "kind": [], "n_bytes": [], "feature": []}
-            for _, row in pdf.iterrows():
-                payload = row["payload"] or b""
-                decoder = DECODERS.get(row["kind"])
+            ids = pdf["media_id"].to_numpy()
+            kinds = pdf["kind"].to_numpy()
+            payloads = pdf["payload"].to_numpy()
+            metas = pdf["meta"].to_numpy()
+            n_bytes = np.fromiter(
+                (len(p) if p is not None else 0 for p in payloads), dtype=np.int64, count=len(pdf)
+            )
+            feats = []
+            for kind, payload, meta in zip(kinds, payloads, metas):
+                decoder = DECODERS.get(kind)
                 if decoder is None:
-                    feat = [0.0] * 16
-                else:
-                    arr = decoder(payload, row["meta"]).astype(np.float64).ravel()
-                    hist, _ = np.histogram(arr, bins=16)
-                    s = hist.sum() or 1
-                    feat = (hist / s).tolist()
-                out["media_id"].append(row["media_id"])
-                out["kind"].append(row["kind"])
-                out["n_bytes"].append(len(payload))
-                out["feature"].append(feat)
-            yield pd.DataFrame(out)
+                    feats.append([0.0] * 16)
+                    continue
+                arr = decoder(payload or b"", meta).astype(np.float64).ravel()
+                hist, _ = np.histogram(arr, bins=16)
+                s = hist.sum() or 1
+                feats.append((hist / s).tolist())
+            yield pd.DataFrame(
+                {"media_id": ids, "kind": kinds, "n_bytes": n_bytes, "feature": feats}
+            )
 
     return media.mapInPandas(
         kernel, schema="media_id long, kind string, n_bytes long, feature array<double>"
+    )
+
+
+BYTE_HIST_BINS = 16
+
+
+def byte_histogram_features(media: DataFrame) -> DataFrame:
+    """(media_id, kind, n_bytes, bin_00..bin_15) — 16-bin byte-value histogram
+    of the raw payload (bin = byte // 8, clipped; normalized and floor-scaled
+    to 6 decimals). Same Arrow/mapInPandas plumbing as ``media_features`` but
+    with an engine-independent 'decoder' (raw bytes), so the driver can check
+    it hash-exactly against a DuckDB oracle — and the output is flat scalars,
+    which the driver harness can canonicalize (round-1's array<double> column
+    broke its hasher). floor() instead of round() avoids banker's-rounding
+    ties between numpy and SQL."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n = len(pdf)
+            payloads = pdf["payload"].to_numpy()
+            n_bytes = np.zeros(n, dtype=np.int64)
+            feats = np.zeros((n, BYTE_HIST_BINS), dtype=np.float64)
+            for i, payload in enumerate(payloads):
+                buf = np.frombuffer(payload or b"", dtype=np.uint8)
+                n_bytes[i] = buf.size
+                if buf.size:
+                    h = np.bincount(
+                        np.minimum(buf // 8, BYTE_HIST_BINS - 1), minlength=BYTE_HIST_BINS
+                    )[:BYTE_HIST_BINS]
+                    feats[i] = np.floor(h / buf.size * 1e6) / 1e6
+            out = pd.DataFrame(
+                {"media_id": pdf["media_id"].to_numpy(), "kind": pdf["kind"].to_numpy(), "n_bytes": n_bytes}
+            )
+            for j in range(BYTE_HIST_BINS):
+                out[f"bin_{j:02d}"] = feats[:, j]
+            yield out
+
+    schema = "media_id long, kind string, n_bytes long, " + ", ".join(
+        f"bin_{j:02d} double" for j in range(BYTE_HIST_BINS)
+    )
+    return media.select("media_id", "kind", "payload").mapInPandas(kernel, schema=schema)
+
+
+def media_from_documents(docs: DataFrame) -> DataFrame:
+    """Adapt the documents table into a media table (media_id, kind, payload)
+    — text bytes as the opaque blob. Lets the multimodal plumbing run against
+    driver-provided parquet (and its DuckDB views) instead of only synthetic
+    rows."""
+    kind = (
+        F.when(F.col("doc_id") % 3 == 0, F.lit("image"))
+        .when(F.col("doc_id") % 3 == 1, F.lit("audio"))
+        .otherwise(F.lit("video"))
+    )
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        kind.alias("kind"),
+        F.encode("text", "UTF-8").alias("payload"),
     )
 
 

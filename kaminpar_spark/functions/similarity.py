@@ -4,13 +4,19 @@ Brute-force cosine top-k is the exactness baseline (broadcast the query side;
 one pass over the corpus, no shuffle of the big side). The scale path is
 LSH-bucketed search (random hyperplane signatures -> bucket join) — sublinear
 candidate sets, same ranking semantics on the candidates.
+
+All kernels are JVM higher-order functions (zip_with/aggregate) — no Python
+anywhere. Hyperplanes are integer-lattice directions (functions.hashing.
+hyperplane_lattice): sign(dot) is scale-invariant, so they bucket exactly
+like Gaussian planes while surviving SQL literal round-trips bit-exactly,
+which makes the LSH path reproducible in the DuckDB oracle.
 """
 
 from __future__ import annotations
 
-import numpy as np
-import pandas as pd
 from pyspark.sql import DataFrame, Window, functions as F
+
+from kaminpar_spark.functions.hashing import hyperplane_lattice
 
 
 def _cosine(qv: str, ev: str) -> F.Column:
@@ -64,23 +70,27 @@ def hyperplane_signatures(
     dim: int | None = None,
 ) -> DataFrame:
     """(id, sig_bucket) — random-hyperplane LSH signature (sign pattern packed
-    into a long). Vectorized numpy over Arrow batches (mapInPandas)."""
+    into a long). Pure JVM: one left-fold dot product per plane over literal
+    plane arrays — zero Python, whole-stage codegen, and (via integer-lattice
+    planes) reproducible in SQL. ``dim`` should come from the caller's schema;
+    the ``first()`` sniff is a convenience fallback for ad-hoc use only."""
     if dim is None:
         dim = len(vecs.select(vec_col).first()[0])
-    rng = np.random.default_rng(seed)
-    planes = rng.standard_normal((dim, num_planes))
-    powers = (1 << np.arange(num_planes)).astype(np.int64)
+    planes = hyperplane_lattice(dim, num_planes, seed)
 
-    def kernel(batches):
-        for pdf in batches:
-            m = np.stack(pdf[vec_col].to_numpy())
-            signs = (m @ planes) > 0
-            bucket = (signs * powers).sum(axis=1)
-            yield pd.DataFrame({"id": pdf[id_col], "sig_bucket": bucket})
+    def dot(plane: list[float]) -> F.Column:
+        arr = F.array(*[F.lit(x) for x in plane])
+        return F.aggregate(
+            F.zip_with(F.col(vec_col), arr, lambda a, b: a.cast("double") * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
 
-    return vecs.select(id_col, vec_col).mapInPandas(
-        kernel, schema="id long, sig_bucket long"
-    )
+    bucket = None
+    for i in range(num_planes):
+        term = F.when(dot(planes[i]) > 0, F.lit(1 << i)).otherwise(F.lit(0)).cast("long")
+        bucket = term if bucket is None else bucket + term
+    return vecs.select(F.col(id_col).alias("id"), bucket.alias("sig_bucket"))
 
 
 def lsh_topk(
@@ -91,12 +101,13 @@ def lsh_topk(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: candidates = corpus vectors sharing the query's LSH
     bucket; exact cosine ranking on candidates only. At scale the bucket join
     replaces the all-pairs cross join with a key-partitioned equi-join."""
-    c_sig = hyperplane_signatures(corpus, num_planes, seed, id_col, vec_col)
-    q_sig = hyperplane_signatures(queries, num_planes, seed, id_col, vec_col)
+    c_sig = hyperplane_signatures(corpus, num_planes, seed, id_col, vec_col, dim=dim)
+    q_sig = hyperplane_signatures(queries, num_planes, seed, id_col, vec_col, dim=dim)
     cand = (
         c_sig.withColumnRenamed("id", "nn_id")
         .join(q_sig.withColumnRenamed("id", "qid"), "sig_bucket")
@@ -125,10 +136,11 @@ def embedding_near_dup_pairs(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """(id_a, id_b, cos) — embedding-cosine near-duplicate candidates via LSH
     bucket self-join, exact cosine verification, cos >= threshold."""
-    sig = hyperplane_signatures(vecs, num_planes, seed, id_col, vec_col)
+    sig = hyperplane_signatures(vecs, num_planes, seed, id_col, vec_col, dim=dim)
     a = sig.select(F.col("id").alias("id_a"), "sig_bucket")
     b = sig.select(F.col("id").alias("id_b"), "sig_bucket")
     cand = a.join(b, "sig_bucket").where(F.col("id_a") < F.col("id_b")).select("id_a", "id_b")

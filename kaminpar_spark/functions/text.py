@@ -82,8 +82,18 @@ def language_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
 
 
 def fingerprints(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """(doc_id, fingerprint) — 64-bit document fingerprint via xxhash64 of the
-    normalized text (lowercase, collapsed whitespace). Rolling-hash analog,
-    fully JVM-side."""
+    """(doc_id, fingerprint) — document fingerprint: rolling polynomial hash
+    of the normalized text (lowercase, collapsed whitespace), fully JVM-side
+    and bit-reproducible in the DuckDB oracle (functions.hashing)."""
+    from kaminpar_spark.functions.hashing import char_poly_hash
+
+    norm = F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")
+    return docs.select(F.col(id_col), char_poly_hash(norm).alias("fingerprint"))
+
+
+def fingerprints_fast(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """xxhash64 variant of ``fingerprints`` — the 100 TB hot path (single JVM
+    hash call per document instead of a per-character fold); not
+    oracle-reproducible."""
     norm = F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")
     return docs.select(F.col(id_col), F.xxhash64(norm).alias("fingerprint"))

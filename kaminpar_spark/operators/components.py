@@ -78,8 +78,12 @@ def connected_components(
         return cur
 
     def metrics(new: DataFrame) -> dict:
-        moved = new.where(F.col("comp") != F.col("old_comp")).count()
-        return {"moved": int(moved)}
+        # one agg on the already-materialized state (not a filter+count job
+        # with its own scan — the pagerank residual pattern)
+        moved = new.agg(
+            F.sum((F.col("comp") != F.col("old_comp")).cast("int")).alias("mv")
+        ).first()["mv"]
+        return {"moved": int(moved or 0)}
 
     def converged(m: dict) -> bool:
         return m["moved"] == 0

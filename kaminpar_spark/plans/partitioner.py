@@ -158,7 +158,22 @@ class Partitioner:
         )
 
     # ------------------------------------------------------------- helpers
+    # Hard ceiling for the driver-side initial partitioning: the coarsening
+    # loop can stop on a <5% shrink stall with the graph still large, and an
+    # unconditional collect() would then OOM the driver silently. ~4M nodes
+    # of (id, weight) rows is low hundreds of MB driver-side — safe under the
+    # 16g default, and far above any non-degenerate coarsest graph (2*C=4000).
+    MAX_COLLECT_NODES = 4_000_000
+
     def _collect_small(self, g: GraphFrame) -> tuple[SmallGraph, np.ndarray]:
+        n = g.num_nodes()
+        if n > self.MAX_COLLECT_NODES:
+            raise RuntimeError(
+                f"coarsest graph has {n:,} nodes (> {self.MAX_COLLECT_NODES:,}); "
+                "coarsening stalled far above the contraction limit — raise "
+                "lp_iters / cluster caps or the collect ceiling instead of "
+                "collecting a distributed graph to the driver"
+            )
         nodes = g.nodes.orderBy("id").collect()
         ids = np.array([r["id"] for r in nodes], dtype=np.int64)
         nw = np.array([r["weight"] for r in nodes], dtype=np.int64)

@@ -34,7 +34,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame
 
-from kaminpar_spark.plans.lineage import truncate
+from kaminpar_spark.plans.lineage import persistent_rdd_ids, release, release_ids, truncate
 
 StepFn = Callable[[DataFrame, int], DataFrame]
 MetricsFn = Callable[[DataFrame], dict]
@@ -50,11 +50,22 @@ def run_in_memory(
     on_metrics: Callable[[int, dict], None] | None = None,
 ) -> DataFrame:
     """Fast path: localCheckpoint per superstep (materialize + truncate
-    lineage, stays in the block manager). Used by tests and bench inner loops."""
+    lineage, stays in the block manager). Used by tests and bench inner loops.
+
+    Block-manager hygiene: once a superstep's output is materialized, the
+    PREVIOUS state's checkpoint blocks and any intermediates the step
+    truncated internally are unpersisted — only the latest state stays live.
+    Without this, a long run accumulates one unreclaimable checkpoint per
+    superstep (eviction of a lineage-truncated block is data loss)."""
+    spark = state.sparkSession
     state = truncate(state)
     for i in range(max_iters):
+        pre = persistent_rdd_ids(spark)
         new = truncate(step(state, i))
         m = metrics(new)
+        created = persistent_rdd_ids(spark) - pre
+        release(state)  # previous superstep's blocks
+        release_ids(spark, created - getattr(new, "_kaminpar_chk_ids", set()))
         state = new
         if on_metrics:
             on_metrics(i, m)

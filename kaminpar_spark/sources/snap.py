@@ -21,4 +21,11 @@ def read_snap(spark: SparkSession, path: str, sep: str = "\t") -> GraphFrame:
         .csv(path)
         .where(F.col("src").isNotNull() & F.col("dst").isNotNull())
     )
+    # SNAP lists of undirected graphs often carry BOTH directions of each
+    # edge (e.g. roadNet-*); the reference converter dedups them (snap.h
+    # dynamic-builder semantics). Canonicalize to (min, max) and dedup BEFORE
+    # symmetrizing so a re-listed edge keeps weight 1 instead of summing to 2.
+    df = df.select(
+        F.least("src", "dst").alias("src"), F.greatest("src", "dst").alias("dst")
+    ).dropDuplicates(["src", "dst"])
     return GraphFrame.from_edge_pairs(df, symmetrize=True)

@@ -39,6 +39,11 @@ def synth_transcripts(spark: SparkSession, n_convs: int) -> DataFrame:
     use tool_id = r%4==0 ? r : r%3 with r=(c*31+t*17)%20 (zipf-ish hubs);
     text = 'm_<c>_<t>'; ts = 2024-01-01 + (c*1000 + t*10) seconds.
     """
+    # conv_id is zero-padded to 8 digits and actor_column recovers c from a
+    # fixed substring — beyond 10^8 conversations the pad would truncate and
+    # silently merge conversations/actors. Fail loudly instead (widening the
+    # pad also requires updating the DuckDB oracle CTE in __spark_entry__).
+    assert n_convs < 10**8, "synth_transcripts: n_convs >= 10^8 overflows the conv_id pad"
     convs = spark.range(n_convs).withColumnRenamed("id", "c")
     turns = convs.select(
         "c", F.explode(F.sequence(F.lit(0), (F.col("c") % 9 + 3).cast("int"))).alias("t")
