@@ -324,6 +324,31 @@ def _q_media_features(spark, sf_dir):
     return byte_histogram_features(media_from_documents(_load(spark, sf_dir, "documents")))
 
 
+EMB_DUP_PLANES = 6
+EMB_DUP_THRESH = 0.3
+
+
+def _q_embedding_near_dups(spark, sf_dir):
+    """Embedding-cosine near-dup candidates: LSH bucket self-join + exact
+    cosine verification (the embedding leg of the dedup family)."""
+    from kaminpar_spark.functions.similarity import embedding_near_dup_pairs
+
+    emb = _load(spark, sf_dir, "embeddings")
+    return embedding_near_dup_pairs(
+        emb, threshold=EMB_DUP_THRESH, num_planes=EMB_DUP_PLANES, dim=EMB_DIM
+    )
+
+
+def _q_frame_sample_plan(spark, sf_dir):
+    """Video frame-sampling plan from metadata only (multimodal, no decode):
+    JVM sequence/explode — pushdown-friendly."""
+    from kaminpar_spark.functions.multimodal import frame_sample_plan, media_from_documents
+
+    media = media_from_documents(_load(spark, sf_dir, "documents"))
+    plan = frame_sample_plan(media, every_ms=1000)
+    return plan.select("media_id", F.col("frame_ts_ms").cast("long").alias("frame_ts_ms"))
+
+
 # ---- partitioner-tier queries (VERDICT r1 item 6) ----
 def _q_core_hindex(spark, sf_dir):
     """Core numbers via CORE_ROUNDS unrolled h-index supersteps (fixed-round
@@ -372,6 +397,33 @@ def _q_lp_hardcap_step(spark, sf_dir):
     state = g.nodes.select("id", (F.col("id") % 4).cast("long").alias("label"), "weight")
     new = lp_step(g, state, hard_caps=caps, semi_sync=False)
     return new.select("id", "label")
+
+
+CAP_NEIGHBORS = 4
+_CAP_MIX_MULT = 2654435761  # Knuth multiplicative mixer; ids < 2^31 so no overflow
+_CAP_MIX_MOD = (1 << 31) - 1
+
+
+def _q_capped_neighbors(spark, sf_dir):
+    """Neighbor-scan cap (P4): keep the CAP_NEIGHBORS lowest-hash neighbors
+    per src. Cross-engine arithmetic mixer as the ranking key (library
+    default is xxhash64, Spark-only)."""
+    from kaminpar_spark.operators.preprocess import cap_neighbors
+
+    g, _ = _graph(spark, sf_dir)
+    key = (F.col("dst") * F.lit(_CAP_MIX_MULT)) % F.lit(_CAP_MIX_MOD)
+    return cap_neighbors(g, CAP_NEIGHBORS, order_key=key).edges.select(
+        "src", "dst", "weight"
+    )
+
+
+def _q_degree_permutation(spark, sf_dir):
+    """Degree-bucket permutation (W2): dense old->new relabeling grouping
+    nodes by exponential degree bucket, stable by id within a bucket."""
+    from kaminpar_spark.operators.reorder import degree_bucket_permutation
+
+    g, _ = _graph(spark, sf_dir)
+    return degree_bucket_permutation(g)
 
 
 def _q_balance_round(spark, sf_dir):
@@ -425,12 +477,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_topk": _q_lsh_topk,
         "fingerprints": _q_fingerprints,
         "media_features": _q_media_features,
+        "embedding_near_dups": _q_embedding_near_dups,
+        "frame_sample_plan": _q_frame_sample_plan,
         # partitioner tier
         "core_hindex4": _q_core_hindex,
         "subgraph_block0": _q_subgraph_block0,
         "isolated_rescale": _q_isolated_rescale,
         "lp_hardcap_step": _q_lp_hardcap_step,
         "balance_round_skew": _q_balance_round,
+        "capped_neighbors": _q_capped_neighbors,
+        "degree_permutation": _q_degree_permutation,
     }
 
 
@@ -750,10 +806,12 @@ def _fingerprints_sql() -> str:
     return f"SELECT doc_id, {char_poly_hash_sql(norm)} AS fingerprint FROM documents"
 
 
-def _lsh_topk_sql() -> str:
+def _hyperplane_bucket_sql(num_planes: int) -> str:
+    """DuckDB twin of similarity.hyperplane_signatures: integer-lattice plane
+    dot products with the SAME left-fold order as the Spark aggregate."""
     from kaminpar_spark.functions.hashing import hyperplane_lattice
 
-    planes = hyperplane_lattice(EMB_DIM, LSH_PLANES)
+    planes = hyperplane_lattice(EMB_DIM, num_planes)
 
     def dot(plane):
         lst = "[" + ",".join(str(int(x)) for x in plane) + "]"
@@ -763,10 +821,14 @@ def _lsh_topk_sql() -> str:
             f"i -> CAST(embedding[i] AS DOUBLE) * {lst}[i])), (a, b) -> a + b)"
         )
 
-    bucket = " + ".join(
+    return " + ".join(
         f"(CASE WHEN {dot(planes[i])} > 0 THEN CAST({1 << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
-        for i in range(LSH_PLANES)
+        for i in range(num_planes)
     )
+
+
+def _lsh_topk_sql() -> str:
+    bucket = _hyperplane_bucket_sql(LSH_PLANES)
     return f"""
 WITH csig AS MATERIALIZED (SELECT vec_id AS nn_id, {bucket} AS sig FROM embeddings),
 qsig AS (SELECT nn_id AS qid, sig FROM csig WHERE nn_id < 5),
@@ -780,6 +842,26 @@ SELECT qid, nn_id, cos FROM (
   SELECT qid, nn_id, cos,
          row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nn_id ASC) AS rn
   FROM scored) t WHERE rn <= 10"""
+
+
+def _embedding_near_dups_sql() -> str:
+    bucket = _hyperplane_bucket_sql(EMB_DUP_PLANES)
+    return f"""
+WITH sig AS MATERIALIZED (SELECT vec_id AS id, {bucket} AS sig FROM embeddings),
+cand AS (SELECT a.id AS id_a, b.id AS id_b
+         FROM sig a JOIN sig b ON a.sig = b.sig AND a.id < b.id)
+SELECT id_a, id_b, cos FROM (
+  SELECT c.id_a, c.id_b,
+         round(CAST(list_cosine_similarity(ea.embedding, eb.embedding) AS DOUBLE), 4) AS cos
+  FROM cand c JOIN embeddings ea ON c.id_a = ea.vec_id
+              JOIN embeddings eb ON c.id_b = eb.vec_id) t
+WHERE cos >= {EMB_DUP_THRESH}"""
+
+
+_FRAME_SAMPLE_SQL = """
+SELECT doc_id AS media_id,
+       CAST(unnest(range(0, 500 + (doc_id % 7) * 350, 1000)) AS BIGINT) AS frame_ts_ms
+FROM documents WHERE doc_id % 3 = 2"""
 
 
 def _media_features_sql() -> str:
@@ -868,6 +950,24 @@ admitted AS (SELECT id, best_label FROM adm, nn
              WHERE coalesce(label_weight, 0) + cum_w <= n // 4 + 20)
 SELECT c.id, CAST(coalesce(a.best_label, c.cur_label) AS BIGINT) AS label
 FROM cand c LEFT JOIN admitted a ON c.id = a.id"""
+
+_CAPPED_NEIGHBORS_SQL = f"""WITH {_EDGES_CTE},
+ranked AS (
+  SELECT src, dst, weight,
+         row_number() OVER (PARTITION BY src
+                            ORDER BY (dst * {_CAP_MIX_MULT}) % {_CAP_MIX_MOD}, dst) AS rn
+  FROM edges)
+SELECT src, dst, weight FROM ranked WHERE rn <= {CAP_NEIGHBORS}"""
+
+
+_DEGREE_PERM_SQL = f"""WITH {_EDGES_CTE}
+SELECT id,
+       CAST(row_number() OVER (
+         ORDER BY (CASE WHEN degree = 0 THEN 0
+                        ELSE CAST(floor(log2(degree)) AS INT) + 1 END), id) - 1
+            AS BIGINT) AS new_id
+FROM deg"""
+
 
 _BALANCE_ROUND_SQL = f"""WITH {_EDGES_CTE},
 nn AS (SELECT count(*) AS n FROM nodes),
@@ -1006,9 +1106,13 @@ FROM documents""",
         "lsh_topk": _lsh_topk_sql(),
         "fingerprints": _fingerprints_sql(),
         "media_features": _media_features_sql(),
+        "embedding_near_dups": _embedding_near_dups_sql(),
+        "frame_sample_plan": _FRAME_SAMPLE_SQL,
         "core_hindex4": _core_hindex_sql(),
         "subgraph_block0": _SUBGRAPH_SQL,
         "isolated_rescale": _ISOLATED_RESCALE_SQL,
         "lp_hardcap_step": _LP_HARDCAP_SQL,
         "balance_round_skew": _BALANCE_ROUND_SQL,
+        "capped_neighbors": _CAPPED_NEIGHBORS_SQL,
+        "degree_permutation": _DEGREE_PERM_SQL,
     }

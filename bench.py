@@ -37,7 +37,22 @@ def main():
     from kaminpar_spark.operators.components import connected_components
     from kaminpar_spark.operators.triangles import triangle_count
 
-    spark = get_spark("kaminpar_bench", cores=cpus)
+    # Shuffle partitions are sized to the DATA, identical at every
+    # parallelism level (the r1 rule "2x cores" quadrupled the task count at
+    # local[32] and task-dispatch overhead dominated: measured 3.5x slower
+    # ETL at sp=64 vs sp=16 on the same 1.9M-edge input). 32 partitions keeps
+    # all cores busy at the top level and costs only wave-count at local[8].
+    sp = int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"))
+    # AQE off for the superstep bench: with explicit shuffle-hash hints and a
+    # fixed data-sized partitioning there is nothing left for AQE to re-plan,
+    # and its per-stage re-optimization is pure serial driver latency here
+    # (measured ~0.2-0.4 s/superstep). Library defaults keep AQE on.
+    aqe = os.environ.get("SPARK_GRAFT_AQE", "false")
+    spark = get_spark(
+        "kaminpar_bench", cores=cpus, shuffle_partitions=sp,
+        extra_conf={"spark.sql.adaptive.enabled": aqe},
+    )
+    headline_only = os.environ.get("SPARK_GRAFT_HEADLINE_ONLY", "0") == "1"
     t_all = time.time()
     queries: dict[str, float] = {}
 
@@ -50,8 +65,8 @@ def main():
         os.environ.get("SPARK_GRAFT_BENCH_CONVS", "0")
     ) or spark.read.parquet(f"{sf_dir}/orders.parquet").count()
     t = synth_transcripts(spark, n_convs)
-    g, _ = transcript_graph(t, n_convs, stable_ids=False, num_partitions=2 * cpus)
-    gp = g.prepare(num_partitions=2 * cpus, hub_degree_threshold=1 << 13, salt_factor=8, spark=spark)
+    g, _ = transcript_graph(t, n_convs, stable_ids=False, num_partitions=sp)
+    gp = g.prepare(num_partitions=sp, hub_degree_threshold=1 << 13, salt_factor=8, spark=spark)
     m = gp.num_half_edges()
     n = gp.num_nodes()
     queries["etl_edge_table"] = round(time.time() - t0, 3)
@@ -59,6 +74,11 @@ def main():
 
     # ---- PageRank (fixed supersteps for a stable throughput metric; blocks
     # of 5 chained supersteps amortize fixed planning/launch overhead) ----
+    # NOTE: steps_per_block chaining is a trap here — a superstep references
+    # its input state 2-3 times (gather + argmax + final join), so chaining k
+    # steps without materialization recomputes the subtree ~3^k times
+    # (measured: a 4-chained LPA block took 211 s vs 4 x 2 s materialized).
+    # One localCheckpoint per superstep is the right granularity.
     t0 = time.time()
     pagerank(gp, tol=0.0, max_iters=pr_iters).count()
     pr_sec = time.time() - t0
@@ -67,23 +87,47 @@ def main():
 
     # ---- LPA ----
     t0 = time.time()
-    label_propagation(gp, max_iters=lpa_iters, semi_sync=True, track_convergence=False).count()
+    label_propagation(
+        gp, max_iters=lpa_iters, semi_sync=True, track_convergence=False,
+    ).count()
     lpa_sec = time.time() - t0
     queries["lpa"] = round(lpa_sec, 3)
     _phase("lpa done")
 
-    # ---- CC ----
-    t0 = time.time()
-    cc_df = connected_components(gp, max_iters=30)
-    cc_df.agg(F.countDistinct("comp")).first()
-    queries["connected_components"] = round(time.time() - t0, 3)
-    _phase("cc done")
+    if not headline_only:
+        # ---- CC ----
+        t0 = time.time()
+        cc_df = connected_components(gp, max_iters=30)
+        cc_df.agg(F.countDistinct("comp")).first()
+        queries["connected_components"] = round(time.time() - t0, 3)
+        _phase("cc done")
 
-    # ---- triangles ----
-    t0 = time.time()
-    triangle_count(gp)
-    queries["triangle_count"] = round(time.time() - t0, 3)
-    _phase("triangles done")
+        # ---- triangles ----
+        t0 = time.time()
+        triangle_count(gp)
+        queries["triangle_count"] = round(time.time() - t0, 3)
+        _phase("triangles done")
+
+        # ---- LLM-data-pipeline lines: MinHash+LSH dedup and LSH ANN at this
+        # SF (JVM-only sketch kernels; documents/embeddings parquet) ----
+        from pyspark.sql import functions as F2
+
+        from kaminpar_spark.functions.dedup import minhash_dedup_pairs
+        from kaminpar_spark.functions.similarity import lsh_topk
+
+        t0 = time.time()
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        n_dups = minhash_dedup_pairs(
+            docs, threshold=0.7, num_hashes=32, bands=8
+        ).count()
+        queries["minhash_dedup"] = round(time.time() - t0, 3)
+        _phase(f"minhash dedup done ({n_dups} pairs)")
+
+        t0 = time.time()
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        lsh_topk(emb, emb.where(F2.col("vec_id") < 50), k=10, num_planes=8, dim=64).count()
+        queries["lsh_ann_topk"] = round(time.time() - t0, 3)
+        _phase("lsh ann done")
 
     supersteps = pr_iters + lpa_iters
     kernel_sec = pr_sec + lpa_sec

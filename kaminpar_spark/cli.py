@@ -26,6 +26,10 @@ def load_graph(spark, path: str, symmetrize: bool):
 
     if path.endswith(".graph"):
         return read_metis(spark, path)
+    if path.endswith(".mtx"):
+        from kaminpar_spark.sources.matrix_market import read_matrix_market
+
+        return read_matrix_market(spark, path)
     if path.endswith((".txt", ".tsv")):
         return read_snap(spark, path)
     edges = spark.read.parquet(path)
@@ -34,7 +38,7 @@ def load_graph(spark, path: str, symmetrize: bool):
 
 def main(argv=None):
     ap = argparse.ArgumentParser(prog="kaminpar-spark")
-    ap.add_argument("command", choices=["partition", "pagerank", "components", "labelprop", "triangles", "stats"])
+    ap.add_argument("command", choices=["partition", "pagerank", "components", "labelprop", "triangles", "kcore", "stats"])
     ap.add_argument("-G", "--graph", required=True)
     ap.add_argument("-k", type=int, default=2)
     ap.add_argument("--epsilon", type=float, default=0.03)
@@ -45,6 +49,8 @@ def main(argv=None):
     ap.add_argument("--max-iters", type=int, default=50)
     ap.add_argument("--no-symmetrize", action="store_true")
     ap.add_argument("--contraction-limit", type=int, default=2000)
+    ap.add_argument("--scheme", choices=["deep", "rb"], default="deep",
+                    help="deep multilevel (extend per level) or rb-at-coarsest")
     args = ap.parse_args(argv)
 
     from kaminpar_spark.session import get_spark
@@ -57,7 +63,8 @@ def main(argv=None):
         from kaminpar_spark.plans.partitioner import Partitioner
 
         res = Partitioner(
-            g, spark, contraction_limit=args.contraction_limit, seed=args.seed
+            g, spark, contraction_limit=args.contraction_limit, seed=args.seed,
+            scheme=args.scheme,
         ).partition(args.k, args.epsilon)
         if args.save:
             res.partition.write.mode("overwrite").parquet(args.save)
@@ -91,6 +98,16 @@ def main(argv=None):
         if args.save:
             labels.write.mode("overwrite").parquet(args.save)
         print(f"RESULT n_communities={n_comm} time={time.time()-t0:.3f}s")
+    elif args.command == "kcore":
+        from pyspark.sql import functions as F
+
+        from kaminpar_spark.operators.kcore import core_numbers
+
+        cores_df = core_numbers(g)
+        if args.save:
+            cores_df.write.mode("overwrite").parquet(args.save)
+        degeneracy = cores_df.agg(F.max("core")).first()[0]
+        print(f"RESULT degeneracy={degeneracy} time={time.time()-t0:.3f}s")
     elif args.command == "triangles":
         from kaminpar_spark.operators.triangles import triangle_count
 

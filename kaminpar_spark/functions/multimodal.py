@@ -159,10 +159,20 @@ def media_from_documents(docs: DataFrame) -> DataFrame:
         .when(F.col("doc_id") % 3 == 1, F.lit("audio"))
         .otherwise(F.lit("video"))
     )
+    # deterministic metadata so metadata-only plans (frame sampling) are
+    # reproducible in the DuckDB oracle
+    duration = (F.lit(500) + F.col("doc_id") % 7 * 350).cast("int")
     return docs.select(
         F.col("doc_id").alias("media_id"),
         kind.alias("kind"),
         F.encode("text", "UTF-8").alias("payload"),
+        F.struct(
+            F.lit(None).cast("string").alias("mime"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            duration.alias("duration_ms"),
+            F.lit(None).cast("int").alias("sample_rate"),
+        ).alias("meta"),
     )
 
 

@@ -137,9 +137,12 @@ def embedding_near_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int | None = None,
+    round_digits: int = 4,
 ) -> DataFrame:
     """(id_a, id_b, cos) — embedding-cosine near-duplicate candidates via LSH
-    bucket self-join, exact cosine verification, cos >= threshold."""
+    bucket self-join, exact cosine verification, cos >= threshold.
+    ``round_digits=4`` keeps the ranking value reproducible across float
+    summation orders (cross-engine agreement at 1e-6 is not guaranteed)."""
     sig = hyperplane_signatures(vecs, num_planes, seed, id_col, vec_col, dim=dim)
     a = sig.select(F.col("id").alias("id_a"), "sig_bucket")
     b = sig.select(F.col("id").alias("id_b"), "sig_bucket")
@@ -149,6 +152,6 @@ def embedding_near_dup_pairs(
     return (
         cand.join(va, "id_a")
         .join(vb, "id_b")
-        .select("id_a", "id_b", F.round(_cosine("va", "vb"), 6).alias("cos"))
+        .select("id_a", "id_b", F.round(_cosine("va", "vb"), round_digits).alias("cos"))
         .where(F.col("cos") >= threshold)
     )

@@ -274,7 +274,17 @@ class GraphFrame:
         implement scatter-sum/min/argmax. Uses the salted layout when prepared
         so the edge side's partitioning is reused superstep over superstep."""
         if self._prepared:
-            s = self.salted_state(state.select("id", *value_cols))
+            # Join-strategy note (measured at 9.45M half-edges, 750k nodes):
+            # lineage.truncate resets the state leaf's stats to
+            # defaultSizeInBytes (= huge), so unhinted the planner sort-merge-
+            # joins — sorting the m-scale edge side EVERY superstep (PR
+            # superstep 15s). broadcast() fixes the sort but serializes a
+            # driver-side relation build per superstep (12s). SHUFFLE_HASH is
+            # right at every scale: the persisted edge side's (src, salt)
+            # hash partitioning is reused (no exchange, no sort); only the
+            # n-scale state shuffles, and the per-partition build is n /
+            # num_partitions rows (1.4s, and scales with cores).
+            s = self.salted_state(state.select("id", *value_cols)).hint("shuffle_hash")
             return self.edges.join(
                 s, (self.edges.src == s.id) & (self.edges.salt == s.salt), "inner"
             ).select("src", "dst", "weight", *value_cols)

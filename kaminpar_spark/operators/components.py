@@ -28,7 +28,7 @@ def cc_step(graph: GraphFrame, state: DataFrame) -> DataFrame:
     )
     return (
         state.select("id", F.col("comp").alias("old_comp"))
-        .join(neigh_min, "id", "left")
+        .join(neigh_min.hint("shuffle_hash"), "id", "left")
         .select(
             "id",
             F.least(F.col("old_comp"), F.coalesce("neigh_min", F.col("old_comp"))).alias(

@@ -62,8 +62,11 @@ def _best_and_current(graph: GraphFrame, state: DataFrame) -> DataFrame:
     dominant fixed cost at bench scale)."""
     scores = label_scores(graph, state)
     cur = state.select("id", F.col("label").alias("cur_label"))
+    # shuffle-hash hints: truncated leaves carry no stats, so the planner
+    # would otherwise sort-merge-join (sorting the larger scores side); see
+    # GraphFrame.gather for the measurement.
     per = (
-        scores.join(cur, "id")
+        scores.join(cur.hint("shuffle_hash"), "id")
         .groupBy("id")
         .agg(
             F.max(F.struct(F.col("score"), (-F.col("label")).alias("neg"))).alias("b"),
@@ -78,7 +81,7 @@ def _best_and_current(graph: GraphFrame, state: DataFrame) -> DataFrame:
             "own_score",
         )
     )
-    return cur.join(per, "id", "left").select(
+    return cur.join(per.hint("shuffle_hash"), "id", "left").select(
         "id",
         "cur_label",
         F.coalesce("own_score", F.lit(0)).alias("cur_score"),
@@ -177,6 +180,65 @@ def lp_step(
         F.when(F.col("admit"), F.col("best_label")).otherwise(F.col("cur_label")).alias("label"),
         "weight",
         F.when(F.col("admit"), F.lit(1)).otherwise(F.lit(0)).alias("moved"),
+    )
+
+
+def merge_singleton_clusters(
+    graph: GraphFrame,
+    clustering: DataFrame,
+    max_cluster_weight: int | None = None,
+) -> DataFrame:
+    """Favored-cluster singleton merge — the coarsening escape hatch
+    (parallel_label_propagation_coarsener.h:83-114): when size caps keep LP
+    from shrinking (hub-heavy graphs), singleton clusters are PAIRED by their
+    *favored* cluster (best-scoring adjacent cluster ignoring the cap; two
+    singletons that favor the same leader merge with each other, not into the
+    full cluster).
+
+    BSP re-expression of the reference's CAS matchmaking: rank singletons
+    inside each favored-leader group by id, pair consecutive ranks, merge
+    complete pairs under the smaller id. Deterministic; ``max_cluster_weight``
+    optionally vetoes pairs that would exceed the cap (the reference merges
+    unconditionally — pass None for parity).
+    """
+    sizes = clustering.groupBy("cluster").agg(F.count("*").alias("sz"))
+    singles = (
+        clustering.where(F.col("id") == F.col("cluster"))
+        .join(sizes.where(F.col("sz") == 1).select("cluster"), "cluster", "left_semi")
+        .select("id")
+    )
+    state = clustering.select("id", F.col("cluster").alias("label"))
+    scores = label_scores(graph, state)
+    fav = (
+        scores.join(singles, "id", "left_semi")
+        .groupBy("id")
+        .agg(F.max(F.struct(F.col("score"), (-F.col("label")).alias("neg"))).alias("b"))
+        .select("id", (-F.col("b.neg")).alias("favored"))
+    )
+    # favored == self: park under leader 0 like the reference
+    # (merge_singleton_clusters branch, coarsener.h:95-96)
+    fav = fav.select(
+        "id",
+        F.when(F.col("favored") == F.col("id"), F.lit(0).cast("long"))
+        .otherwise(F.col("favored"))
+        .alias("favored"),
+    )
+    fav = fav.join(graph.nodes.select("id", "weight"), "id")
+    w = Window.partitionBy("favored").orderBy("id")
+    ranked = fav.withColumn("grp", F.floor((F.row_number().over(w) - 1) / 2))
+    pairs = ranked.groupBy("favored", "grp").agg(
+        F.min("id").alias("leader"),
+        F.count("*").alias("c"),
+        F.sum("weight").alias("pair_weight"),
+    )
+    ok = pairs.where(F.col("c") == 2)
+    if max_cluster_weight is not None:
+        ok = ok.where(F.col("pair_weight") <= max_cluster_weight)
+    merged = ranked.join(
+        ok.select("favored", "grp", "leader"), ["favored", "grp"]
+    ).select("id", F.col("leader").alias("new_cluster"))
+    return clustering.join(merged, "id", "left").select(
+        "id", F.coalesce("new_cluster", F.col("cluster")).alias("cluster")
     )
 
 

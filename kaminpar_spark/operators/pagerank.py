@@ -64,7 +64,7 @@ def pagerank_step(
     base = (1.0 - damping) / n + damping * dangling_mass / n
     return (
         ranks.select("id", "out_norm", F.col("rank").alias("old_rank"))
-        .join(sums, "id", "left")
+        .join(sums.hint("shuffle_hash"), "id", "left")
         .select(
             "id",
             (F.lit(base) + F.lit(damping) * F.coalesce("in_sum", F.lit(0.0))).alias(

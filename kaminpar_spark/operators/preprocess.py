@@ -11,10 +11,36 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from kaminpar_spark.functions.rules import adapt_epsilon_after_isolated_removal
 from kaminpar_spark.graph import GraphFrame
+
+
+def cap_neighbors(
+    graph: GraphFrame, max_num_neighbors: int, order_key: F.Column | None = None
+) -> GraphFrame:
+    """Neighbor-scan cap (SURVEY.md P4; parallel_label_propagation.h:284-286):
+    LP rates at most ``max_num_neighbors`` neighbors per node. One-time edge
+    sampling — keep the cap lowest-hash neighbors per src (deterministic
+    pseudo-random subset, the BSP analog of the reference's truncated scan).
+
+    ``order_key`` overrides the pseudo-random ranking column (default
+    xxhash64(dst)); the correctness oracle passes an arithmetic mixer both
+    engines evaluate bit-identically.
+
+    The result is intentionally per-src (asymmetric): it is a GATHER-side view
+    for rating kernels, not a valid symmetric graph — run metrics on the
+    original graph."""
+    key = order_key if order_key is not None else F.xxhash64("dst")
+    w = Window.partitionBy("src").orderBy(key, F.col("dst"))
+    e = (
+        graph.edges.select("src", "dst", "weight")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= max_num_neighbors)
+        .drop("rn")
+    )
+    return GraphFrame(edges=e, nodes=graph.nodes)
 
 
 @dataclass

@@ -25,14 +25,85 @@ from dataclasses import dataclass, field
 import numpy as np
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+import pandas as pd
+
 from kaminpar_spark.functions import rules
 from kaminpar_spark.graph import GraphFrame
 from kaminpar_spark.operators import metrics as M
 from kaminpar_spark.operators.balance import balance
 from kaminpar_spark.operators.contraction import ContractionResult, contract
-from kaminpar_spark.operators.labelprop import label_propagation, lp_step
+from kaminpar_spark.operators.labelprop import (
+    label_propagation,
+    lp_step,
+    merge_singleton_clusters,
+)
 from kaminpar_spark.plans.initial import SmallGraph, recursive_bisect
 from kaminpar_spark.plans.lineage import truncate
+
+
+def extend_partition(
+    graph: GraphFrame,
+    part: DataFrame,
+    cur_k: int,
+    desired_k: int,
+    epsilon: float,
+    k_final: int,
+    total_weight_root: int,
+    seed: int = 42,
+) -> DataFrame:
+    """Deep-multilevel partition extension (helper.cc:87-176 extend_partition;
+    schedule at parallel_recursive_bisection.cc:37-51): split every current
+    block into its share of ``desired_k`` blocks by recursive bisection of the
+    block-induced subgraph.
+
+    Spark shape: the k' = 2^ceil(log2(n/C)) schedule guarantees each block
+    holds ~C..4C nodes, so per-block subgraphs are driver-kernel sized WITHOUT
+    being driver-collected: one cogrouped applyInPandas over (nodes-by-block,
+    in-block-edges-by-block) runs the SAME numpy pool/bisection portfolio as
+    the coarsest-graph initial partitioning, one independent Arrow batch per
+    block — embarrassingly parallel, no global collect."""
+    if desired_k <= cur_k:
+        return part
+    offs = [desired_k * b // cur_k for b in range(cur_k + 1)]
+
+    nodes_b = graph.nodes.join(part, "id").select("id", "weight", "block")
+    ps = part.select(F.col("id").alias("src"), F.col("block").alias("b_src"))
+    pdd = part.select(F.col("id").alias("dst"), F.col("block").alias("b_dst"))
+    edges_b = (
+        graph.edges.select("src", "dst", "weight")
+        .join(ps, "src")
+        .join(pdd, "dst")
+        .where(F.col("b_src") == F.col("b_dst"))
+        .select(F.col("b_src").alias("block"), "src", "dst", "weight")
+    )
+
+    def kernel(key, nodes_pdf: pd.DataFrame, edges_pdf: pd.DataFrame) -> pd.DataFrame:
+        b = int(key[0])
+        k_b = offs[b + 1] - offs[b]
+        ids = nodes_pdf["id"].to_numpy(dtype=np.int64)
+        if k_b <= 1 or len(ids) == 0:
+            return pd.DataFrame({"id": ids, "block": np.full(len(ids), offs[b], dtype=np.int32)})
+        nw = nodes_pdf["weight"].to_numpy(dtype=np.int64)
+        order = np.argsort(ids)
+        ids, nw = ids[order], nw[order]
+        remap_idx = np.searchsorted(ids, edges_pdf["src"].to_numpy(dtype=np.int64))
+        remap_dst = np.searchsorted(ids, edges_pdf["dst"].to_numpy(dtype=np.int64))
+        sub = SmallGraph.from_edges(
+            len(ids), remap_idx, remap_dst, edges_pdf["weight"].to_numpy(dtype=np.int64), nw
+        )
+        labels = recursive_bisect(
+            sub, k_b, epsilon, seed=seed + b,
+            k_final=k_final, total_weight_root=total_weight_root,
+        )
+        return pd.DataFrame(
+            {"id": ids, "block": (offs[b] + labels).astype(np.int32)}
+        )
+
+    return (
+        nodes_b.groupBy("block")
+        .cogroup(edges_b.groupBy("block"))
+        .applyInPandas(kernel, "id long, block int")
+    )
 
 
 @dataclass
@@ -58,13 +129,21 @@ class Partitioner:
         lp_iters: int = 5,
         refine_iters: int = 5,
         seed: int = 42,
+        scheme: str = "deep",
     ):
+        """``scheme='deep'`` (default) mirrors the reference's deep multilevel
+        scheme: bisect the coarsest graph to k' = 2^ceil(log2(n/C)) only, then
+        EXTEND the partition level by level during uncoarsening (refining at
+        every intermediate k). ``scheme='rb'`` is the round-1 behavior —
+        recursive bisection to the final k at the coarsest graph."""
         self.graph = graph
         self.spark = spark or SparkSession.getActiveSession()
         self.contraction_limit = contraction_limit
         self.lp_iters = lp_iters
         self.refine_iters = refine_iters
         self.seed = seed
+        assert scheme in ("deep", "rb")
+        self.scheme = scheme
 
     # ------------------------------------------------------------- pipeline
     def partition(self, k: int, epsilon: float = 0.03) -> PartitionResult:
@@ -77,6 +156,7 @@ class Partitioner:
         # ---- coarsen ----
         hierarchy: list[DataFrame] = []  # mappings fine->coarse per level
         level_graphs: list[GraphFrame] = []  # graph each mapping projects back to
+        level_ns: list[int] = []  # n of the fine graph per level
         n = g.num_nodes()
         t0 = time.time()
         while n > 2 * self.contraction_limit:
@@ -90,6 +170,12 @@ class Partitioner:
                 semi_sync=True,
                 name=f"coarsen_lp_{len(hierarchy)}",
             ).withColumnRenamed("label", "cluster")
+            # escape hatch (I2): caps can stall LP on hub-heavy graphs — if
+            # the clustering shrank < 50%, pair leftover singletons by their
+            # favored cluster (coarsener.h:74-76 should_merge threshold)
+            n_clusters = clustering.select("cluster").distinct().count()
+            if n_clusters > 0.5 * n:
+                clustering = truncate(merge_singleton_clusters(g, clustering))
             res = contract(g, clustering)
             # localCheckpoint returns a NEW DataFrame — truncate the coarse
             # graph's lineage or every level chains all previous supersteps
@@ -112,6 +198,7 @@ class Partitioner:
             t0 = time.time()
             hierarchy.append(mapping)
             level_graphs.append(g)
+            level_ns.append(n)
             stalled = n_new >= 0.95 * n  # <5% shrink -> stop (context.h:148-150)
             g = res.coarse
             n = n_new
@@ -119,31 +206,65 @@ class Partitioner:
                 break
 
         # ---- initial partition (driver-side) ----
+        # deep scheme: bisect the coarsest graph only to k0 = deep_k_prime
+        # (usually 2); the remaining blocks are created during uncoarsening
+        # (compute_k_for_n, helper.cc:205-209). rb scheme: full k here.
+        k0 = (
+            rules.deep_k_prime(n, self.contraction_limit, k)
+            if self.scheme == "deep"
+            else k
+        )
         sg, ids = self._collect_small(g)
-        labels = recursive_bisect(sg, k, epsilon, seed=self.seed)
+        labels = recursive_bisect(sg, k0, epsilon, seed=self.seed, k_final=k,
+                                  total_weight_root=total_w)
         part = self.spark.createDataFrame(
             [(int(i), int(b)) for i, b in zip(ids, labels)], "id long, block int"
         )
+        cur_k = k0
         levels.append(
             {
                 "stage": "initial",
                 "n": int(sg.n),
+                "k": cur_k,
                 "cut": int(_np_cut(sg, labels)),
                 "wall_sec": round(time.time() - t0, 3),
             }
         )
 
-        # ---- uncoarsen + refine ----
+        # ---- uncoarsen + (extend) + refine ----
         for li in range(len(hierarchy) - 1, -1, -1):
             t0 = time.time()
             mapping, fine_g = hierarchy[li], level_graphs[li]
             part = mapping.join(
                 part.select(F.col("id").alias("c_id"), "block"), "c_id"
             ).select("id", "block")
-            part = self._refine(fine_g, part, k, cap)
+            cap_cur = rules.max_block_weight(total_w, cur_k, epsilon, max_node_w)
+            part = self._refine(fine_g, part, cur_k, cap_cur)
+            if self.scheme == "deep":
+                desired = rules.deep_k_prime(level_ns[li], self.contraction_limit, k)
+                if cur_k < desired:
+                    part = truncate(
+                        extend_partition(
+                            fine_g, part, cur_k, desired, epsilon, k, total_w,
+                            seed=self.seed,
+                        )
+                    )
+                    cur_k = desired
+                    cap_cur = rules.max_block_weight(total_w, cur_k, epsilon, max_node_w)
+                    part = self._refine(fine_g, part, cur_k, cap_cur)
             levels.append(
-                {"stage": "uncoarsen", "level": li, "wall_sec": round(time.time() - t0, 3)}
+                {"stage": "uncoarsen", "level": li, "k": cur_k,
+                 "wall_sec": round(time.time() - t0, 3)}
             )
+
+        # final extension to k (parallel_recursive_bisection.cc:27-30)
+        if cur_k < k:
+            part = truncate(
+                extend_partition(
+                    self.graph, part, cur_k, k, epsilon, k, total_w, seed=self.seed
+                )
+            )
+            part = self._refine(self.graph, part, k, cap)
 
         part = truncate(part)
         q = M.quality(self.graph, part, k, epsilon)
