@@ -308,6 +308,25 @@ def _q_lsh_topk(spark, sf_dir):
     )
 
 
+IVF_CENTROIDS = 16
+IVF_NPROBE = 4
+
+
+def _q_ivf_topk(spark, sf_dir):
+    """IVF-flat ANN top-k: nearest-sampled-centroid binning + nprobe cell
+    probe + exact cosine on candidates (the non-LSH scale path)."""
+    from kaminpar_spark.functions.similarity import ivf_topk
+
+    emb = _load(spark, sf_dir, "embeddings")
+    return ivf_topk(
+        emb,
+        emb.where(F.col("vec_id") < 5),
+        k=10,
+        num_centroids=IVF_CENTROIDS,
+        nprobe=IVF_NPROBE,
+    )
+
+
 def _q_fingerprints(spark, sf_dir):
     from kaminpar_spark.functions.text import fingerprints
 
@@ -475,6 +494,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_near_dups": _q_minhash_near_dups,
         "simhash_near_dups": _q_simhash_near_dups,
         "lsh_topk": _q_lsh_topk,
+        "ivf_topk": _q_ivf_topk,
         "fingerprints": _q_fingerprints,
         "media_features": _q_media_features,
         "embedding_near_dups": _q_embedding_near_dups,
@@ -844,6 +864,57 @@ SELECT qid, nn_id, cos FROM (
   FROM scored) t WHERE rn <= 10"""
 
 
+def _fold_cos_sql(a: str, b: str) -> str:
+    """DuckDB twin of similarity._cosine: left-fold dot and norms in the SAME
+    order as Spark's aggregate, so the value is bit-identical (needed for the
+    IVF argmax-assignment, where rounding can't hide a boundary flip)."""
+
+    def fold(x: str, y: str) -> str:
+        return (
+            f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+            f"list_transform(range(1, {EMB_DIM + 1}), "
+            f"i -> CAST({x}[i] AS DOUBLE) * CAST({y}[i] AS DOUBLE))), "
+            f"(acc, v) -> acc + v)"
+        )
+
+    return f"({fold(a, b)}) / (sqrt({fold(a, a)}) * sqrt({fold(b, b)}))"
+
+
+def _ivf_topk_sql() -> str:
+    from kaminpar_spark.functions.similarity import IVF_MIX_MOD, IVF_MIX_MULT
+
+    cos_vc = _fold_cos_sql("e.embedding", "c.cvec")
+    cos_qe = _fold_cos_sql("eq.embedding", "ev.embedding")
+    return f"""
+WITH cent AS MATERIALIZED (
+  SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+  ORDER BY (vec_id * {IVF_MIX_MULT}) % {IVF_MIX_MOD}, vec_id LIMIT {IVF_CENTROIDS}),
+ac AS MATERIALIZED (
+  SELECT e.vec_id, c.cid, {cos_vc} AS ccos
+  FROM embeddings e CROSS JOIN cent c),
+assign AS MATERIALIZED (
+  SELECT vec_id AS nn_id, cid AS cell FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn
+    FROM ac) t WHERE rn = 1),
+qcells AS (
+  SELECT vec_id AS qid, cid AS cell FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn
+    FROM ac WHERE vec_id < 5) t WHERE rn <= {IVF_NPROBE}),
+cand AS (
+  SELECT q.qid, a.nn_id FROM qcells q JOIN assign a ON q.cell = a.cell
+  WHERE a.nn_id <> q.qid),
+scored AS (
+  SELECT c.qid, c.nn_id, round({cos_qe}, 4) AS cos
+  FROM cand c JOIN embeddings eq ON c.qid = eq.vec_id
+              JOIN embeddings ev ON c.nn_id = ev.vec_id)
+SELECT qid, nn_id, cos FROM (
+  SELECT qid, nn_id, cos,
+         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nn_id) AS rn
+  FROM scored) t WHERE rn <= 10"""
+
+
 def _embedding_near_dups_sql() -> str:
     bucket = _hyperplane_bucket_sql(EMB_DUP_PLANES)
     return f"""
@@ -1104,6 +1175,7 @@ FROM documents""",
         "minhash_near_dups": _minhash_sql(),
         "simhash_near_dups": _simhash_sql(),
         "lsh_topk": _lsh_topk_sql(),
+        "ivf_topk": _ivf_topk_sql(),
         "fingerprints": _fingerprints_sql(),
         "media_features": _media_features_sql(),
         "embedding_near_dups": _embedding_near_dups_sql(),

@@ -1,0 +1,59 @@
+"""Custom stateful streaming operators (applyInPandasWithState).
+
+The reference is batch-only; these are the engine's continuous-pipeline
+operators for training-data ingest, where the canonical need is *cross-batch*
+exact dedup: a document seen in microbatch 40,000 must be suppressed if its
+fingerprint already appeared in microbatch 17. A watermarked dropDuplicates
+can't express that (state would be evicted); a keyed user-state operator can.
+
+Scale shape: state lives in the state store keyed by fingerprint (RocksDB
+state backend on a real cluster — millions of keys per executor, spilled to
+disk); each microbatch invokes Python only for keys PRESENT in that batch,
+with Arrow-batched transfer. The state payload is a single count per key.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+FIRST_SEEN_OUTPUT = "fingerprint long, doc_id long"
+FIRST_SEEN_STATE = "n_seen long"
+
+
+def _first_seen_fn(key, pdfs: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
+    n_batch = 0
+    min_id = None
+    for pdf in pdfs:
+        n_batch += len(pdf)
+        m = int(pdf["doc_id"].min())
+        min_id = m if min_id is None else min(min_id, m)
+    if state.exists:
+        (n_seen,) = state.get
+        state.update((n_seen + n_batch,))
+        return
+    state.update((n_batch,))
+    yield pd.DataFrame({"fingerprint": [key[0]], "doc_id": [min_id]})
+
+
+def streaming_dedup_first_seen(docs: DataFrame) -> DataFrame:
+    """Cross-microbatch exact dedup over a streaming (doc_id, fingerprint)
+    frame: emit each fingerprint's first occurrence (min doc_id within the
+    first batch it appears in) exactly once; every later duplicate — in the
+    same batch or any later one — only bumps the per-key count in state.
+
+    Append output mode, no timeout: dedup state is permanent by design (the
+    whole point is remembering every fingerprint ever ingested). For bounded
+    state one would add a TTL timeout and accept re-emission after expiry.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return docs.groupBy("fingerprint").applyInPandasWithState(
+        _first_seen_fn,
+        outputStructType=FIRST_SEEN_OUTPUT,
+        stateStructType=FIRST_SEEN_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

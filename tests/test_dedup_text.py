@@ -134,3 +134,29 @@ def test_embedding_near_dup_pairs(spark, vecs):
     got = similarity.embedding_near_dup_pairs(df, threshold=0.95, num_planes=6)
     pairs = {(r["id_a"], r["id_b"]) for r in got.collect()}
     assert (0, 1) in pairs
+
+
+def test_ivf_assign_partitions_corpus(spark, vecs):
+    df, _ = vecs
+    cents = similarity.ivf_centroids(df, 4)
+    assert cents.count() == 4
+    assign = similarity.ivf_assign(df, cents)
+    rows = assign.collect()
+    assert len(rows) == 20  # every vector in exactly one cell
+    cells = {r["cell"] for r in rows}
+    assert cells <= {r["cid"] for r in cents.collect()}
+
+
+def test_ivf_topk_finds_near_dup_and_matches_brute_force_on_probed_cells(spark, vecs):
+    df, _ = vecs
+    # nprobe == num_centroids probes everything -> exact == brute force
+    got = similarity.ivf_topk(
+        df, df.where(F.col("vec_id") == 0), k=5, num_centroids=4, nprobe=4
+    ).collect()
+    want = similarity.brute_force_topk(df, df.where(F.col("vec_id") == 0), k=5).collect()
+    assert [(r["nn_id"], r["cos"]) for r in got] == [(r["nn_id"], r["cos"]) for r in want]
+    # partial probe still finds the planted near-dup (same cell as its twin)
+    part = similarity.ivf_topk(
+        df, df.where(F.col("vec_id") == 0), k=5, num_centroids=4, nprobe=1
+    ).collect()
+    assert part and part[0]["nn_id"] == 1

@@ -91,3 +91,49 @@ def test_frame_sample_plan(spark):
 def test_size_bucketed_preserves_rows(spark):
     media = synth_media(spark, n=30)
     assert size_bucketed(media, 4).count() == 30
+
+
+def test_streaming_dedup_first_seen_across_batches(spark, tmp_path):
+    """applyInPandasWithState dedup: a fingerprint seen in an earlier
+    microbatch must be suppressed in later ones; within a batch the min
+    doc_id wins."""
+    import os
+    import time
+
+    from kaminpar_spark.streaming.stateful import streaming_dedup_first_seen
+
+    in_dir = tmp_path / "docs"
+    in_dir.mkdir()
+    # batch 1: fingerprints A(10,11 -> emit 10), B(20)
+    spark.createDataFrame(
+        [(10, 100), (11, 100), (20, 200)], "doc_id long, fingerprint long"
+    ).coalesce(1).write.parquet(str(in_dir / "b1"))
+    time.sleep(0.05)
+    # batch 2: A again (suppressed), C(30)
+    spark.createDataFrame(
+        [(12, 100), (30, 300)], "doc_id long, fingerprint long"
+    ).coalesce(1).write.parquet(str(in_dir / "b2"))
+    now = time.time()
+    for sub, ago in (("b1", 60), ("b2", 1)):
+        for f in (in_dir / sub).iterdir():
+            os.utime(f, (now - ago, now - ago))
+
+    stream = (
+        spark.readStream.schema("doc_id long, fingerprint long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(in_dir) + "/*")
+    )
+    out = streaming_dedup_first_seen(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "chk"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {r["fingerprint"]: r["doc_id"] for r in spark.sql("SELECT * FROM dedup_out").collect()}
+    assert rows[200] == 20 and rows[300] == 30
+    assert rows[100] in (10, 12)  # first batch processed wins; 11 never emitted
+    assert len(rows) == 3
