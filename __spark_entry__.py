@@ -97,6 +97,29 @@ def _q_pagerank5(spark, sf_dir):
     return pr.select("id", F.round("rank", 6).alias("rank"))
 
 
+PPR_SOURCES = 3  # ids < 3 teleport set
+
+
+def _q_ppr5(spark, sf_dir):
+    """Personalized PageRank, PR_ITERS fixed supersteps, teleport set
+    {0, 1, 2} (uniform reset)."""
+    from kaminpar_spark.operators.pagerank import personalized_pagerank
+
+    g, _ = _graph(spark, sf_dir)
+    pr = personalized_pagerank(
+        g, list(range(PPR_SOURCES)), tol=0.0, max_iters=PR_ITERS
+    )
+    return pr.select("id", F.round("rank", 6).alias("rank"))
+
+
+def _q_lcc(spark, sf_dir):
+    """Local clustering coefficient per node (degree-oriented wedge join)."""
+    from kaminpar_spark.operators.triangles import local_clustering_coefficient
+
+    g, _ = _graph(spark, sf_dir)
+    return local_clustering_coefficient(g)
+
+
 def _q_cc(spark, sf_dir):
     from kaminpar_spark.operators.components import connected_components
 
@@ -471,6 +494,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "degrees": _q_degrees,
         "degree_buckets": _q_degree_buckets,
         "pagerank5": _q_pagerank5,
+        "ppr5": _q_ppr5,
+        "lcc": _q_lcc,
         "connected_components": _q_cc,
         "triangle_count": _q_triangle_count,
         "lp_step1": _q_lp_step1,
@@ -616,6 +641,50 @@ oe AS MATERIALIZED (
 SELECT CAST(count(*) AS BIGINT) AS triangles
 FROM oe e1 JOIN oe e2 ON e1.dst = e2.src
            JOIN oe e3 ON e3.src = e1.src AND e3.dst = e2.dst"""
+
+def _ppr_sql() -> str:
+    # teleport set {0..PPR_SOURCES-1}, uniform reset; no dangling nodes by
+    # construction (every actor has >= 1 link)
+    prev = "p0"
+    steps = ""
+    for i in range(1, PR_ITERS + 1):
+        steps += f""",
+p{i} AS MATERIALIZED (
+  SELECT d.id, d.reset,
+         0.15 * d.reset + 0.85 * coalesce(s.x, 0) AS rank
+  FROM p0_base d LEFT JOIN (
+    SELECT e.dst AS id, sum(r.rank / dg.degree) AS x
+    FROM edges e JOIN {prev} r ON e.src = r.id JOIN deg dg ON e.src = dg.id
+    GROUP BY e.dst) s
+  ON d.id = s.id)"""
+        prev = f"p{i}"
+    return f"""WITH {_EDGES_CTE},
+p0_base AS MATERIALIZED (
+  SELECT id, CASE WHEN id < {PPR_SOURCES} THEN 1.0 / {PPR_SOURCES} ELSE 0.0 END AS reset
+  FROM deg),
+p0 AS (SELECT id, reset, reset AS rank FROM p0_base){steps}
+SELECT id, round(rank, 6) AS rank FROM {prev}"""
+
+
+_LCC_SQL = f"""WITH {_EDGES_CTE},
+oe AS MATERIALIZED (
+  SELECT e.src, e.dst
+  FROM edges e JOIN deg a ON e.src = a.id JOIN deg b ON e.dst = b.id
+  WHERE (a.degree < b.degree) OR (a.degree = b.degree AND e.src < e.dst)),
+tri AS MATERIALIZED (
+  SELECT e1.src AS u, e1.dst AS v, e2.dst AS w
+  FROM oe e1 JOIN oe e2 ON e1.dst = e2.src
+             JOIN oe e3 ON e3.src = e1.src AND e3.dst = e2.dst),
+pern AS (
+  SELECT id, count(*) AS t FROM (
+    SELECT u AS id FROM tri UNION ALL SELECT v FROM tri UNION ALL SELECT w FROM tri) x
+  GROUP BY id)
+SELECT d.id,
+       CASE WHEN d.degree >= 2
+            THEN round(2.0 * coalesce(p.t, 0) / (d.degree * (d.degree - 1)), 6)
+            ELSE 0.0 END AS lcc
+FROM deg d LEFT JOIN pern p ON d.id = p.id"""
+
 
 _LP1_SQL = f"""WITH {_EDGES_CTE},
 sc AS MATERIALIZED (SELECT dst AS id, src AS label, sum(weight) AS score FROM edges GROUP BY dst, src),
@@ -1107,6 +1176,8 @@ FROM deg GROUP BY 1""",
         "pagerank5": _pagerank_sql(),
         "connected_components": _cc_sql(),
         "triangle_count": _TRIANGLE_SQL,
+        "ppr5": _ppr_sql(),
+        "lcc": _LCC_SQL,
         "lp_step1": _LP1_SQL,
         "edge_cut_mod4": f"""WITH {_EDGES_CTE}
 SELECT CAST(sum(weight) / 2 AS BIGINT) AS cut FROM edges WHERE src % 4 <> dst % 4""",

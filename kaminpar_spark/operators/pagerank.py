@@ -140,3 +140,88 @@ def pagerank(
     else:
         final = run_in_memory(state, step, metrics, converged, n_blocks, on_metrics)
     return final.select("id", "rank")
+
+
+def personalized_pagerank(
+    graph: GraphFrame,
+    source_ids,
+    damping: float = 0.85,
+    tol: float = 1e-8,
+    max_iters: int = 100,
+    runner=None,
+) -> DataFrame:
+    """Personalized PageRank: teleport mass returns to the ``source_ids`` set
+    (uniformly) instead of to all nodes — r' = (1-d)*p0 + d*(A^T D^-1 r +
+    dangling_mass * p0). Same gather/scatter superstep as global PageRank; the
+    reset vector rides in the state as a per-node column, so no extra join.
+
+    ``source_ids`` is a list of node ids or a (id) DataFrame (broadcast-joined
+    once at init — source sets are small by use-case)."""
+    from kaminpar_spark.plans.superstep import run_in_memory
+
+    n = graph.num_nodes()
+    spark = graph.nodes.sparkSession
+    if isinstance(source_ids, DataFrame):
+        src_df = source_ids.select("id")
+    else:
+        src_df = spark.createDataFrame([(int(i),) for i in source_ids], "id long")
+    n_src = src_df.count()
+    deg = graph.degrees()
+    state = (
+        deg.join(F.broadcast(src_df.withColumn("reset", F.lit(1.0 / n_src))), "id", "left")
+        .select(
+            "id",
+            F.coalesce("reset", F.lit(0.0)).alias("reset"),
+            F.when(F.col("degree") > 0, 1.0 / F.col("degree"))
+            .otherwise(F.lit(0.0))
+            .alias("out_norm"),
+        )
+        .withColumn("rank", F.col("reset"))
+        .withColumn("old_rank", F.lit(0.0))
+    )
+    has_dangling = state.where(F.col("out_norm") == 0.0).limit(1).count() > 0
+
+    def step(s: DataFrame, i: int) -> DataFrame:
+        dangling_mass = (
+            (s.where(F.col("out_norm") == 0.0).agg(F.sum("rank")).first()[0] or 0.0)
+            if has_dangling
+            else 0.0
+        )
+        contribs = graph.gather(s, ["rank", "out_norm"])
+        sums = (
+            contribs.select(
+                F.col("dst").alias("id"), (F.col("rank") * F.col("out_norm")).alias("c")
+            )
+            .groupBy("id")
+            .agg(F.sum("c").alias("in_sum"))
+        )
+        return (
+            s.select("id", "reset", "out_norm", F.col("rank").alias("old_rank"))
+            .join(sums.hint("shuffle_hash"), "id", "left")
+            .select(
+                "id",
+                "reset",
+                "out_norm",
+                "old_rank",
+                (
+                    (1.0 - damping) * F.col("reset")
+                    + damping
+                    * (F.coalesce("in_sum", F.lit(0.0)) + dangling_mass * F.col("reset"))
+                ).alias("rank"),
+            )
+        )
+
+    def metrics(new: DataFrame) -> dict:
+        if tol <= 0.0:
+            return {}
+        r = new.agg(F.sum(F.abs(F.col("rank") - F.col("old_rank"))).alias("res")).first()
+        return {"residual_l1": float(r["res"] or 0.0)}
+
+    def converged(m: dict) -> bool:
+        return bool(m) and m["residual_l1"] < tol
+
+    if runner is not None:
+        final = runner.run("ppr", state, step, metrics, converged, max_iters)
+    else:
+        final = run_in_memory(state, step, metrics, converged, max_iters)
+    return final.select("id", "rank")

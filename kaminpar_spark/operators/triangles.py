@@ -79,3 +79,22 @@ def triangles_per_node(graph: GraphFrame) -> DataFrame:
         .join(per, "id", "left")
         .select("id", F.coalesce("triangles", F.lit(0)).cast("long").alias("triangles"))
     )
+
+
+def local_clustering_coefficient(graph: GraphFrame, round_digits: int = 6) -> DataFrame:
+    """(id, lcc) — 2*T(v) / (deg(v)*(deg(v)-1)); 0 for degree<2 nodes.
+    Rounded so the value is reproducible across engines/summation orders."""
+    tri = triangles_per_node(graph)
+    deg = graph.degrees().select("id", "degree")
+    return tri.join(deg, "id").select(
+        "id",
+        F.when(
+            F.col("degree") >= 2,
+            F.round(
+                2.0 * F.col("triangles") / (F.col("degree") * (F.col("degree") - 1)),
+                round_digits,
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("lcc"),
+    )

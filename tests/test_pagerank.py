@@ -62,3 +62,32 @@ def test_pagerank_salted_matches(spark):
     gp.unpersist()
     arr = np.array([got.get(i, 0.0) for i in range(400)])
     assert np.allclose(arr, want, atol=1e-6)
+
+
+def numpy_ppr(n, src, dst, sources, damping=0.85, iters=200):
+    adj = np.zeros((n, n))
+    for u, v in zip(src, dst):
+        adj[int(u), int(v)] = 1.0
+    deg = adj.sum(axis=1)
+    reset = np.zeros(n)
+    reset[list(sources)] = 1.0 / len(sources)
+    r = reset.copy()
+    for _ in range(iters):
+        contrib = np.where(deg > 0, r / np.maximum(deg, 1), 0.0)
+        dangling = r[deg == 0].sum()
+        r = (1 - damping) * reset + damping * (adj.T @ contrib + dangling * reset)
+    return r
+
+
+def test_personalized_pagerank_matches_numpy(spark):
+    from kaminpar_spark.operators.pagerank import personalized_pagerank
+
+    g, src, dst = fixtures.erdos_renyi(spark, n=300, p=0.02, seed=7, hub_overlay=2)
+    want = numpy_ppr(300, src, dst, sources=[0, 1, 2])
+    got = {
+        r["id"]: r["rank"]
+        for r in personalized_pagerank(g, [0, 1, 2], tol=1e-10, max_iters=100).collect()
+    }
+    arr = np.array([got.get(i, 0.0) for i in range(300)])
+    assert np.allclose(arr, want, atol=1e-6)
+    assert abs(arr.sum() - 1.0) < 1e-6  # PPR mass conserved

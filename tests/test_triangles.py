@@ -49,3 +49,15 @@ def test_transcript_graph_scalable_ids_regression(spark):
     g2, _ = transcript_graph(t, 300, stable_ids=False, num_partitions=8)
     n1, n2 = triangle_count(g1), triangle_count(g2)
     assert n1 == n2 > 0
+
+
+def test_local_clustering_coefficient_clique_pendant(spark):
+    from kaminpar_spark.operators.triangles import local_clustering_coefficient
+
+    g = fixtures.clique_pendant(spark)
+    got = {r["id"]: r["lcc"] for r in local_clustering_coefficient(g).collect()}
+    # 4-clique interior: neighbors fully connected -> 1.0; node 3 adds the
+    # pendant (deg 4, 3 triangles) -> 0.5; chain nodes -> 0
+    assert got[0] == got[1] == got[2] == 1.0
+    assert got[3] == 0.5
+    assert got[4] == 0.0 and got[5] == 0.0
