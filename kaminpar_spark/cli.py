@@ -51,12 +51,37 @@ def main(argv=None):
     ap.add_argument("--contraction-limit", type=int, default=2000)
     ap.add_argument("--scheme", choices=["deep", "rb"], default="deep",
                     help="deep multilevel (extend per level) or rb-at-coarsest")
+    # reference coarsening knobs (arguments.h:11-35)
+    ap.add_argument("--c-lp-num-iterations", type=int, default=5, dest="lp_iters")
+    ap.add_argument("--c-lp-max-num-neighbors", type=int, default=None,
+                    dest="max_num_neighbors",
+                    help="rate at most this many neighbors per node during coarsening LP")
+    ap.add_argument("--c-lp-large-degree-threshold", type=int, default=None,
+                    dest="large_degree_threshold",
+                    help="nodes above this degree are not rated during coarsening")
+    ap.add_argument("--c-convergence-threshold", type=float, default=0.05,
+                    dest="convergence_threshold",
+                    help="stop coarsening when a level shrinks less than this factor")
+    ap.add_argument("--c-cluster-weight-limit", default="epsilon-block-weight",
+                    choices=["epsilon-block-weight", "block-weight", "one", "zero"],
+                    dest="cluster_weight_limit")
+    ap.add_argument("--c-cluster-weight-multiplier", type=float, default=1.0,
+                    dest="cluster_weight_multiplier")
+    ap.add_argument("--degree-weight", action="store_true",
+                    help="use node degree as node weight, ignore input weights")
     args = ap.parse_args(argv)
 
     from kaminpar_spark.session import get_spark
 
     spark = get_spark("kaminpar_spark_cli", cores=args.threads)
     g = load_graph(spark, args.graph, symmetrize=not args.no_symmetrize)
+    if args.degree_weight:
+        from pyspark.sql import functions as F
+
+        from kaminpar_spark.graph import GraphFrame
+
+        deg = g.degrees().select("id", F.col("degree").alias("weight"))
+        g = GraphFrame(edges=g.edges, nodes=deg)
     t0 = time.time()
 
     if args.command == "partition":
@@ -64,7 +89,12 @@ def main(argv=None):
 
         res = Partitioner(
             g, spark, contraction_limit=args.contraction_limit, seed=args.seed,
-            scheme=args.scheme,
+            scheme=args.scheme, lp_iters=args.lp_iters,
+            max_num_neighbors=args.max_num_neighbors,
+            large_degree_threshold=args.large_degree_threshold,
+            convergence_threshold=args.convergence_threshold,
+            cluster_weight_limit=args.cluster_weight_limit,
+            cluster_weight_multiplier=args.cluster_weight_multiplier,
         ).partition(args.k, args.epsilon)
         if args.save:
             res.partition.write.mode("overwrite").parquet(args.save)

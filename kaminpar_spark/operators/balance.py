@@ -30,9 +30,15 @@ from kaminpar_spark.plans.lineage import truncate
 
 
 def balance_round(
-    graph: GraphFrame, partition: DataFrame, max_block_weight: int
+    graph: GraphFrame, partition: DataFrame, max_block_weight: int, k: int | None = None
 ) -> DataFrame:
-    """One balancer round. partition: (id, block). Returns updated (id, block)."""
+    """One balancer round. partition: (id, block). Returns updated (id, block).
+
+    ``k``: total block count. Without it, block weights are derived from the
+    partition rows alone, which makes EMPTY blocks invisible — they can never
+    be balance targets even though they have the most residual capacity (a
+    degenerate all-in-one-block partition would then be unfixable). Callers
+    that know k (the partitioner) must pass it."""
     state = partition.select("id", F.col("block").cast("long").alias("label"))
     # bw and scores are each referenced several times below; materialize them
     # (vertex-scale, cheap) so the optimizer sees flat leaves instead of an
@@ -42,6 +48,13 @@ def balance_round(
         .groupBy("block")
         .agg(F.sum("weight").alias("bweight"))
     )
+    if k is not None:
+        all_blocks = partition.sparkSession.createDataFrame(
+            [(b,) for b in range(k)], "block int"
+        )
+        bw = all_blocks.join(bw, "block", "left").select(
+            "block", F.coalesce("bweight", F.lit(0)).cast("long").alias("bweight")
+        )
     bw = truncate(bw)
     over = bw.where(F.col("bweight") > max_block_weight)
     if over.limit(1).count() == 0:
@@ -149,6 +162,7 @@ def balance(
     partition: DataFrame,
     max_block_weight: int,
     max_rounds: int = 10,
+    k: int | None = None,
 ) -> DataFrame:
     """Iterate balance rounds until no block exceeds max_block_weight."""
     part = truncate(partition)
@@ -163,5 +177,5 @@ def balance(
         ).first()[0]
         if not total_over:
             break
-        part = truncate(balance_round(graph, part, max_block_weight))
+        part = truncate(balance_round(graph, part, max_block_weight, k=k))
     return part

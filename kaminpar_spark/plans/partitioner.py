@@ -130,12 +130,33 @@ class Partitioner:
         refine_iters: int = 5,
         seed: int = 42,
         scheme: str = "deep",
+        max_num_neighbors: int | None = None,
+        large_degree_threshold: int | None = None,
+        convergence_threshold: float = 0.05,
+        cluster_weight_limit: str = "epsilon-block-weight",
+        cluster_weight_multiplier: float = 1.0,
     ):
         """``scheme='deep'`` (default) mirrors the reference's deep multilevel
         scheme: bisect the coarsest graph to k' = 2^ceil(log2(n/C)) only, then
         EXTEND the partition level by level during uncoarsening (refining at
         every intermediate k). ``scheme='rb'`` is the round-1 behavior —
-        recursive bisection to the final k at the coarsest graph."""
+        recursive bisection to the final k at the coarsest graph.
+
+        Reference tuning knobs (arguments.h:11-35 coarsening options):
+
+        - ``max_num_neighbors``: coarsening LP rates at most this many
+          neighbors per node (--c-lp-max-num-neighbors); implemented as a
+          capped gather-side edge view (operators.preprocess.cap_neighbors).
+        - ``large_degree_threshold``: nodes above this degree are not rated
+          during coarsening — they keep their own cluster, though others may
+          still join them (--c-lp-large-degree-threshold).
+        - ``convergence_threshold``: coarsening stops once a level shrinks by
+          less than this factor (--c-convergence-threshold; reference default
+          0.05, context.h:148-150).
+        - ``cluster_weight_limit`` in {"epsilon-block-weight", "block-weight",
+          "one", "zero"} x ``cluster_weight_multiplier`` — the rule for the
+          soft cluster cap during coarsening (--c-cluster-weight-limit;
+          "zero" disables the cap like the reference's ZERO)."""
         self.graph = graph
         self.spark = spark or SparkSession.getActiveSession()
         self.contraction_limit = contraction_limit
@@ -144,6 +165,27 @@ class Partitioner:
         self.seed = seed
         assert scheme in ("deep", "rb")
         self.scheme = scheme
+        self.max_num_neighbors = max_num_neighbors
+        self.large_degree_threshold = large_degree_threshold
+        self.convergence_threshold = convergence_threshold
+        assert cluster_weight_limit in (
+            "epsilon-block-weight", "block-weight", "one", "zero",
+        )
+        self.cluster_weight_limit = cluster_weight_limit
+        self.cluster_weight_multiplier = cluster_weight_multiplier
+
+    def _cluster_cap(self, epsilon: float, total_w: int, n: int, k: int) -> int | None:
+        if self.cluster_weight_limit == "zero":
+            return None
+        if self.cluster_weight_limit == "one":
+            base = 1
+        elif self.cluster_weight_limit == "block-weight":
+            base = rules.max_cluster_weight_block(epsilon, total_w, k)
+        else:
+            base = rules.max_cluster_weight_epsilon_block(
+                epsilon, total_w, n, self.contraction_limit, k
+            )
+        return max(1, int(base * self.cluster_weight_multiplier))
 
     # ------------------------------------------------------------- pipeline
     def partition(self, k: int, epsilon: float = 0.03) -> PartitionResult:
@@ -160,16 +202,36 @@ class Partitioner:
         n = g.num_nodes()
         t0 = time.time()
         while n > 2 * self.contraction_limit:
-            cluster_cap = rules.max_cluster_weight_epsilon_block(
-                epsilon, total_w, n, self.contraction_limit, k
-            )
+            cluster_cap = self._cluster_cap(epsilon, total_w, n, k)
+            # rating view: neighbor-scan cap bounds per-node work during LP
+            # (the state/metrics still see the full graph)
+            rating_g = g
+            if self.max_num_neighbors is not None:
+                from kaminpar_spark.operators.preprocess import cap_neighbors
+
+                rating_g = cap_neighbors(g, self.max_num_neighbors)
+                rating_g = GraphFrame(edges=truncate(rating_g.edges), nodes=g.nodes)
             clustering = label_propagation(
-                g,
+                rating_g,
                 max_iters=self.lp_iters,
                 max_cluster_weight=cluster_cap,
                 semi_sync=True,
                 name=f"coarsen_lp_{len(hierarchy)}",
             ).withColumnRenamed("label", "cluster")
+            if self.large_degree_threshold is not None:
+                # high-degree nodes are not rated: undo any move they made
+                # (others may still have joined their cluster)
+                deg = g.degrees().select("id", "degree")
+                clustering = truncate(
+                    clustering.join(deg, "id").select(
+                        "id",
+                        F.when(
+                            F.col("degree") > self.large_degree_threshold, F.col("id")
+                        )
+                        .otherwise(F.col("cluster"))
+                        .alias("cluster"),
+                    )
+                )
             # escape hatch (I2): caps can stall LP on hub-heavy graphs — if
             # the clustering shrank < 50%, pair leftover singletons by their
             # favored cluster (coarsener.h:74-76 should_merge threshold)
@@ -199,7 +261,8 @@ class Partitioner:
             hierarchy.append(mapping)
             level_graphs.append(g)
             level_ns.append(n)
-            stalled = n_new >= 0.95 * n  # <5% shrink -> stop (context.h:148-150)
+            # shrink below convergence_threshold -> stop (context.h:148-150)
+            stalled = n_new >= (1.0 - self.convergence_threshold) * n
             g = res.coarse
             n = n_new
             if stalled:
@@ -321,7 +384,7 @@ class Partitioner:
             if moved == 0 and i > 0:
                 break
         refined = state.select("id", F.col("label").cast("int").alias("block"))
-        return balance(g, refined, cap, max_rounds=5)
+        return balance(g, refined, cap, max_rounds=5, k=k)
 
 
 def _np_cut(sg: SmallGraph, labels: np.ndarray) -> int:

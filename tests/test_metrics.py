@@ -60,3 +60,22 @@ def test_weighted_k3_cut(spark):
     # {0}|{1,2}: cut = w(0,1)+w(0,2) = 3 (FIXTURES.md §2.1)
     p = part(spark, {0: 0, 1: 1, 2: 1})
     assert metrics.edge_cut(g, p) == 3
+
+
+def test_balance_fills_empty_blocks(spark):
+    """Regression: with all nodes in one block, empty blocks were invisible
+    to the balancer (block weights derived from partition rows only) and the
+    partition could never be repaired. Passing k exposes them as targets."""
+    from pyspark.sql import functions as F
+
+    from kaminpar_spark import fixtures
+    from kaminpar_spark.operators.balance import balance
+    from kaminpar_spark.operators.metrics import block_weights
+
+    g, _, _ = fixtures.erdos_renyi(spark, n=60, p=0.1, seed=5)
+    part = g.nodes.select("id", F.lit(1).cast("int").alias("block"))
+    cap = 35
+    fixed = balance(g, part, cap, max_rounds=10, k=2)
+    bws = {r["block"]: r["block_weight"] for r in block_weights(g, fixed).collect()}
+    assert bws.get(0, 0) > 0          # the empty block received nodes
+    assert max(bws.values()) <= cap   # and the overload is gone

@@ -68,3 +68,37 @@ def test_refinement_reduces_cut_vs_projection(spark):
     q = M.quality(g, res.partition, 2, 0.03)
     assert q.total_overload == 0
     assert q.cut == res.cut
+
+
+def test_partition_reference_knobs(spark):
+    """Reference coarsening knobs (arguments.h:11-35): neighbor-scan cap,
+    large-degree freeze, block-weight cluster rule — pipeline stays feasible
+    and every node lands exactly once."""
+    g, _, _ = fixtures.erdos_renyi(spark, n=500, p=0.02, seed=3, hub_overlay=3)
+    p = Partitioner(
+        g,
+        spark,
+        contraction_limit=100,
+        lp_iters=3,
+        refine_iters=2,
+        max_num_neighbors=8,
+        large_degree_threshold=40,
+        cluster_weight_limit="block-weight",
+        cluster_weight_multiplier=0.5,
+        convergence_threshold=0.03,
+    )
+    res = p.partition(4, epsilon=0.05)
+    assert res.feasible
+    assert res.partition.count() == 500
+    assert res.partition.select("id").distinct().count() == 500
+
+
+def test_partition_uncapped_clusters_complete(spark):
+    """cluster_weight_limit='zero' (no cap, reference ZERO) must still
+    coarsen and partition."""
+    g, _, _ = fixtures.erdos_renyi(spark, n=400, p=0.02, seed=9)
+    res = Partitioner(
+        g, spark, contraction_limit=80, lp_iters=3, refine_iters=1,
+        cluster_weight_limit="zero",
+    ).partition(2, epsilon=0.1)
+    assert res.partition.count() == 400
