@@ -24,12 +24,25 @@ def load_graph(spark, path: str, symmetrize: bool):
     from kaminpar_spark.sources.metis import read_metis
     from kaminpar_spark.sources.snap import read_snap
 
+    if path.startswith(("gnm:", "rgg2d:")):
+        # synthetic input, e.g. -G gnm:n=1000000,m=10000000,seed=1 — the
+        # generator runs distributed, no file round-trip (sources.generators)
+        from kaminpar_spark.sources import generators
+
+        kind, spec = path.split(":", 1)
+        kw = {k: (float(v) if "." in v else int(v)) for k, v in
+              (item.split("=") for item in spec.split(","))}
+        return getattr(generators, "gnm_random" if kind == "gnm" else "rgg2d")(spark, **kw)
     if path.endswith(".graph"):
         return read_metis(spark, path)
     if path.endswith(".mtx"):
         from kaminpar_spark.sources.matrix_market import read_matrix_market
 
         return read_matrix_market(spark, path)
+    if path.endswith(".kagen"):
+        from kaminpar_spark.sources.kagen import read_kagen
+
+        return read_kagen(spark, path)
     if path.endswith((".txt", ".tsv")):
         return read_snap(spark, path)
     edges = spark.read.parquet(path)

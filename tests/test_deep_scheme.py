@@ -173,3 +173,91 @@ def test_snap_relisted_edges_keep_weight_1(tmp_path, spark):
     edges = {(r["src"], r["dst"]): r["weight"] for r in g.edges.collect()}
     assert edges[(0, 1)] == 1 and edges[(1, 0)] == 1  # not 2
     assert edges[(1, 2)] == 1
+
+
+def test_kagen_reader(tmp_path, spark):
+    from kaminpar_spark.sources.kagen import read_kagen
+
+    f = tmp_path / "g.kagen"
+    f.write_text("p 4 3\ne 2 1\ne 1 2\ne 3 2\ne 4 3\n")  # 1->2 listed twice
+    g = read_kagen(spark, str(f))
+    g.validate()
+    edges = {(r["src"], r["dst"]): r["weight"] for r in g.edges.collect()}
+    assert edges[(0, 1)] == 1 and edges[(1, 0)] == 1  # dedup kept weight 1
+    assert (1, 2) in edges and (2, 3) in edges
+    assert len(edges) == 6
+
+
+def test_hmetis_writer(tmp_path, spark):
+    from kaminpar_spark.sources.kagen import write_hmetis
+
+    g = fixtures.clique_pendant(spark)
+    out = tmp_path / "g.hgr"
+    write_hmetis(g, str(out))
+    lines = out.read_text().strip().splitlines()
+    n_he, n_nodes = int(lines[0].split()[0]), int(lines[0].split()[1])
+    assert n_nodes == 6
+    assert n_he == len(lines) - 1  # one line per 2-pin hyperedge
+    # every hyperedge is a listed undirected edge, 1-based
+    got = {tuple(sorted(int(x) - 1 for x in ln.split())) for ln in lines[1:]}
+    want = {
+        tuple(sorted((r["src"], r["dst"])))
+        for r in g.edges.collect()
+        if r["src"] < r["dst"]
+    }
+    assert got == want
+
+
+def test_gnm_generator(spark):
+    from kaminpar_spark.sources.generators import gnm_random
+
+    g = gnm_random(spark, n=200, m=800, seed=7, num_partitions=4)
+    g.validate()
+    assert g.num_nodes() == 200
+    half = g.num_half_edges()
+    assert 1000 < half <= 1600  # dedup/self-loop removal shaves a little
+    # deterministic
+    g2 = gnm_random(spark, n=200, m=800, seed=7, num_partitions=8)
+    assert g2.num_half_edges() == half
+
+
+def test_rgg2d_generator_matches_brute_force(spark):
+    import numpy as np
+
+    from kaminpar_spark.sources.generators import rgg2d
+
+    n, radius = 150, 0.12
+    g = rgg2d(spark, n=n, radius=radius, seed=3, num_partitions=4)
+    g.validate()
+    # brute-force the same hash-derived coordinates
+    pts = {
+        r["id"]: (r["x"], r["y"])
+        for r in spark.range(n)
+        .selectExpr("id")
+        .join(g.nodes.select("id"), "id")
+        .collect()
+        and []
+    } or None
+    # recompute coordinates through the same generator internals
+    from kaminpar_spark.sources.generators import _mix64
+    from pyspark.sql import functions as F
+
+    scale = float(1 << 53)
+    coord = (
+        spark.range(n)
+        .select(
+            "id",
+            (F.pmod(_mix64(F.col("id"), 3), F.lit(1 << 53)) / F.lit(scale)).alias("x"),
+            (F.pmod(_mix64(F.col("id"), 4), F.lit(1 << 53)) / F.lit(scale)).alias("y"),
+        )
+        .collect()
+    )
+    xy = np.zeros((n, 2))
+    for r in coord:
+        xy[r["id"]] = (r["x"], r["y"])
+    want = 0
+    for a in range(n):
+        for b in range(a + 1, n):
+            if ((xy[a] - xy[b]) ** 2).sum() <= radius * radius:
+                want += 1
+    assert g.num_half_edges() == 2 * want
