@@ -120,6 +120,18 @@ def _q_lcc(spark, sf_dir):
     return local_clustering_coefficient(g)
 
 
+def _q_lpa_modularity(spark, sf_dir):
+    """Modularity of the step-1 LP labels (community-quality metric)."""
+    from kaminpar_spark.operators.labelprop import lp_step
+    from kaminpar_spark.operators.metrics import modularity
+
+    g, _ = _graph(spark, sf_dir)
+    state = g.nodes.select("id", F.col("id").alias("label"), "weight")
+    labels = lp_step(g, state, semi_sync=False).select("id", "label")
+    q = modularity(g, labels)
+    return spark.createDataFrame([(round(q, 6),)], "modularity double")
+
+
 def _q_cc(spark, sf_dir):
     from kaminpar_spark.operators.components import connected_components
 
@@ -499,6 +511,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "connected_components": _q_cc,
         "triangle_count": _q_triangle_count,
         "lp_step1": _q_lp_step1,
+        "lpa_modularity": _q_lpa_modularity,
         "edge_cut_mod4": _q_edge_cut_mod4,
         "block_weights_mod4": _q_block_weights_mod4,
         "dedup_exact": _q_dedup_exact,
@@ -641,6 +654,30 @@ oe AS MATERIALIZED (
 SELECT CAST(count(*) AS BIGINT) AS triangles
 FROM oe e1 JOIN oe e2 ON e1.dst = e2.src
            JOIN oe e3 ON e3.src = e1.src AND e3.dst = e2.dst"""
+
+_LPA_MODULARITY_SQL = f"""WITH {_EDGES_CTE},
+sc AS MATERIALIZED (SELECT dst AS id, src AS label, sum(weight) AS score FROM edges GROUP BY dst, src),
+best AS (
+  SELECT id, label FROM (
+    SELECT id, label,
+           row_number() OVER (PARTITION BY id ORDER BY score DESC, label ASC) AS rn
+    FROM sc) t WHERE rn = 1),
+lab AS MATERIALIZED (
+  SELECT n.id, CAST(coalesce(b.label, n.id) AS BIGINT) AS label
+  FROM nodes n LEFT JOIN best b ON n.id = b.id),
+tm AS (SELECT CAST(sum(weight) AS DOUBLE) AS two_m FROM edges),
+intl AS (
+  SELECT l1.label AS lab, sum(e.weight) AS w_in
+  FROM edges e JOIN lab l1 ON e.src = l1.id JOIN lab l2 ON e.dst = l2.id
+  WHERE l1.label = l2.label GROUP BY l1.label),
+tot AS (
+  SELECT l.label AS lab, sum(d.weighted_degree) AS tot
+  FROM deg d JOIN lab l ON d.id = l.id GROUP BY l.label)
+SELECT round(sum(coalesce(i.w_in, 0) / (SELECT two_m FROM tm)
+              - (t.tot / (SELECT two_m FROM tm)) * (t.tot / (SELECT two_m FROM tm))), 6)
+       AS modularity
+FROM tot t LEFT JOIN intl i ON t.lab = i.lab"""
+
 
 def _ppr_sql() -> str:
     # teleport set {0..PPR_SOURCES-1}, uniform reset; no dangling nodes by
@@ -1179,6 +1216,7 @@ FROM deg GROUP BY 1""",
         "ppr5": _ppr_sql(),
         "lcc": _LCC_SQL,
         "lp_step1": _LP1_SQL,
+        "lpa_modularity": _LPA_MODULARITY_SQL,
         "edge_cut_mod4": f"""WITH {_EDGES_CTE}
 SELECT CAST(sum(weight) / 2 AS BIGINT) AS cut FROM edges WHERE src % 4 <> dst % 4""",
         "block_weights_mod4": f"""WITH {_EDGES_CTE}

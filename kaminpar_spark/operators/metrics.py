@@ -100,3 +100,38 @@ def quality(
         feasible=(row["overload"] or 0) == 0,
         block_weight_max=int(row["mx"]),
     )
+
+
+def modularity(graph: GraphFrame, labels: DataFrame) -> float:
+    """Newman modularity of a community assignment (id, label):
+    Q = sum_c [ w_in(c)/2m - (tot(c)/2m)^2 ], with w_in counted over
+    half-edges (both endpoints in c) and tot = weighted degree sum — the
+    standard quality metric for the LP community family. One gather-shaped
+    join + two block-scale aggregates; no collect."""
+    two_m = float(graph.total_edge_weight())
+    ls = labels.select(F.col("id").alias("src"), F.col("label").alias("l_src"))
+    ld = labels.select(F.col("id").alias("dst"), F.col("label").alias("l_dst"))
+    internal = (
+        graph.edges.join(ls, "src")
+        .join(ld, "dst")
+        .where(F.col("l_src") == F.col("l_dst"))
+        .groupBy(F.col("l_src").alias("lab"))
+        .agg(F.sum("weight").alias("w_in"))
+    )
+    tot = (
+        graph.degrees()
+        .join(labels, "id")
+        .groupBy(F.col("label").alias("lab"))
+        .agg(F.sum("weighted_degree").alias("tot"))
+    )
+    row = (
+        tot.join(internal, "lab", "left")
+        .agg(
+            F.sum(
+                F.coalesce("w_in", F.lit(0)) / F.lit(two_m)
+                - (F.col("tot") / F.lit(two_m)) ** 2
+            ).alias("q")
+        )
+        .first()
+    )
+    return float(row["q"] or 0.0)

@@ -79,3 +79,20 @@ def test_balance_fills_empty_blocks(spark):
     bws = {r["block"]: r["block_weight"] for r in block_weights(g, fixed).collect()}
     assert bws.get(0, 0) > 0          # the empty block received nodes
     assert max(bws.values()) <= cap   # and the overload is gone
+
+
+def test_modularity_two_triangles(spark):
+    """Two disjoint triangles with labels = triangle -> Q = 0.5 exactly."""
+    from pyspark.sql import functions as F
+
+    from kaminpar_spark.graph import GraphFrame
+    from kaminpar_spark.operators.metrics import modularity
+
+    edges = [(0, 1), (1, 2), (2, 0), (3, 4), (4, 5), (5, 3)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    g = GraphFrame.from_edge_pairs(df, symmetrize=True)
+    labels = g.nodes.select("id", (F.col("id") / 3).cast("int").cast("long").alias("label"))
+    assert abs(modularity(g, labels) - 0.5) < 1e-12
+    # everyone in one community -> Q = 0
+    one = g.nodes.select("id", F.lit(0).cast("long").alias("label"))
+    assert abs(modularity(g, one)) < 1e-12
