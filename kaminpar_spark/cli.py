@@ -51,7 +51,8 @@ def load_graph(spark, path: str, symmetrize: bool):
 
 def main(argv=None):
     ap = argparse.ArgumentParser(prog="kaminpar-spark")
-    ap.add_argument("command", choices=["partition", "pagerank", "components", "labelprop", "triangles", "kcore", "stats"])
+    ap.add_argument("command", choices=["partition", "pagerank", "ppr", "components", "labelprop", "triangles", "kcore", "stats"])
+    ap.add_argument("--sources", default="0", help="[ppr] comma-separated teleport node ids")
     ap.add_argument("-G", "--graph", required=True)
     ap.add_argument("-k", type=int, default=2)
     ap.add_argument("--epsilon", type=float, default=0.03)
@@ -125,6 +126,15 @@ def main(argv=None):
             pr.write.mode("overwrite").parquet(args.save)
         top = pr.orderBy("rank", ascending=False).limit(5).collect()
         print(f"RESULT top5={[(r['id'], round(r['rank'], 6)) for r in top]} time={time.time()-t0:.3f}s")
+    elif args.command == "ppr":
+        from kaminpar_spark.operators.pagerank import personalized_pagerank
+
+        srcs = [int(x) for x in args.sources.split(",")]
+        pr = personalized_pagerank(g, srcs, max_iters=args.max_iters)
+        if args.save:
+            pr.write.mode("overwrite").parquet(args.save)
+        top = pr.orderBy("rank", ascending=False).limit(5).collect()
+        print(f"RESULT top5={[(r['id'], round(r['rank'], 6)) for r in top]} time={time.time()-t0:.3f}s")
     elif args.command == "components":
         from kaminpar_spark.operators.components import connected_components
 
@@ -140,7 +150,10 @@ def main(argv=None):
         n_comm = labels.select("label").distinct().count()
         if args.save:
             labels.write.mode("overwrite").parquet(args.save)
-        print(f"RESULT n_communities={n_comm} time={time.time()-t0:.3f}s")
+        from kaminpar_spark.operators.metrics import modularity
+
+        q = modularity(g, labels)
+        print(f"RESULT n_communities={n_comm} modularity={q:.6f} time={time.time()-t0:.3f}s")
     elif args.command == "kcore":
         from pyspark.sql import functions as F
 
