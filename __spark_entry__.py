@@ -120,6 +120,20 @@ def _q_lcc(spark, sf_dir):
     return local_clustering_coefficient(g)
 
 
+JACCARD_MIN_COMMON = 3
+JACCARD_TOPK = 100
+
+
+def _q_adjacency_jaccard(spark, sf_dir):
+    """Top link-prediction candidates by adjacency-Jaccard (wedge join +
+    degree join; deterministic (jaccard, u, w) ordering)."""
+    from kaminpar_spark.operators.linkpred import adjacency_jaccard
+
+    g, _ = _graph(spark, sf_dir)
+    aj = adjacency_jaccard(g, min_common=JACCARD_MIN_COMMON)
+    return aj.orderBy(F.desc("jaccard"), "u", "w").limit(JACCARD_TOPK)
+
+
 def _q_lpa_modularity(spark, sf_dir):
     """Modularity of the step-1 LP labels (community-quality metric)."""
     from kaminpar_spark.operators.labelprop import lp_step
@@ -512,6 +526,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangle_count": _q_triangle_count,
         "lp_step1": _q_lp_step1,
         "lpa_modularity": _q_lpa_modularity,
+        "adjacency_jaccard": _q_adjacency_jaccard,
         "edge_cut_mod4": _q_edge_cut_mod4,
         "block_weights_mod4": _q_block_weights_mod4,
         "dedup_exact": _q_dedup_exact,
@@ -654,6 +669,17 @@ oe AS MATERIALIZED (
 SELECT CAST(count(*) AS BIGINT) AS triangles
 FROM oe e1 JOIN oe e2 ON e1.dst = e2.src
            JOIN oe e3 ON e3.src = e1.src AND e3.dst = e2.dst"""
+
+_ADJ_JACCARD_SQL = f"""WITH {_EDGES_CTE},
+wed AS MATERIALIZED (
+  SELECT l.dst AS u, r.dst AS w, CAST(count(*) AS BIGINT) AS common
+  FROM edges l JOIN edges r ON l.src = r.src AND l.dst < r.dst
+  GROUP BY l.dst, r.dst HAVING count(*) >= {JACCARD_MIN_COMMON})
+SELECT u, w, common,
+       round(CAST(common AS DOUBLE) / (du.degree + dw.degree - common), 4) AS jaccard
+FROM wed JOIN deg du ON wed.u = du.id JOIN deg dw ON wed.w = dw.id
+ORDER BY jaccard DESC, u, w LIMIT {JACCARD_TOPK}"""
+
 
 _LPA_MODULARITY_SQL = f"""WITH {_EDGES_CTE},
 sc AS MATERIALIZED (SELECT dst AS id, src AS label, sum(weight) AS score FROM edges GROUP BY dst, src),
@@ -1217,6 +1243,7 @@ FROM deg GROUP BY 1""",
         "lcc": _LCC_SQL,
         "lp_step1": _LP1_SQL,
         "lpa_modularity": _LPA_MODULARITY_SQL,
+        "adjacency_jaccard": _ADJ_JACCARD_SQL,
         "edge_cut_mod4": f"""WITH {_EDGES_CTE}
 SELECT CAST(sum(weight) / 2 AS BIGINT) AS cut FROM edges WHERE src % 4 <> dst % 4""",
         "block_weights_mod4": f"""WITH {_EDGES_CTE}

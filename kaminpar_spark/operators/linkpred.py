@@ -1,0 +1,71 @@
+"""Link-prediction features: common-neighbor counts and adjacency Jaccard.
+
+The canonical graph-ML feature pair at link-graph scale: for node pairs
+(u, w), common(u, w) = |N(u) ∩ N(w)| via the wedge join (u←v→w), and
+jaccard = common / (deg(u) + deg(w) - common).
+
+Scale shape: each center v contributes C(deg(v), 2) wedges — inherent to the
+metric, and the reason hubs explode the candidate set. Pass
+``max_num_neighbors`` to cap each center's contribution via the
+deterministic neighbor-scan cap (operators.preprocess.cap_neighbors), the
+same mitigation the LP rating kernel uses; ``min_common`` prunes the long
+tail before the degree join. Both knobs keep the plan a pure
+equi-join + groupBy — no cross join at any size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from kaminpar_spark.graph import GraphFrame
+
+
+def common_neighbors(
+    graph: GraphFrame,
+    min_common: int = 1,
+    max_num_neighbors: int | None = None,
+) -> DataFrame:
+    """(u, w, common) for u < w with at least ``min_common`` shared
+    neighbors. Wedge join on the center; weights are ignored (set semantics,
+    matching the usual link-prediction definition)."""
+    edges = graph.edges
+    if max_num_neighbors is not None:
+        from kaminpar_spark.operators.preprocess import cap_neighbors
+
+        edges = cap_neighbors(graph, max_num_neighbors).edges
+    left = edges.select(F.col("src").alias("v"), F.col("dst").alias("u"))
+    right = edges.select(F.col("src").alias("v"), F.col("dst").alias("w"))
+    wedges = left.join(right, "v").where(F.col("u") < F.col("w"))
+    return (
+        wedges.groupBy("u", "w")
+        .agg(F.count("*").alias("common"))
+        .where(F.col("common") >= min_common)
+    )
+
+
+def adjacency_jaccard(
+    graph: GraphFrame,
+    min_common: int = 1,
+    max_num_neighbors: int | None = None,
+    round_digits: int = 4,
+) -> DataFrame:
+    """(u, w, common, jaccard) — Jaccard similarity of the two adjacency
+    sets. Rounded so the ranking value is reproducible across engines."""
+    common = common_neighbors(graph, min_common, max_num_neighbors)
+    deg = graph.degrees().select("id", "degree")
+    du = deg.select(F.col("id").alias("u"), F.col("degree").alias("deg_u"))
+    dw = deg.select(F.col("id").alias("w"), F.col("degree").alias("deg_w"))
+    return (
+        common.join(du, "u")
+        .join(dw, "w")
+        .select(
+            "u",
+            "w",
+            "common",
+            F.round(
+                F.col("common")
+                / (F.col("deg_u") + F.col("deg_w") - F.col("common")),
+                round_digits,
+            ).alias("jaccard"),
+        )
+    )

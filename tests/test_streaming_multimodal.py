@@ -137,3 +137,44 @@ def test_streaming_dedup_first_seen_across_batches(spark, tmp_path):
     assert rows[200] == 20 and rows[300] == 30
     assert rows[100] in (10, 12)  # first batch processed wins; 11 never emitted
     assert len(rows) == 3
+
+
+def test_streaming_ingest_to_pagerank_end_to_end(spark, tmp_path):
+    """Lambda pattern end to end: stream transcripts -> edge deltas ->
+    compacted snapshot -> PageRank; must equal PageRank over the batch ETL
+    graph (same dense-id space via identical actor keys)."""
+    from kaminpar_spark.graph import GraphFrame
+    from kaminpar_spark.operators.pagerank import pagerank
+    from kaminpar_spark.sources.transcripts import synth_transcripts, transcript_graph
+
+    n_convs = 60
+    t = synth_transcripts(spark, n_convs)
+    in_dir, out_dir, chk = str(tmp_path / "in"), str(tmp_path / "out"), str(tmp_path / "chk")
+    t.repartition(1, "conv_id").write.parquet(in_dir)
+    q = stream_transcript_edges(spark, in_dir, out_dir, chk, n_convs)
+    q.awaitTermination(120)
+    actor_edges = compact_edge_deltas(spark, out_dir)
+    # same dense-id rule as the batch path: dense_rank over actor key
+    from pyspark.sql import Window
+
+    actors = (
+        actor_edges.select(F.col("a_src").alias("actor"))
+        .union(actor_edges.select("a_dst"))
+        .distinct()
+        .withColumn("id", F.dense_rank().over(Window.orderBy("actor")) - 1)
+    )
+    e = (
+        actor_edges.join(actors.withColumnRenamed("actor", "a_src"), "a_src")
+        .withColumnRenamed("id", "src")
+        .join(
+            actors.select(F.col("actor").alias("a_dst"), F.col("id").alias("dst")),
+            "a_dst",
+        )
+        .select("src", "dst", "weight")
+    )
+    g_stream = GraphFrame.from_edge_pairs(e, symmetrize=False, combine_parallel=False)
+    g_batch, _ = transcript_graph(t, n_convs, stable_ids=True)
+    pr_s = {r["id"]: r["rank"] for r in pagerank(g_stream, tol=1e-9, max_iters=60).collect()}
+    pr_b = {r["id"]: r["rank"] for r in pagerank(g_batch, tol=1e-9, max_iters=60).collect()}
+    assert set(pr_s) == set(pr_b)
+    assert all(abs(pr_s[i] - pr_b[i]) < 1e-6 for i in pr_s)

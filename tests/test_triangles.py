@@ -61,3 +61,17 @@ def test_local_clustering_coefficient_clique_pendant(spark):
     assert got[0] == got[1] == got[2] == 1.0
     assert got[3] == 0.5
     assert got[4] == 0.0 and got[5] == 0.0
+
+
+def test_adjacency_jaccard_clique_pendant(spark):
+    from kaminpar_spark.operators.linkpred import adjacency_jaccard, common_neighbors
+
+    g = fixtures.clique_pendant(spark)
+    cn = {(r["u"], r["w"]): r["common"] for r in common_neighbors(g).collect()}
+    # 4-clique: every pair of clique nodes shares the other two members
+    assert cn[(0, 1)] == 2 and cn[(0, 2)] == 2 and cn[(1, 2)] == 2
+    # pendant: 3 and 5 share only node 4
+    assert cn[(3, 5)] == 1
+    aj = {(r["u"], r["w"]): r["jaccard"] for r in adjacency_jaccard(g).collect()}
+    # deg(0)=deg(1)=3, common=2 -> 2/(3+3-2)=0.5
+    assert aj[(0, 1)] == 0.5
