@@ -376,6 +376,17 @@ def _q_ivf_topk(spark, sf_dir):
     )
 
 
+def _q_clean_corpus(spark, sf_dir):
+    """End-to-end corpus cleaning: exact dedup + token-count + stopword-ratio
+    gates, composed from the verified primitives (one declarative plan)."""
+    from kaminpar_spark.functions.pipeline import clean_corpus
+
+    return clean_corpus(
+        _load(spark, sf_dir, "documents"),
+        min_tokens=20, max_tokens=90, min_stopword_ratio=0.02,
+    )
+
+
 def _q_fingerprints(spark, sf_dir):
     from kaminpar_spark.functions.text import fingerprints
 
@@ -530,6 +541,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "edge_cut_mod4": _q_edge_cut_mod4,
         "block_weights_mod4": _q_block_weights_mod4,
         "dedup_exact": _q_dedup_exact,
+        "clean_corpus": _q_clean_corpus,
         "token_counts": _q_token_counts,
         "text_quality": _q_text_quality,
         "embedding_topk": _q_embedding_topk,
@@ -703,6 +715,22 @@ SELECT round(sum(coalesce(i.w_in, 0) / (SELECT two_m FROM tm)
               - (t.tot / (SELECT two_m FROM tm)) * (t.tot / (SELECT two_m FROM tm))), 6)
        AS modularity
 FROM tot t LEFT JOIN intl i ON t.lab = i.lab"""
+
+
+_CLEAN_CORPUS_SQL = """
+WITH kept AS (
+  SELECT min(doc_id) AS doc_id, any_value(text) AS text
+  FROM documents GROUP BY text),
+q AS (
+  SELECT doc_id,
+         CAST(length(text) AS BIGINT) AS n_chars,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         round(CAST(len(list_filter(string_split(text, ' '),
+               x -> x IN ('the','a','of','to','and','is','in','it','on','for'))) AS DOUBLE)
+               / len(string_split(text, ' ')), 6) AS stopword_ratio
+  FROM kept)
+SELECT * FROM q
+WHERE n_tokens >= 20 AND n_tokens <= 90 AND stopword_ratio >= 0.02"""
 
 
 def _ppr_sql() -> str:
@@ -1252,6 +1280,7 @@ FROM nodes GROUP BY 1""",
         "dedup_exact": """
 SELECT CAST(min(doc_id) AS BIGINT) AS keep_id, CAST(count(*) AS BIGINT) AS dup_count
 FROM documents GROUP BY text""",
+        "clean_corpus": _CLEAN_CORPUS_SQL,
         "token_counts": """
 SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents""",
         "text_quality": """

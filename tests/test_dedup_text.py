@@ -160,3 +160,18 @@ def test_ivf_topk_finds_near_dup_and_matches_brute_force_on_probed_cells(spark, 
         df, df.where(F.col("vec_id") == 0), k=5, num_centroids=4, nprobe=1
     ).collect()
     assert part and part[0]["nn_id"] == 1
+
+
+def test_clean_corpus_pipeline(spark):
+    from kaminpar_spark.functions.pipeline import clean_corpus
+
+    rows = [
+        (0, "the cat sat on the mat and it is a good day for all of us here"),  # keeps
+        (1, "the cat sat on the mat and it is a good day for all of us here"),  # exact dup of 0
+        (2, "tiny"),                                                            # too short
+        (3, "zz " * 30),                                                        # no stopwords
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = clean_corpus(docs, min_tokens=5, max_tokens=100, min_stopword_ratio=0.05)
+    ids = [r["doc_id"] for r in got.collect()]
+    assert ids == [0]  # dup 1 dropped, 2 too short, 3 fails stopword gate
