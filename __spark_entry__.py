@@ -326,6 +326,7 @@ MINHASH_K = 32
 MINHASH_BANDS = 8
 MINHASH_THRESH = 0.7
 SIMHASH_MAXHAM = 8
+SIMHASH_MAX_BUCKET = 10_000  # per-(band,bucket) size guard; never binds at sf0.01
 LSH_PLANES = 8
 EMB_DIM = 64
 CORE_ROUNDS = 4
@@ -341,10 +342,16 @@ def _q_minhash_near_dups(spark, sf_dir):
 
 
 def _q_simhash_near_dups(spark, sf_dir):
-    from kaminpar_spark.functions.dedup import simhash, simhash_near_pairs
+    """124-bit SimHash near-dup pairs at max_hamming=8: 9 covering bands of
+    >=13 bits each (>=8192 buckets/band — the 62-bit sketch's <=128-bucket
+    bands were the r2 scale-killer), with the oversized-bucket guard armed
+    (it never binds at sf0.01, so the unguarded oracle is value-identical)."""
+    from kaminpar_spark.functions.dedup import simhash128, simhash128_near_pairs
 
     docs = _load(spark, sf_dir, "documents")
-    pairs = simhash_near_pairs(simhash(docs), max_hamming=SIMHASH_MAXHAM)
+    pairs = simhash128_near_pairs(
+        simhash128(docs), max_hamming=SIMHASH_MAXHAM, max_bucket_size=SIMHASH_MAX_BUCKET
+    )
     return pairs.select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
 
 
@@ -946,34 +953,58 @@ WHERE est_jaccard >= {MINHASH_THRESH}"""
 
 
 def _simhash_sql() -> str:
-    from kaminpar_spark.functions.dedup import SIMHASH_BITS, simhash_bands
-    from kaminpar_spark.functions.hashing import POLY_MULT2, char_poly_hash_sql
+    """DuckDB twin of the 124-bit simhash128 path. The Spark side arms the
+    oversized-bucket guard (SIMHASH_MAX_BUCKET); with 500 docs no bucket can
+    exceed it, so the unguarded SQL produces identical values."""
+    from kaminpar_spark.functions.dedup import (
+        SIMHASH128_BITS,
+        _SIMHASH128_MULTS,
+        simhash128_bands,
+    )
+    from kaminpar_spark.functions.hashing import char_poly_hash_sql
 
-    h1 = char_poly_hash_sql("tok")
-    h2 = char_poly_hash_sql("tok", POLY_MULT2)
+    streams = ",\n       ".join(
+        f"{char_poly_hash_sql('tok', m)} AS h{s}" for s, m in enumerate(_SIMHASH128_MULTS)
+    )
     votes = []
-    for j in range(SIMHASH_BITS):
-        src, shift = ("h1", j) if j < 31 else ("h2", j - 31)
+    for j in range(SIMHASH128_BITS):
+        src, shift = f"h{j // 31}", j % 31
         votes.append(f"sum(CASE WHEN ({src} >> {shift}) & 1 = 1 THEN 1 ELSE -1 END) AS v{j}")
     votes_sql = ",\n       ".join(votes)
-    terms = " + ".join(
+    lo_terms = " + ".join(
         f"(CASE WHEN v{j} > 0 THEN CAST({1 << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
-        for j in range(SIMHASH_BITS)
+        for j in range(62)
     )
+    hi_terms = " + ".join(
+        f"(CASE WHEN v{j} > 0 THEN CAST({1 << (j - 62)} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        for j in range(62, SIMHASH128_BITS)
+    )
+
+    def band_val_sql(start: int, width: int) -> str:
+        if start + width <= 62:
+            return f"(sim_lo >> {start}) & {(1 << width) - 1}"
+        if start >= 62:
+            return f"(sim_hi >> {start - 62}) & {(1 << width) - 1}"
+        n_lo = 62 - start
+        return (
+            f"((sim_lo >> {start}) & {(1 << n_lo) - 1}) + "
+            f"((sim_hi & {(1 << (width - n_lo)) - 1}) * {1 << n_lo})"
+        )
+
     band_rows = "\nUNION ALL ".join(
-        f"SELECT id, simhash, {i} AS band, (simhash >> {shift}) & {mask} AS band_val FROM sh"
-        for i, (shift, mask) in enumerate(simhash_bands(SIMHASH_MAXHAM))
+        f"SELECT id, sim_lo, sim_hi, {i} AS band, {band_val_sql(s, w)} AS band_val FROM sh"
+        for i, (s, w) in enumerate(simhash128_bands(SIMHASH_MAXHAM))
     )
     return f"""
 WITH t0 AS (SELECT doc_id AS id, unnest(string_split(lower(text), ' ')) AS tok FROM documents),
-th AS MATERIALIZED (SELECT id, {h1} AS h1, {h2} AS h2 FROM t0 WHERE tok <> ''),
+th AS MATERIALIZED (SELECT id, {streams} FROM t0 WHERE tok <> ''),
 votes AS MATERIALIZED (SELECT id,
        {votes_sql}
        FROM th GROUP BY id),
-sh AS MATERIALIZED (SELECT id, {terms} AS simhash FROM votes),
+sh AS MATERIALIZED (SELECT id, {lo_terms} AS sim_lo, {hi_terms} AS sim_hi FROM votes),
 bands AS MATERIALIZED ({band_rows}),
 pairs AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b,
-          CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+          CAST(bit_count(xor(a.sim_lo, b.sim_lo)) + bit_count(xor(a.sim_hi, b.sim_hi)) AS INT) AS hamming
           FROM bands a JOIN bands b ON a.band = b.band AND a.band_val = b.band_val
           AND a.id < b.id)
 SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= {SIMHASH_MAXHAM}"""

@@ -28,6 +28,8 @@ from pyspark.sql import Column, functions as F
 POLY_MOD = (1 << 31) - 1  # Mersenne prime 2^31-1
 POLY_MULT = 31
 POLY_MULT2 = 37  # second stream for >31-bit sketches (SimHash)
+POLY_MULT3 = 41  # third/fourth streams for the 124-bit SimHash sketch
+POLY_MULT4 = 43
 
 
 def char_poly_hash(col: Column | str, mult: int = POLY_MULT) -> Column:

@@ -73,6 +73,66 @@ def test_simhash_near_pairs(spark, docs):
     assert (0, 2) in got  # one-word change -> small hamming distance
 
 
+def test_minhash_accepts_fullrange_shingle_hashes(spark, docs):
+    """ADVICE r2: minhash_signatures must coerce full-range xxhash64 shingle
+    hashes (portable=False default) into [0, POLY_MOD) instead of overflowing
+    a*x under ANSI mode; identical docs still get identical signatures."""
+    sh = dedup.shingles(docs)  # portable=False -> full-range xxhash64
+    sigs = {r["id"]: r["sig"] for r in dedup.minhash_signatures(sh, num_hashes=16).collect()}
+    assert sigs[0] == sigs[1]
+    assert sigs[0] != sigs[3]
+
+
+def test_simhash128_matches_brute_force(spark, docs):
+    """124-bit sketch: band-join pairs == all-pairs hamming filter (pigeonhole
+    completeness), and identical docs collide exactly."""
+    sh = dedup.simhash128(docs)
+    vals = {r["id"]: (r["sim_lo"], r["sim_hi"]) for r in sh.collect()}
+    assert vals[0] == vals[1]
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in dedup.simhash128_near_pairs(sh, max_hamming=20).collect()
+    }
+    # brute force over the collected sketches
+    ids = sorted(vals)
+    want = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            d = bin(vals[a][0] ^ vals[b][0]).count("1") + bin(
+                vals[a][1] ^ vals[b][1]
+            ).count("1")
+            if d <= 20:
+                want[(a, b)] = d
+    assert got == want
+    assert got[(0, 1)] == 0
+
+
+def test_simhash128_band_shape_not_quadratic(spark):
+    """VERDICT r2 'weak' #1 regression test: at max_hamming=8 the 62-bit
+    sketch emitted 19,975 of ~125k possible pairs on the 500-doc corpus
+    (bucket join ~ all-pairs). The 124-bit sketch's bands are >=13 bits, so
+    the same corpus must emit a small fraction of n^2/2."""
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    n = docs.count()
+    sh = dedup.simhash128(docs)
+    n_pairs = dedup.simhash128_near_pairs(sh, max_hamming=8).count()
+    assert n_pairs < 0.02 * n * (n - 1) / 2, n_pairs
+    # every distance-8 band is wide enough to prune: min width 124 // 9 = 13
+    assert min(w for _, w in dedup.simhash128_bands(8)) >= 13
+
+
+def test_simhash128_bucket_guard(spark, docs):
+    """With a pathological cap (every bucket oversized) the hamming-0 union
+    still finds identical-sketch pairs — the guard degrades recall for
+    near-but-not-identical pairs only."""
+    sh = dedup.simhash128(docs)
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in dedup.simhash128_near_pairs(sh, max_hamming=8, max_bucket_size=1).collect()
+    }
+    assert got == {(0, 1): 0}
+
+
 def test_token_counts(spark, docs):
     got = {r["doc_id"]: r["n_tokens"] for r in text.token_counts(docs).collect()}
     assert got[0] == 9 and got[3] == 6
