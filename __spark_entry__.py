@@ -1127,28 +1127,40 @@ FROM documents WHERE doc_id % 3 = 2"""
 
 
 def _media_features_sql() -> str:
+    """DuckDB twin of byte_histogram_features over media_from_documents.
+    Decodes true UTF-8 BYTES via hex(encode(text)) (the r2 oracle used ord()
+    over characters — silently wrong for non-ASCII) and LEFT-joins the
+    histogram back to documents so empty-text docs keep their zero-bin row,
+    matching the Spark kernel (ADVICE r2)."""
     from kaminpar_spark.functions.multimodal import BYTE_HIST_BINS
 
+    hexd = "0123456789ABCDEF"
+    byte = (
+        f"(strpos('{hexd}', substr(hx, 2*i+1, 1)) - 1) * 16"
+        f" + (strpos('{hexd}', substr(hx, 2*i+2, 1)) - 1)"
+    )
     counts = ",\n       ".join(
         f"count(*) FILTER (WHERE bin = {j}) AS c{j}" for j in range(BYTE_HIST_BINS)
     )
     bins = ",\n       ".join(
-        f"floor(CAST(c{j} AS DOUBLE) / total * 1000000) / 1000000 AS bin_{j:02d}"
+        f"coalesce(floor(CAST(c{j} AS DOUBLE) / total * 1000000) / 1000000, 0.0) AS bin_{j:02d}"
         for j in range(BYTE_HIST_BINS)
     )
     return f"""
-WITH ch AS (SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents),
-b AS (SELECT doc_id, least(CAST(ord(c) AS BIGINT) // 8, {BYTE_HIST_BINS - 1}) AS bin
-      FROM ch WHERE c <> ''),
+WITH hx AS (SELECT doc_id, hex(encode(text)) AS hx FROM documents),
+b AS (SELECT doc_id,
+             least(unnest(list_transform(range(length(hx) // 2),
+                   i -> {byte})) // 8, {BYTE_HIST_BINS - 1}) AS bin
+      FROM hx),
 h AS (SELECT doc_id, count(*) AS total,
        {counts}
       FROM b GROUP BY doc_id)
-SELECT doc_id AS media_id,
-       CASE WHEN doc_id % 3 = 0 THEN 'image'
-            WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
-       CAST(total AS BIGINT) AS n_bytes,
+SELECT d.doc_id AS media_id,
+       CASE WHEN d.doc_id % 3 = 0 THEN 'image'
+            WHEN d.doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+       CAST(coalesce(h.total, 0) AS BIGINT) AS n_bytes,
        {bins}
-FROM h"""
+FROM documents d LEFT JOIN h ON d.doc_id = h.doc_id"""
 
 
 # ---- partitioner-tier oracle SQL ----

@@ -78,6 +78,41 @@ def test_media_features_deterministic(spark):
             assert sum(v) == 0.0
 
 
+def test_byte_histogram_oracle_handles_empty_and_non_ascii(spark):
+    """ADVICE r2: the DuckDB media_features oracle must keep empty-text docs
+    (zero-bin row) and hash true UTF-8 bytes, not ord() code points — pin
+    parity on an adversarial fixture the driver corpus never exercises."""
+    import duckdb
+    import pandas as pd
+
+    import __spark_entry__ as E
+    from kaminpar_spark.functions.multimodal import (
+        byte_histogram_features,
+        media_from_documents,
+    )
+
+    rows = [(0, ""), (1, "héllo wörld"), (2, "plain ascii"), (3, "日本語テキスト")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sdf = (
+        byte_histogram_features(media_from_documents(docs))
+        .toPandas()
+        .sort_values("media_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    odf = (
+        con.execute(E.oracle_sql()["media_features"])
+        .df()
+        .sort_values("media_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(sdf, odf, check_dtype=False)
+    assert sdf.loc[0, "n_bytes"] == 0  # empty doc kept with zero bins
+    assert sdf.loc[3, "n_bytes"] == len("日本語テキスト".encode())
+
+
 def test_frame_sample_plan(spark):
     media = synth_media(spark, n=30)
     plan = frame_sample_plan(media, every_ms=200)
