@@ -90,6 +90,50 @@ def degree_bucket(deg: int) -> int:
     return 0 if deg == 0 else floor_log2(deg) + 1
 
 
+def fill_final_k(k: int, final_k: int) -> list[int]:
+    """Per-block final-block counts along the bisection tree
+    (graph_utils.cc:43-60 fill_final_k): splitting final_k with
+    split_integral at every bisection level of a k-way partition gives how
+    many of the final_k blocks each of the k current blocks will host.
+    sum(result) == final_k; requires final_k >= k >= 1."""
+    assert final_k >= k >= 1, (k, final_k)
+    out = [1] * k
+
+    def fill(b0: int, fk: int, kk: int) -> None:
+        fk1, fk2 = split_integral(fk)
+        k1, k2 = split_integral(kk)
+        out[b0] = fk1
+        out[b0 + k1] = fk2
+        if k1 > 1:
+            fill(b0, fk1, k1)
+        if k2 > 1:
+            fill(b0 + k1, fk2, k2)
+
+    if k >= 2:
+        fill(0, final_k, k)
+    else:
+        out[0] = final_k
+    return out
+
+
+def max_block_weight_final_k(
+    total_node_weight: int,
+    final_k_total: int,
+    final_k_b: int,
+    epsilon: float,
+    max_node_weight: int = 1,
+) -> int:
+    """Per-block cap during deep partitioning: block b (hosting final_k_b of
+    the final_k_total blocks) may weigh (1+eps)*ceil(final_k_b * W /
+    final_k_total), relaxed by +max_node_weight for weighted graphs
+    (context.cc:114-130 setup_max_block_weight(final_ks))."""
+    balanced = math.ceil(total_node_weight * final_k_b / final_k_total)
+    base = int((1 + epsilon) * balanced)
+    if max_node_weight > 1:
+        base = max(base, balanced + max_node_weight)
+    return base
+
+
 def deep_k_prime(n: int, contraction_limit: int, k_final: int) -> int:
     """Deep-multilevel block schedule k' = min(k_final, 2^ceil(log2(n/C)))
     (partitioning_scheme/helper.cc:205-209)."""

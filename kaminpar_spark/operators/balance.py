@@ -29,10 +29,28 @@ from kaminpar_spark.operators.labelprop import label_scores
 from kaminpar_spark.plans.lineage import truncate
 
 
+def _with_caps(bw: DataFrame, max_block_weight: int | list[int]) -> DataFrame:
+    """Attach a per-row ``cap`` column to the (block, bweight) table: a lit
+    for the scalar case, a broadcast (block, cap) join for per-block lists."""
+    if isinstance(max_block_weight, (int, float)):
+        return bw.withColumn("cap", F.lit(int(max_block_weight)).cast("long"))
+    caps = bw.sparkSession.createDataFrame(
+        [(b, int(c)) for b, c in enumerate(max_block_weight)], "block int, cap long"
+    )
+    return bw.join(F.broadcast(caps), "block")
+
+
 def balance_round(
-    graph: GraphFrame, partition: DataFrame, max_block_weight: int, k: int | None = None
+    graph: GraphFrame,
+    partition: DataFrame,
+    max_block_weight: int | list[int],
+    k: int | None = None,
 ) -> DataFrame:
     """One balancer round. partition: (id, block). Returns updated (id, block).
+
+    ``max_block_weight``: scalar cap, or a per-block list (deep partitioning
+    gives block b a cap proportional to its final_k share,
+    context.cc:114-130 setup_max_block_weight(final_ks)).
 
     ``k``: total block count. Without it, block weights are derived from the
     partition rows alone, which makes EMPTY blocks invisible — they can never
@@ -55,8 +73,8 @@ def balance_round(
         bw = all_blocks.join(bw, "block", "left").select(
             "block", F.coalesce("bweight", F.lit(0)).cast("long").alias("bweight")
         )
-    bw = truncate(bw)
-    over = bw.where(F.col("bweight") > max_block_weight)
+    bw = truncate(_with_caps(bw, max_block_weight))
+    over = bw.where(F.col("bweight") > F.col("cap"))
     if over.limit(1).count() == 0:
         return partition
 
@@ -74,7 +92,7 @@ def balance_round(
     # candidate targets: adjacent blocks with residual capacity
     resid = bw.select(
         F.col("block").cast("long").alias("label"),
-        (F.lit(max_block_weight) - F.col("bweight")).alias("residual"),
+        (F.col("cap") - F.col("bweight")).alias("residual"),
     )
     cand = (
         movers.join(scores, "id")
@@ -108,7 +126,7 @@ def balance_round(
     # lowest possible rel_gain so gain-ordered admission drains real
     # candidates first.
     lightest = (
-        bw.where(F.col("bweight") < max_block_weight)
+        bw.where(F.col("bweight") < F.col("cap"))
         .orderBy(F.asc("bweight"), F.asc("block"))
         .limit(1)
         .select(F.col("block").cast("long").alias("fb_target"))
@@ -131,7 +149,7 @@ def balance_round(
     )
     # admit per source block: cumulative weight <= overload
     overload = over.select(
-        "block", (F.col("bweight") - F.lit(max_block_weight)).alias("overload")
+        "block", (F.col("bweight") - F.col("cap")).alias("overload")
     )
     w_src = Window.partitionBy("block").orderBy(F.desc("rel_gain"), F.asc("id")).rowsBetween(
         Window.unboundedPreceding, 0
@@ -160,11 +178,12 @@ def balance_round(
 def balance(
     graph: GraphFrame,
     partition: DataFrame,
-    max_block_weight: int,
+    max_block_weight: int | list[int],
     max_rounds: int = 10,
     k: int | None = None,
 ) -> DataFrame:
-    """Iterate balance rounds until no block exceeds max_block_weight."""
+    """Iterate balance rounds until no block exceeds its cap (scalar or
+    per-block list, see balance_round)."""
     part = truncate(partition)
     for _ in range(max_rounds):
         bw = (
@@ -172,9 +191,11 @@ def balance(
             .groupBy("block")
             .agg(F.sum("weight").alias("bweight"))
         )
-        total_over = bw.agg(
-            F.sum(F.greatest(F.lit(0), F.col("bweight") - max_block_weight))
-        ).first()[0]
+        total_over = (
+            _with_caps(bw, max_block_weight)
+            .agg(F.sum(F.greatest(F.lit(0), F.col("bweight") - F.col("cap"))))
+            .first()[0]
+        )
         if not total_over:
             break
         part = truncate(balance_round(graph, part, max_block_weight, k=k))

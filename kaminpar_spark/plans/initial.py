@@ -204,13 +204,27 @@ def fm_refine_2way(
     max_iterations: int = 5,
     fruitless_moves: int = 100,
     rng: np.random.Generator | None = None,
+    stopping: str = "simple",
+    alpha: float = 1.0,
 ) -> np.ndarray:
     """2-way FM with per-block PQs, rollback to the best accepted prefix, and
-    a fruitless-move stop (initial_refiner.h:162-416). Selection policy:
+    a configurable stop (initial_refiner.h:162-416). Selection policy:
     prefer moving out of the heavier block when both PQs nonempty
-    (MaxOverloadSelectionPolicy, initial_refiner.h:60-105)."""
+    (MaxOverloadSelectionPolicy, initial_refiner.h:60-105).
+
+    ``stopping='simple'``: stop after ``fruitless_moves`` unaccepted moves
+    (SimpleStoppingPolicy). ``stopping='adaptive'``: the KaHyPar random-walk
+    test (AdaptiveStoppingPolicy, initial_refiner.h:85-151): model the gain
+    sequence since the last accepted cut as a random walk with running mean
+    Mk and sample variance; stop once steps > sqrt(n) and (Mk == 0 or
+    steps >= variance / Mk^2 * (alpha/2 - 0.25)) — i.e. when further
+    improvement is statistically unlikely. alpha default 1.0
+    (context.h:169)."""
+    assert stopping in ("simple", "adaptive")
     if not isinstance(caps, tuple):
         caps = (caps, caps)
+    beta = math.sqrt(g.n)
+    factor = alpha / 2.0 - 0.25
     part = part.copy()
     for _ in range(max_iterations):
         bw = _block_weights(g, part)
@@ -229,7 +243,20 @@ def fm_refine_2way(
         best_gain, best_prefix = 0, 0
         locked = np.zeros(g.n, dtype=bool)
         fruitless = 0
-        while (pqs[0] or pqs[1]) and fruitless < fruitless_moves:
+        walk = _Welford()  # gain sequence since the last accepted cut
+
+        def should_stop() -> bool:
+            if stopping == "simple":
+                return fruitless >= fruitless_moves
+            if walk.count <= beta:
+                return False
+            mk = walk.mean
+            if mk == 0:
+                return True
+            var = walk.m2 / (walk.count - 1) if walk.count > 1 else 0.0
+            return walk.count >= (var / (mk * mk)) * factor
+
+        while (pqs[0] or pqs[1]) and not should_stop():
             b = 0 if bw[0] >= bw[1] else 1
             if not pqs[b]:
                 b = 1 - b
@@ -246,9 +273,11 @@ def fm_refine_2way(
             locked[u] = True
             moved_order.append(u)
             cum_gain += -ng
+            walk.update(float(-ng))
             if cum_gain > best_gain:
                 best_gain, best_prefix = cum_gain, len(moved_order)
                 fruitless = 0
+                walk = _Welford()  # policy reset on accepted cut
             else:
                 fruitless += 1
             # update neighbor gains by +-2w(e) (initial_refiner.h:285-307)
@@ -379,20 +408,32 @@ def recursive_bisect(
     seed: int = 42,
     k_final: int | None = None,
     total_weight_root: int | None = None,
+    final_k: int | None = None,
 ) -> np.ndarray:
-    """Recursive bisection to k blocks (helper.cc:87-176). Adaptive epsilon
-    per level (context.cc:384-393); k split ceil/floor (utility/math.h:51)."""
-    k_final = k_final or k
+    """Recursive bisection to k blocks (helper.cc:87-176
+    extend_partition_recursive). ``final_k`` (>= k) is how many of the FINAL
+    blocks this subgraph will eventually host: the bipartition ratio and
+    adaptive epsilon follow split_integral(final_k) — NOT split_integral(k) —
+    exactly like the reference's InitialPartitioner(final_k)
+    (initial_partitioning_facade.h:28-38, context.cc:370-393), and each
+    recursion side carries (k_i, final_k_i). With final_k == k (the default)
+    this reduces to plain bisection toward k."""
+    final_k = final_k or k
+    k_final = k_final or final_k
     total_weight_root = total_weight_root or g.total_weight
     if k <= 1 or g.n == 0:
         return np.zeros(g.n, dtype=np.int64)
-    eps_prime = adaptive_epsilon(epsilon, k_final, k, total_weight_root, g.total_weight)
+    assert final_k >= k, (k, final_k)
+    eps_prime = adaptive_epsilon(
+        epsilon, k_final, final_k, total_weight_root, g.total_weight
+    )
+    fk1, fk2 = split_integral(final_k)
     k1, k2 = split_integral(k)
-    part = pool_bipartition(g, eps_prime, seed=seed, ratio=(k1, k2))
+    part = pool_bipartition(g, eps_prime, seed=seed, ratio=(fk1, fk2))
     if k1 == 1 and k2 == 1:
         return part
     out = np.zeros(g.n, dtype=np.int64)
-    for side, k_side, offset in ((0, k1, 0), (1, k2, k1)):
+    for side, k_side, fk_side, offset in ((0, k1, fk1, 0), (1, k2, fk2, k1)):
         members = np.nonzero(part == side)[0]
         if len(members) == 0:
             continue
@@ -410,6 +451,51 @@ def recursive_bisect(
         sub_part = recursive_bisect(
             sub, k_side, epsilon, seed=seed + offset + 1,
             k_final=k_final, total_weight_root=total_weight_root,
+            final_k=fk_side,
         )
         out[members] = offset + sub_part
     return out
+
+
+def best_of_bisections(
+    g: SmallGraph,
+    k: int,
+    epsilon: float,
+    seeds: list[int],
+    k_final: int | None = None,
+    total_weight_root: int | None = None,
+    final_k: int | None = None,
+) -> np.ndarray:
+    """Deep-IP replication, driver analog (E9): the reference forks
+    coarsening+IP replicas across threads and keeps the best result
+    (parallel_initial_partitioner.cc:11-69, copies rule helper.cc:211-227).
+    Here the coarsest graph is already driver-sized, so the portfolio is R
+    independent seeded recursive bisections scored by (infeasibility, cut) —
+    the same select_best ordering as helper.h:77-104."""
+    final_k = final_k or k
+    k_final = k_final or final_k
+    from kaminpar_spark.functions.rules import fill_final_k, max_block_weight_final_k
+
+    final_ks = fill_final_k(k, final_k)
+    caps = np.array(
+        [
+            max_block_weight_final_k(
+                total_weight_root or g.total_weight, k_final, fkb, epsilon,
+                int(g.nweights.max(initial=1)),
+            )
+            for fkb in final_ks
+        ],
+        dtype=np.int64,
+    )
+    best = None  # ((infeasible, cut), labels)
+    for s in seeds:
+        labels = recursive_bisect(
+            g, k, epsilon, seed=s, k_final=k_final,
+            total_weight_root=total_weight_root, final_k=final_k,
+        )
+        bw = _block_weights(g, labels, k)
+        infeasible = int(np.maximum(0, bw - caps).sum())
+        cand = (infeasible, cut_of(g, labels))
+        if best is None or cand < best[0]:
+            best = (cand, labels)
+    return best[1]

@@ -37,8 +37,40 @@ from kaminpar_spark.operators.labelprop import (
     lp_step,
     merge_singleton_clusters,
 )
-from kaminpar_spark.plans.initial import SmallGraph, recursive_bisect
+from kaminpar_spark.plans.initial import (
+    SmallGraph,
+    best_of_bisections,
+    recursive_bisect,
+)
 from kaminpar_spark.plans.lineage import truncate
+
+
+def extension_plan(
+    cur_k: int, desired_k: int, k_final: int, final_ks: list[int]
+) -> tuple[list[int], list[int], list[int]]:
+    """Per-block split counts, block offsets, and the extended final_ks.
+
+    Reference semantics (helper.cc:158-163): the FINAL extension
+    (desired_k == k_final) splits block b into its final_k(b) blocks; every
+    INTERMEDIATE extension (desired_k a power of two < k_final) splits each
+    block uniformly into desired_k / cur_k. Offsets are the prefix sums of
+    the per-block counts (graph_utils.cc:63-99 copy_subgraph_partitions);
+    the extended final_ks redistribute each block's final_k over its children
+    via split_integral along the bisection tree (graph_utils.cc:43-60)."""
+    assert len(final_ks) == cur_k and sum(final_ks) == k_final
+    if desired_k >= k_final:
+        sub_ks = list(final_ks)
+    else:
+        per = desired_k // max(1, cur_k)
+        sub_ks = [max(1, min(per, fk)) for fk in final_ks]
+    offs = [0]
+    for kb in sub_ks:
+        offs.append(offs[-1] + kb)
+    new_final_ks: list[int] = []
+    for kb, fk in zip(sub_ks, final_ks):
+        new_final_ks.extend(rules.fill_final_k(kb, fk))
+    assert sum(new_final_ks) == k_final
+    return sub_ks, offs, new_final_ks
 
 
 def extend_partition(
@@ -50,11 +82,14 @@ def extend_partition(
     k_final: int,
     total_weight_root: int,
     seed: int = 42,
+    final_ks: list[int] | None = None,
 ) -> DataFrame:
     """Deep-multilevel partition extension (helper.cc:87-176 extend_partition;
     schedule at parallel_recursive_bisection.cc:37-51): split every current
     block into its share of ``desired_k`` blocks by recursive bisection of the
-    block-induced subgraph.
+    block-induced subgraph, carrying per-block ``final_ks`` so non-power-of-2
+    targets split by the reference's split_integral bookkeeping instead of
+    proportionally.
 
     Spark shape: the k' = 2^ceil(log2(n/C)) schedule guarantees each block
     holds ~C..4C nodes, so per-block subgraphs are driver-kernel sized WITHOUT
@@ -64,7 +99,9 @@ def extend_partition(
     block — embarrassingly parallel, no global collect."""
     if desired_k <= cur_k:
         return part
-    offs = [desired_k * b // cur_k for b in range(cur_k + 1)]
+    if final_ks is None:
+        final_ks = rules.fill_final_k(cur_k, k_final)
+    sub_ks, offs, _ = extension_plan(cur_k, desired_k, k_final, final_ks)
 
     nodes_b = graph.nodes.join(part, "id").select("id", "weight", "block")
     ps = part.select(F.col("id").alias("src"), F.col("block").alias("b_src"))
@@ -79,7 +116,7 @@ def extend_partition(
 
     def kernel(key, nodes_pdf: pd.DataFrame, edges_pdf: pd.DataFrame) -> pd.DataFrame:
         b = int(key[0])
-        k_b = offs[b + 1] - offs[b]
+        k_b = sub_ks[b]
         ids = nodes_pdf["id"].to_numpy(dtype=np.int64)
         if k_b <= 1 or len(ids) == 0:
             return pd.DataFrame({"id": ids, "block": np.full(len(ids), offs[b], dtype=np.int32)})
@@ -94,6 +131,7 @@ def extend_partition(
         labels = recursive_bisect(
             sub, k_b, epsilon, seed=seed + b,
             k_final=k_final, total_weight_root=total_weight_root,
+            final_k=final_ks[b],
         )
         return pd.DataFrame(
             {"id": ids, "block": (offs[b] + labels).astype(np.int32)}
@@ -135,6 +173,7 @@ class Partitioner:
         convergence_threshold: float = 0.05,
         cluster_weight_limit: str = "epsilon-block-weight",
         cluster_weight_multiplier: float = 1.0,
+        ip_replications: int = 3,
     ):
         """``scheme='deep'`` (default) mirrors the reference's deep multilevel
         scheme: bisect the coarsest graph to k' = 2^ceil(log2(n/C)) only, then
@@ -156,7 +195,11 @@ class Partitioner:
         - ``cluster_weight_limit`` in {"epsilon-block-weight", "block-weight",
           "one", "zero"} x ``cluster_weight_multiplier`` — the rule for the
           soft cluster cap during coarsening (--c-cluster-weight-limit;
-          "zero" disables the cap like the reference's ZERO)."""
+          "zero" disables the cap like the reference's ZERO).
+        - ``ip_replications``: deep-IP replication (E9,
+          parallel_initial_partitioner.cc:11-69): run the coarsest-graph
+          bisection portfolio R times with distinct seeds, keep the best by
+          (feasible, cut)."""
         self.graph = graph
         self.spark = spark or SparkSession.getActiveSession()
         self.contraction_limit = contraction_limit
@@ -173,6 +216,7 @@ class Partitioner:
         )
         self.cluster_weight_limit = cluster_weight_limit
         self.cluster_weight_multiplier = cluster_weight_multiplier
+        self.ip_replications = max(1, ip_replications)
 
     def _cluster_cap(self, epsilon: float, total_w: int, n: int, k: int) -> int | None:
         if self.cluster_weight_limit == "zero":
@@ -278,12 +322,17 @@ class Partitioner:
             else k
         )
         sg, ids = self._collect_small(g)
-        labels = recursive_bisect(sg, k0, epsilon, seed=self.seed, k_final=k,
-                                  total_weight_root=total_w)
+        labels = best_of_bisections(
+            sg, k0, epsilon,
+            seeds=[self.seed + 7919 * r for r in range(self.ip_replications)],
+            k_final=k, total_weight_root=total_w, final_k=k,
+        )
         part = self.spark.createDataFrame(
             [(int(i), int(b)) for i, b in zip(ids, labels)], "id long, block int"
         )
         cur_k = k0
+        # per-block final-block bookkeeping (graph_utils.cc:43-60)
+        final_ks = rules.fill_final_k(k0, k)
         levels.append(
             {
                 "stage": "initial",
@@ -294,6 +343,13 @@ class Partitioner:
             }
         )
 
+        # per-block caps follow final_k shares (context.cc:114-130)
+        def caps_for(fks: list[int]) -> list[int]:
+            return [
+                rules.max_block_weight_final_k(total_w, k, fkb, epsilon, max_node_w)
+                for fkb in fks
+            ]
+
         # ---- uncoarsen + (extend) + refine ----
         for li in range(len(hierarchy) - 1, -1, -1):
             t0 = time.time()
@@ -301,20 +357,20 @@ class Partitioner:
             part = mapping.join(
                 part.select(F.col("id").alias("c_id"), "block"), "c_id"
             ).select("id", "block")
-            cap_cur = rules.max_block_weight(total_w, cur_k, epsilon, max_node_w)
-            part = self._refine(fine_g, part, cur_k, cap_cur)
+            part = self._refine(fine_g, part, cur_k, caps_for(final_ks))
             if self.scheme == "deep":
                 desired = rules.deep_k_prime(level_ns[li], self.contraction_limit, k)
                 if cur_k < desired:
+                    _, _, new_final_ks = extension_plan(cur_k, desired, k, final_ks)
                     part = truncate(
                         extend_partition(
                             fine_g, part, cur_k, desired, epsilon, k, total_w,
-                            seed=self.seed,
+                            seed=self.seed, final_ks=final_ks,
                         )
                     )
-                    cur_k = desired
-                    cap_cur = rules.max_block_weight(total_w, cur_k, epsilon, max_node_w)
-                    part = self._refine(fine_g, part, cur_k, cap_cur)
+                    final_ks = new_final_ks
+                    cur_k = len(final_ks)
+                    part = self._refine(fine_g, part, cur_k, caps_for(final_ks))
             levels.append(
                 {"stage": "uncoarsen", "level": li, "k": cur_k,
                  "wall_sec": round(time.time() - t0, 3)}
@@ -324,10 +380,11 @@ class Partitioner:
         if cur_k < k:
             part = truncate(
                 extend_partition(
-                    self.graph, part, cur_k, k, epsilon, k, total_w, seed=self.seed
+                    self.graph, part, cur_k, k, epsilon, k, total_w,
+                    seed=self.seed, final_ks=final_ks,
                 )
             )
-            part = self._refine(self.graph, part, k, cap)
+            part = self._refine(self.graph, part, k, [cap] * k)
 
         part = truncate(part)
         q = M.quality(self.graph, part, k, epsilon)
@@ -382,9 +439,12 @@ class Partitioner:
         w = edges["weight"].to_numpy(dtype=np.int64)
         return SmallGraph.from_edges(len(ids), src, dst, w, nw), ids
 
-    def _refine(self, g: GraphFrame, part: DataFrame, k: int, cap: int) -> DataFrame:
+    def _refine(
+        self, g: GraphFrame, part: DataFrame, k: int, cap: int | list[int]
+    ) -> DataFrame:
+        cap_list = cap if isinstance(cap, list) else [cap] * k
         caps = self.spark.createDataFrame(
-            [(b, cap) for b in range(k)], "label long, capacity long"
+            [(b, int(c)) for b, c in enumerate(cap_list)], "label long, capacity long"
         )
         state = part.join(g.nodes.select("id", "weight"), "id").select(
             "id", F.col("block").cast("long").alias("label"), "weight"
@@ -398,7 +458,7 @@ class Partitioner:
             if moved == 0 and i > 0:
                 break
         refined = state.select("id", F.col("label").cast("int").alias("block"))
-        return balance(g, refined, cap, max_rounds=5, k=k)
+        return balance(g, refined, cap_list, max_rounds=5, k=k)
 
 
 def _np_cut(sg: SmallGraph, labels: np.ndarray) -> int:

@@ -80,6 +80,21 @@ def test_fm_improves_bad_partition():
     assert cut_of(g, ref) == 1
 
 
+def test_fm_adaptive_stopping_matches_simple_quality():
+    """AdaptiveStoppingPolicy (initial_refiner.h:85-151) behind the
+    ``stopping`` flag: on an easy instance the random-walk test must find the
+    same optimum as the fruitless-move counter, and it must stop (terminate)
+    on a fruitless ring walk instead of exhausting the PQs."""
+    g = two_cliques_np()
+    bad = np.array([0, 1, 0, 1, 0, 1, 0, 1])
+    ref = fm_refine_2way(g, bad, caps=(5, 5), stopping="adaptive")
+    assert cut_of(g, ref) == 1
+    rg = ring(50)
+    balanced = np.array([0] * 25 + [1] * 25)
+    out = fm_refine_2way(rg, balanced, caps=(26, 26), stopping="adaptive")
+    assert cut_of(rg, out) <= cut_of(rg, balanced)
+
+
 def test_bipartitioners_feasible():
     g = ring(20)
     rng = np.random.default_rng(0)
