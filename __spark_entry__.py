@@ -328,6 +328,8 @@ MINHASH_THRESH = 0.7
 SIMHASH_MAXHAM = 8
 SIMHASH_MAX_BUCKET = 10_000  # per-(band,bucket) size guard; never binds at sf0.01
 LSH_PLANES = 8
+LSH_TABLES = 8  # independent hash tables (candidate union tunes recall)
+LSH_PROBE_FLIPS = 6  # multi-probe: flip the 6 least-confident bits per table
 EMB_DIM = 64
 CORE_ROUNDS = 4
 
@@ -360,7 +362,13 @@ def _q_lsh_topk(spark, sf_dir):
 
     emb = _load(spark, sf_dir, "embeddings")
     return lsh_topk(
-        emb, emb.where(F.col("vec_id") < 5), k=10, num_planes=LSH_PLANES, dim=EMB_DIM
+        emb,
+        emb.where(F.col("vec_id") < 5),
+        k=10,
+        num_planes=LSH_PLANES,
+        dim=EMB_DIM,
+        probe_flips=LSH_PROBE_FLIPS,
+        num_tables=LSH_TABLES,
     )
 
 
@@ -381,6 +389,48 @@ def _q_ivf_topk(spark, sf_dir):
         num_centroids=IVF_CENTROIDS,
         nprobe=IVF_NPROBE,
     )
+
+
+def _recall_df(exact, approx):
+    """Single-row (recall_at_10): fraction of exact top-k pairs the
+    approximate path recovers. Both sides are deterministic (rounded cosine,
+    nn_id tie-break), so the value is exactly reproducible in SQL."""
+    n_hit = exact.join(approx, ["qid", "nn_id"], "left_semi").agg(
+        F.count("*").alias("n_hit")
+    )
+    n_tot = exact.agg(F.count("*").alias("n_tot"))
+    return n_hit.crossJoin(n_tot).select(
+        F.round(F.col("n_hit") / F.col("n_tot"), 6).alias("recall_at_10")
+    )
+
+
+def _q_lsh_recall(spark, sf_dir):
+    """Recall@10 of single-probe hyperplane LSH vs the exact brute-force
+    ground truth (VERDICT r2 item 8 — make the approximation error a measured,
+    oracle-checked number instead of a footnote)."""
+    from kaminpar_spark.functions.similarity import brute_force_topk, lsh_topk
+
+    emb = _load(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 5)
+    exact = brute_force_topk(emb, q, k=10).select("qid", "nn_id")
+    approx = lsh_topk(
+        emb, q, k=10, num_planes=LSH_PLANES, dim=EMB_DIM,
+        probe_flips=LSH_PROBE_FLIPS, num_tables=LSH_TABLES,
+    ).select("qid", "nn_id")
+    return _recall_df(exact, approx)
+
+
+def _q_ivf_recall(spark, sf_dir):
+    """Recall@10 of IVF-flat (nprobe cells) vs exact brute force."""
+    from kaminpar_spark.functions.similarity import brute_force_topk, ivf_topk
+
+    emb = _load(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 5)
+    exact = brute_force_topk(emb, q, k=10).select("qid", "nn_id")
+    approx = ivf_topk(
+        emb, q, k=10, num_centroids=IVF_CENTROIDS, nprobe=IVF_NPROBE
+    ).select("qid", "nn_id")
+    return _recall_df(exact, approx)
 
 
 def _q_clean_corpus(spark, sf_dir):
@@ -567,6 +617,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_dups": _q_simhash_near_dups,
         "lsh_topk": _q_lsh_topk,
         "ivf_topk": _q_ivf_topk,
+        "lsh_recall": _q_lsh_recall,
+        "ivf_recall": _q_ivf_recall,
         "fingerprints": _q_fingerprints,
         "media_features": _q_media_features,
         "embedding_near_dups": _q_embedding_near_dups,
@@ -1017,33 +1069,65 @@ def _fingerprints_sql() -> str:
     return f"SELECT doc_id, {char_poly_hash_sql(norm)} AS fingerprint FROM documents"
 
 
-def _hyperplane_bucket_sql(num_planes: int) -> str:
-    """DuckDB twin of similarity.hyperplane_signatures: integer-lattice plane
-    dot products with the SAME left-fold order as the Spark aggregate."""
+def _plane_dot_sql(plane) -> str:
+    """One integer-lattice plane dot product with the SAME left-fold order as
+    the Spark aggregate (bit-identical doubles across engines)."""
+    lst = "[" + ",".join(str(int(x)) for x in plane) + "]"
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+        f"list_transform(range(1, {EMB_DIM + 1}), "
+        f"i -> CAST(embedding[i] AS DOUBLE) * {lst}[i])), (a, b) -> a + b)"
+    )
+
+
+def _hyperplane_bucket_sql(num_planes: int, seed: int = 42) -> str:
+    """DuckDB twin of similarity.hyperplane_signatures."""
     from kaminpar_spark.functions.hashing import hyperplane_lattice
 
-    planes = hyperplane_lattice(EMB_DIM, num_planes)
-
-    def dot(plane):
-        lst = "[" + ",".join(str(int(x)) for x in plane) + "]"
-        return (
-            f"list_reduce(list_prepend(CAST(0 AS DOUBLE), "
-            f"list_transform(range(1, {EMB_DIM + 1}), "
-            f"i -> CAST(embedding[i] AS DOUBLE) * {lst}[i])), (a, b) -> a + b)"
-        )
-
+    planes = hyperplane_lattice(EMB_DIM, num_planes, seed)
     return " + ".join(
-        f"(CASE WHEN {dot(planes[i])} > 0 THEN CAST({1 << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        f"(CASE WHEN {_plane_dot_sql(planes[i])} > 0 THEN CAST({1 << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
         for i in range(num_planes)
     )
 
 
 def _lsh_topk_sql() -> str:
-    bucket = _hyperplane_bucket_sql(LSH_PLANES)
+    """DuckDB twin of multi-table, multi-probe lsh_topk: LSH_TABLES
+    independent plane sets (seed 42+t); per table the query's own bucket plus
+    LSH_PROBE_FLIPS single-bit flips of its least-confident planes, ranked by
+    (|dot|, idx) ascending (same struct-sort semantics as Spark's array_sort,
+    so the probe sets agree bit-exactly); candidates deduped across tables."""
+    from kaminpar_spark.functions.hashing import hyperplane_lattice
+
+    csig_rows = "\nUNION ALL ".join(
+        f"SELECT vec_id AS nn_id, {t} AS tbl, {_hyperplane_bucket_sql(LSH_PLANES, 42 + t)} AS sig FROM embeddings"
+        for t in range(LSH_TABLES)
+    )
+
+    def qtable(t: int) -> str:
+        planes = hyperplane_lattice(EMB_DIM, LSH_PLANES, 42 + t)
+        dlist = ", ".join(
+            f"{_plane_dot_sql(planes[i])} AS d{i}" for i in range(LSH_PLANES)
+        )
+        sig0 = " + ".join(
+            f"(CASE WHEN d{i} > 0 THEN CAST({1 << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+            for i in range(LSH_PLANES)
+        )
+        structs = ", ".join(
+            f"struct_pack(a := abs(d{i}), i := {i})" for i in range(LSH_PLANES)
+        )
+        return f"""SELECT qid, {t} AS tbl, unnest(list_prepend(sig0,
+           list_transform(ranked[1:{LSH_PROBE_FLIPS}],
+                          s -> xor(sig0, (CAST(1 AS BIGINT) << s.i))))) AS sig
+  FROM (SELECT qid, {sig0} AS sig0, list_sort(list_value({structs})) AS ranked
+        FROM (SELECT vec_id AS qid, {dlist} FROM embeddings WHERE vec_id < 5) d{t}q) b{t}"""
+
+    qsig_rows = "\nUNION ALL ".join(qtable(t) for t in range(LSH_TABLES))
     return f"""
-WITH csig AS MATERIALIZED (SELECT vec_id AS nn_id, {bucket} AS sig FROM embeddings),
-qsig AS (SELECT nn_id AS qid, sig FROM csig WHERE nn_id < 5),
-cand AS (SELECT q.qid, c.nn_id FROM csig c JOIN qsig q ON c.sig = q.sig AND c.nn_id <> q.qid),
+WITH csig AS MATERIALIZED ({csig_rows}),
+qsig AS MATERIALIZED ({qsig_rows}),
+cand AS (SELECT DISTINCT q.qid, c.nn_id FROM csig c
+         JOIN qsig q ON c.tbl = q.tbl AND c.sig = q.sig AND c.nn_id <> q.qid),
 scored AS (
   SELECT cand.qid, cand.nn_id,
          round(CAST(list_cosine_similarity(qe.embedding, ce.embedding) AS DOUBLE), 4) AS cos
@@ -1104,6 +1188,32 @@ SELECT qid, nn_id, cos FROM (
   SELECT qid, nn_id, cos,
          row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nn_id) AS rn
   FROM scored) t WHERE rn <= 10"""
+
+
+_EXACT_TOPK_SQL = """
+WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5),
+scored AS (
+  SELECT q.qid, e.vec_id AS nn_id,
+         round(CAST(list_cosine_similarity(q.qv, e.embedding) AS DOUBLE), 4) AS cos
+  FROM q, embeddings e WHERE e.vec_id <> q.qid)
+SELECT qid, nn_id, cos FROM (
+  SELECT qid, nn_id, cos,
+         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nn_id ASC) AS rn
+  FROM scored) t WHERE rn <= 10"""
+
+
+def _recall_sql(approx_sql: str) -> str:
+    """Recall@10 of an approximate ANN query against the exact brute-force
+    top-k. Both sub-queries are the already-hash-exact oracle twins, so the
+    recall value is deterministic and exactly reproducible."""
+    return f"""
+WITH exact AS MATERIALIZED (SELECT qid, nn_id FROM ({_EXACT_TOPK_SQL}) ex),
+approx AS MATERIALIZED (SELECT qid, nn_id FROM ({approx_sql}) ap),
+hit AS (SELECT count(*) AS n_hit FROM exact e
+        WHERE EXISTS (SELECT 1 FROM approx a
+                      WHERE a.qid = e.qid AND a.nn_id = e.nn_id)),
+tot AS (SELECT count(*) AS n_tot FROM exact)
+SELECT round(CAST(n_hit AS DOUBLE) / n_tot, 6) AS recall_at_10 FROM hit, tot"""
 
 
 def _embedding_near_dups_sql() -> str:
@@ -1334,16 +1444,9 @@ SELECT doc_id,
              x -> x IN ('the','a','of','to','and','is','in','it','on','for'))) AS DOUBLE)
              / len(string_split(text, ' ')), 6) AS stopword_ratio
 FROM documents""",
-        "embedding_topk": """
-WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5),
-scored AS (
-  SELECT q.qid, e.vec_id AS nn_id,
-         round(CAST(list_cosine_similarity(q.qv, e.embedding) AS DOUBLE), 4) AS cos
-  FROM q, embeddings e WHERE e.vec_id <> q.qid)
-SELECT qid, nn_id, cos FROM (
-  SELECT qid, nn_id, cos,
-         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nn_id ASC) AS rn
-  FROM scored) t WHERE rn <= 10""",
+        "embedding_topk": _EXACT_TOPK_SQL,
+        "lsh_recall": _recall_sql(_lsh_topk_sql()),
+        "ivf_recall": _recall_sql(_ivf_topk_sql()),
         "windowed_event_counts": """
 SELECT date_trunc('hour', ts) AS window_start,
        date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,

@@ -93,6 +93,121 @@ def hyperplane_signatures(
     return vecs.select(F.col(id_col).alias("id"), bucket.alias("sig_bucket"))
 
 
+def _plane_dot(vec_col: str, plane: list[float]) -> F.Column:
+    arr = F.array(*[F.lit(x) for x in plane])
+    return F.aggregate(
+        F.zip_with(F.col(vec_col), arr, lambda a, b: a.cast("double") * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def lsh_table_signatures(
+    vecs: DataFrame,
+    num_planes: int,
+    num_tables: int,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
+    """(id, tbl, sig_bucket) — one signature per hash table, ``num_tables``
+    independent plane sets (seed+t). ONE pass over the corpus: all table
+    signatures are computed in a single projection (array + posexplode), so at
+    scale the index build is a single scan regardless of L."""
+    if dim is None:
+        dim = len(vecs.select(vec_col).first()[0])
+
+    def sig_for(planes) -> F.Column:
+        sig = None
+        for i in range(num_planes):
+            term = (
+                F.when(_plane_dot(vec_col, planes[i]) > 0, F.lit(1 << i))
+                .otherwise(F.lit(0))
+                .cast("long")
+            )
+            sig = term if sig is None else sig + term
+        return sig
+
+    sigs = F.array(
+        *[sig_for(hyperplane_lattice(dim, num_planes, seed + t)) for t in range(num_tables)]
+    )
+    return vecs.select(
+        F.col(id_col).alias("id"), F.posexplode(sigs).alias("tbl", "sig_bucket")
+    )
+
+
+def multiprobe_query_signatures(
+    queries: DataFrame,
+    num_planes: int,
+    probe_flips: int,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+    num_tables: int = 1,
+) -> DataFrame:
+    """(qid, tbl, sig_bucket) probe rows — per hash table, the query's own LSH
+    bucket plus the ``probe_flips`` buckets reached by flipping its
+    least-confident sign bits (smallest |dot|, ties to the lower plane index),
+    one bit at a time.
+
+    This is query-directed multi-probe LSH (Lv et al., VLDB'07): near-zero
+    dots are the planes most likely to disagree between a query and its true
+    neighbors, so probing those flips recovers most of the recall lost to
+    bucket boundaries at the cost of ``probe_flips`` extra equi-join probe
+    rows per query per table — the candidate set stays
+    ~L*(1+probe_flips)/2^planes of the corpus instead of re-scanning it. All
+    probe buckets of one (query, table) are distinct. Pure JVM (fold dots,
+    array_sort of (|dot|, idx) structs, transform/XOR) and reproducible in
+    SQL."""
+    if dim is None:
+        dim = len(queries.select(vec_col).first()[0])
+    probe_flips = min(probe_flips, num_planes)
+
+    base = queries.select(
+        F.col(id_col).alias("qid"),
+        *[
+            _plane_dot(vec_col, hyperplane_lattice(dim, num_planes, seed + t)[i]).alias(
+                f"d{t}_{i}"
+            )
+            for t in range(num_tables)
+            for i in range(num_planes)
+        ],
+    )
+
+    def probes_for(t: int) -> F.Column:
+        sig = None
+        for i in range(num_planes):
+            term = (
+                F.when(F.col(f"d{t}_{i}") > 0, F.lit(1 << i))
+                .otherwise(F.lit(0))
+                .cast("long")
+            )
+            sig = term if sig is None else sig + term
+        ranked = F.array_sort(
+            F.array(
+                *[
+                    F.struct(F.abs(F.col(f"d{t}_{i}")).alias("a"), F.lit(i).alias("i"))
+                    for i in range(num_planes)
+                ]
+            )
+        )
+        return F.concat(
+            F.array(sig),
+            F.transform(
+                F.slice(ranked, 1, probe_flips),
+                lambda s: sig.bitwiseXOR(F.pow(F.lit(2.0), s["i"]).cast("long")),
+            ),
+        )
+
+    all_probes = F.array(*[probes_for(t) for t in range(num_tables)])
+    return (
+        base.select("qid", F.posexplode(all_probes).alias("tbl", "probes"))
+        .select("qid", "tbl", F.explode("probes").alias("sig_bucket"))
+    )
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -102,17 +217,36 @@ def lsh_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int | None = None,
+    probe_flips: int = 0,
+    num_tables: int = 1,
 ) -> DataFrame:
-    """Approximate top-k: candidates = corpus vectors sharing the query's LSH
-    bucket; exact cosine ranking on candidates only. At scale the bucket join
-    replaces the all-pairs cross join with a key-partitioned equi-join."""
-    c_sig = hyperplane_signatures(corpus, num_planes, seed, id_col, vec_col, dim=dim)
-    q_sig = hyperplane_signatures(queries, num_planes, seed, id_col, vec_col, dim=dim)
+    """Approximate top-k: candidates = corpus vectors sharing any of the
+    query's LSH buckets across ``num_tables`` independent hash tables (plus,
+    with ``probe_flips`` > 0, the buckets reached by flipping the query's
+    least-confident bits in each table — multi-probe); exact cosine ranking on
+    candidates only. Recall is tuned by (num_tables, probe_flips) without
+    touching the per-table selectivity; at scale the bucket join replaces the
+    all-pairs cross join with a key-partitioned equi-join on (tbl, bucket),
+    and the union across tables is the same join (tbl is part of the key), not
+    L separate scans."""
+    c_sig = lsh_table_signatures(
+        corpus, num_planes, num_tables, seed, id_col, vec_col, dim=dim
+    )
+    if probe_flips > 0:
+        q_sig = multiprobe_query_signatures(
+            queries, num_planes, probe_flips, seed, id_col, vec_col,
+            dim=dim, num_tables=num_tables,
+        )
+    else:
+        q_sig = lsh_table_signatures(
+            queries, num_planes, num_tables, seed, id_col, vec_col, dim=dim
+        ).withColumnRenamed("id", "qid")
     cand = (
         c_sig.withColumnRenamed("id", "nn_id")
-        .join(q_sig.withColumnRenamed("id", "qid"), "sig_bucket")
+        .join(q_sig, ["tbl", "sig_bucket"])
         .where(F.col("nn_id") != F.col("qid"))
         .select("qid", "nn_id")
+        .distinct()
     )
     q = queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv"))
     e = corpus.select(F.col(id_col).alias("nn_id"), F.col(vec_col).alias("ev"))

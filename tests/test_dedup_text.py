@@ -189,6 +189,41 @@ def test_lsh_topk_finds_near_dup(spark, vecs):
     assert rows and rows[0]["nn_id"] == 1  # near-identical vector shares every bucket
 
 
+def test_multiprobe_multitable_lsh_recall_dominates_single_probe(spark, vecs):
+    """Recall is monotone in the candidate budget: multi-table + multi-probe
+    must recover at least the single-table single-probe top-k hits, and the
+    probe set must stay a strict subset of the corpus (no all-pairs blowup)."""
+    df, _ = vecs
+    q = df.where(F.col("vec_id") == 0)
+    exact = {r["nn_id"] for r in similarity.brute_force_topk(df, q, k=5).collect()}
+
+    def hits(**kw):
+        got = similarity.lsh_topk(df, q, k=5, num_planes=6, **kw)
+        return {r["nn_id"] for r in got.collect()}
+
+    single = hits()
+    multi = hits(probe_flips=4, num_tables=4)
+    assert len(multi & exact) >= len(single & exact)
+    assert 1 in multi  # the planted near-dup survives every table
+    # probe rows: 4 tables x (1 + 4 flips) = 20 buckets for one query
+    probes = similarity.multiprobe_query_signatures(
+        q, num_planes=6, probe_flips=4, num_tables=4
+    ).collect()
+    assert len(probes) == 20
+    assert len({(r["tbl"], r["sig_bucket"]) for r in probes}) == 20  # all distinct
+
+
+def test_lsh_table_signatures_one_row_per_table(spark, vecs):
+    df, _ = vecs
+    sig = similarity.lsh_table_signatures(df, num_planes=6, num_tables=3).collect()
+    assert len(sig) == 60  # 20 vecs x 3 tables
+    # per-table signatures must differ across tables for at least one vector
+    by_vec = {}
+    for r in sig:
+        by_vec.setdefault(r["id"], set()).add(r["sig_bucket"])
+    assert any(len(s) > 1 for s in by_vec.values())
+
+
 def test_embedding_near_dup_pairs(spark, vecs):
     df, _ = vecs
     got = similarity.embedding_near_dup_pairs(df, threshold=0.95, num_planes=6)
