@@ -125,7 +125,10 @@ def main():
 
         t0 = time.time()
         emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-        lsh_topk(emb, emb.where(F2.col("vec_id") < 50), k=10, num_planes=8, dim=64).count()
+        lsh_topk(
+            emb, emb.where(F2.col("vec_id") < 50), k=10, num_planes=8, dim=64,
+            probe_flips=6, num_tables=8,  # the shipped multi-table config
+        ).count()
         queries["lsh_ann_topk"] = round(time.time() - t0, 3)
         _phase("lsh ann done")
 

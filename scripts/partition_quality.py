@@ -1,11 +1,14 @@
 """Partition-quality comparison: deep multilevel extension vs rb-at-coarsest
-(VERDICT r1 item 5) on the transcript-derived graph.
+(VERDICT r1 item 5, extended per VERDICT r2 item 6) on the transcript-derived
+graph.
 
-Runs Partitioner(scheme="deep") and Partitioner(scheme="rb") at k in
-{8, 16} on the sf0.01 transcript graph and writes a markdown table with
-edge-cut, imbalance, and feasibility to BENCH/PARTITION_QUALITY.md.
+Runs Partitioner(scheme="deep") and Partitioner(scheme="rb") over a grid of
+(sf_dir, k) cells and writes a markdown table with edge-cut, imbalance, and
+feasibility to BENCH/PARTITION_QUALITY.md. Non-power-of-2 k exercises the
+final_k/split_integral extension bookkeeping.
 
-Usage: python scripts/partition_quality.py [sf_dir]
+Usage: python scripts/partition_quality.py [sf_dir:k1,k2 ...]
+Default grid: sf0.01:6,8,16 sf0.1:16,64
 """
 
 from __future__ import annotations
@@ -17,56 +20,78 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
+DEFAULT_GRID = [
+    ("/root/testdata/sf0.01", [6, 8, 16]),
+    ("/root/testdata/sf0.1", [16, 64]),
+]
+
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    if len(sys.argv) > 1:
+        grid = []
+        for spec in sys.argv[1:]:
+            sf_dir, ks = spec.split(":")
+            grid.append((sf_dir, [int(k) for k in ks.split(",")]))
+    else:
+        grid = DEFAULT_GRID
 
     from kaminpar_spark.plans.partitioner import Partitioner
     from kaminpar_spark.session import get_spark
     from kaminpar_spark.sources.transcripts import synth_transcripts, transcript_graph
 
     spark = get_spark("partition_quality", cores=16, shuffle_partitions=16)
-    n_convs = spark.read.parquet(f"{sf_dir}/orders.parquet").count()
-    t = synth_transcripts(spark, n_convs)
-    g, _ = transcript_graph(t, n_convs, stable_ids=False, num_partitions=16)
-    n, m = g.num_nodes(), g.num_half_edges()
-
     rows = []
-    for k in (8, 16):
-        for scheme in ("deep", "rb"):
-            t0 = time.time()
-            res = Partitioner(
-                g, spark, contraction_limit=400, seed=42, scheme=scheme
-            ).partition(k, epsilon=0.03)
-            wall = time.time() - t0
-            rows.append(
-                {
-                    "k": k,
-                    "scheme": scheme,
-                    "cut": res.cut,
-                    "imbalance": round(res.imbalance, 4),
-                    "feasible": res.feasible,
-                    "wall_sec": round(wall, 1),
-                }
-            )
-            print(rows[-1], flush=True)
+    sizes = {}
+    for sf_dir, ks in grid:
+        n_convs = spark.read.parquet(f"{sf_dir}/orders.parquet").count()
+        t = synth_transcripts(spark, n_convs)
+        g, _ = transcript_graph(t, n_convs, stable_ids=False, num_partitions=16)
+        g.nodes.persist()
+        g.edges.persist()
+        sf = os.path.basename(sf_dir.rstrip("/"))
+        sizes[sf] = (g.num_nodes(), g.num_half_edges())
+        for k in ks:
+            for scheme in ("deep", "rb"):
+                t0 = time.time()
+                res = Partitioner(
+                    g, spark, contraction_limit=400, seed=42, scheme=scheme
+                ).partition(k, epsilon=0.03)
+                wall = time.time() - t0
+                rows.append(
+                    {
+                        "sf": sf,
+                        "k": k,
+                        "scheme": scheme,
+                        "cut": res.cut,
+                        "imbalance": round(res.imbalance, 4),
+                        "feasible": res.feasible,
+                        "wall_sec": round(wall, 1),
+                    }
+                )
+                print(rows[-1], flush=True)
+        g.nodes.unpersist()
+        g.edges.unpersist()
 
+    size_lines = [
+        f"{sf}: {n:,} nodes, {m:,} half-edges" for sf, (n, m) in sizes.items()
+    ]
     md = [
         "# Partition quality: deep multilevel extension vs rb-at-coarsest",
         "",
-        f"Transcript graph at {sf_dir} ({n:,} nodes, {m:,} half-edges),",
+        "Transcript graphs (" + "; ".join(size_lines) + "),",
         "contraction_limit=400, epsilon=0.03, seed=42. `deep` bisects the",
         "coarsest graph to k'=2^ceil(log2(n/C)) and extends per uncoarsening",
         "level with refinement at every intermediate k (the reference's deep",
-        "multilevel schedule); `rb` bisects to the final k at the coarsest",
-        "graph (round-1 behavior).",
+        "multilevel schedule, with per-block final_k/split_integral extension",
+        "bookkeeping — k=6 exercises the non-power-of-2 path); `rb` bisects to",
+        "the final k at the coarsest graph (round-1 behavior).",
         "",
-        "| k | scheme | edge cut | imbalance | feasible | wall (s) |",
-        "|---|---|---|---|---|---|",
+        "| sf | k | scheme | edge cut | imbalance | feasible | wall (s) |",
+        "|---|---|---|---|---|---|---|",
     ]
     for r in rows:
         md.append(
-            f"| {r['k']} | {r['scheme']} | {r['cut']:,} | {r['imbalance']} "
+            f"| {r['sf']} | {r['k']} | {r['scheme']} | {r['cut']:,} | {r['imbalance']} "
             f"| {r['feasible']} | {r['wall_sec']} |"
         )
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)

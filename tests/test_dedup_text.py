@@ -257,6 +257,22 @@ def test_ivf_topk_finds_near_dup_and_matches_brute_force_on_probed_cells(spark, 
     assert part and part[0]["nn_id"] == 1
 
 
+def test_synth_documents_plants_dups_and_is_deterministic(spark):
+    from kaminpar_spark.sources.corpus import synth_documents
+
+    d = synth_documents(spark, 300)
+    rows = {r["doc_id"]: r["text"] for r in d.collect()}
+    assert len(rows) == 300
+    assert rows[1] == rows[0] and rows[98] == rows[97]  # i % 97 == 1 copies i-1
+    assert rows[2] != rows[1]
+    assert rows == {r["doc_id"]: r["text"] for r in synth_documents(spark, 300).collect()}
+    # the dedup pipeline must recover a planted pair as a candidate
+    sh = dedup.shingles(d, portable=True)
+    sigs = dedup.minhash_signatures(sh, num_hashes=32)
+    pairs = {(r["id_a"], r["id_b"]) for r in dedup.lsh_candidate_pairs(sigs, bands=8).collect()}
+    assert (0, 1) in pairs
+
+
 def test_clean_corpus_pipeline(spark):
     from kaminpar_spark.functions.pipeline import clean_corpus
 
