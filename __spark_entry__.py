@@ -433,6 +433,45 @@ def _q_ivf_recall(spark, sf_dir):
     return _recall_df(exact, approx)
 
 
+def _q_pii_scrub(spark, sf_dir):
+    """PII redaction over documents augmented with deterministic synthetic
+    PII (the raw corpus is PII-free word salad, so the augmentation is what
+    makes the oracle actually exercise the email/IP/phone patterns)."""
+    from kaminpar_spark.functions.text import pii_scrub
+
+    docs = _load(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    aug = docs.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.lit(" reach user"), d.cast("string"),
+            F.lit("@ex"), (d % 5).cast("string"),
+            F.lit(".org at 10."), (d % 200).cast("string"),
+            F.lit("."), (d % 50).cast("string"),
+            F.lit("."), (d % 9).cast("string"),
+            F.lit(" or +1 555 0"), F.lpad((d % 1000).cast("string"), 3, "0"),
+        ),
+    )
+    return pii_scrub(aug)
+
+
+def _q_repetition_stats(spark, sf_dir):
+    from kaminpar_spark.functions.text import repetition_stats
+
+    return repetition_stats(_load(spark, sf_dir, "documents"))
+
+
+def _q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: docs sharing any 5-gram with the synthetic
+    'eval set' (doc_id % 50 == 0) are dropped; survivors listed."""
+    from kaminpar_spark.functions.dedup import decontaminate
+
+    docs = _load(spark, sf_dir, "documents")
+    ev = docs.where(F.col("doc_id") % 50 == 0)
+    return decontaminate(docs, ev, n=5).select("doc_id")
+
+
 def _q_clean_corpus(spark, sf_dir):
     """End-to-end corpus cleaning: exact dedup + token-count + stopword-ratio
     gates, composed from the verified primitives (one declarative plan)."""
@@ -599,6 +638,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "block_weights_mod4": _q_block_weights_mod4,
         "dedup_exact": _q_dedup_exact,
         "clean_corpus": _q_clean_corpus,
+        "pii_scrub": _q_pii_scrub,
+        "repetition_stats": _q_repetition_stats,
+        "decontaminate": _q_decontaminate,
         "token_counts": _q_token_counts,
         "text_quality": _q_text_quality,
         "embedding_topk": _q_embedding_topk,
@@ -1062,6 +1104,58 @@ pairs AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b,
 SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= {SIMHASH_MAXHAM}"""
 
 
+def _pii_scrub_sql() -> str:
+    """DuckDB twin of pii_scrub over the same deterministic augmentation.
+    The patterns use only character classes + bounded repetition, which Java
+    regex (Spark) and RE2 (DuckDB) interpret identically."""
+    from kaminpar_spark.functions.text import PII_EMAIL, PII_IPV4, PII_PHONE
+
+    return f"""
+WITH aug AS (SELECT doc_id, text || ' reach user' || CAST(doc_id AS VARCHAR)
+  || '@ex' || CAST(doc_id % 5 AS VARCHAR) || '.org at 10.'
+  || CAST(doc_id % 200 AS VARCHAR) || '.' || CAST(doc_id % 50 AS VARCHAR)
+  || '.' || CAST(doc_id % 9 AS VARCHAR) || ' or +1 555 0'
+  || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') AS t FROM documents),
+s1 AS (SELECT doc_id,
+       CAST(len(regexp_extract_all(t, '{PII_EMAIL}')) AS BIGINT) AS n_emails,
+       regexp_replace(t, '{PII_EMAIL}', '<EMAIL>', 'g') AS t FROM aug),
+s2 AS (SELECT doc_id, n_emails,
+       CAST(len(regexp_extract_all(t, '{PII_IPV4}')) AS BIGINT) AS n_ips,
+       regexp_replace(t, '{PII_IPV4}', '<IP>', 'g') AS t FROM s1)
+SELECT doc_id, n_emails, n_ips,
+       CAST(len(regexp_extract_all(t, '{PII_PHONE}')) AS BIGINT) AS n_phones,
+       regexp_replace(t, '{PII_PHONE}', '<PHONE>', 'g') AS scrubbed
+FROM s2"""
+
+
+_REPETITION_SQL = """
+WITH toks AS (SELECT doc_id AS id, string_split(text, ' ') AS w FROM documents),
+idx AS (SELECT id, w, unnest(range(greatest(len(w) - 1, 1))) AS i FROM toks),
+grams AS (SELECT id, array_to_string(array_slice(w, i + 1, i + 2), ' ') AS gram
+          FROM idx WHERE array_to_string(array_slice(w, i + 1, i + 2), ' ') <> ''),
+per AS (SELECT id, gram, count(*) AS c FROM grams GROUP BY id, gram)
+SELECT id AS doc_id,
+       CAST(sum(c) AS BIGINT) AS n_bigrams,
+       CAST(max(c) AS BIGINT) AS top_bigram_count,
+       round(CAST(max(c) AS DOUBLE) / sum(c), 6) AS top_bigram_frac
+FROM per GROUP BY id"""
+
+
+def _decontaminate_sql() -> str:
+    from kaminpar_spark.functions.hashing import char_poly_hash_sql
+
+    gh = char_poly_hash_sql("gram")
+    return f"""
+WITH toks AS (SELECT doc_id AS id, string_split(lower(text), ' ') AS w FROM documents),
+idx AS (SELECT id, w, unnest(range(greatest(len(w) - 4, 1))) AS i FROM toks),
+grams AS (SELECT DISTINCT id, array_to_string(array_slice(w, i + 1, i + 5), ' ') AS gram
+          FROM idx WHERE array_to_string(array_slice(w, i + 1, i + 5), ' ') <> ''),
+sh AS MATERIALIZED (SELECT DISTINCT id, {gh} AS h FROM grams),
+ev AS (SELECT DISTINCT h FROM sh WHERE id % 50 = 0),
+bad AS (SELECT DISTINCT sh.id FROM sh JOIN ev ON sh.h = ev.h)
+SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT id FROM bad)"""
+
+
 def _fingerprints_sql() -> str:
     from kaminpar_spark.functions.hashing import char_poly_hash_sql
 
@@ -1488,6 +1582,9 @@ FROM documents""",
         "lsh_topk": _lsh_topk_sql(),
         "ivf_topk": _ivf_topk_sql(),
         "fingerprints": _fingerprints_sql(),
+        "pii_scrub": _pii_scrub_sql(),
+        "repetition_stats": _REPETITION_SQL,
+        "decontaminate": _decontaminate_sql(),
         "media_features": _media_features_sql(),
         "embedding_near_dups": _embedding_near_dups_sql(),
         "frame_sample_plan": _FRAME_SAMPLE_SQL,

@@ -436,3 +436,35 @@ def simhash128_near_pairs(
         )
         pairs = pairs.unionByName(ident)
     return pairs.distinct().where(F.col("hamming") <= max_hamming)
+
+
+def decontaminate(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    n: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination: drop every training document that shares at
+    least one word ``n``-gram with the evaluation corpus (the standard
+    n-gram-overlap contamination rule used when preparing LLM training data).
+
+    Scale shape: the eval side is a benchmark — tiny by construction — so its
+    distinct shingle-hash set is broadcast; the training side streams through
+    a broadcast left-semi probe (no shuffle of the corpus) and the surviving
+    ids anti-join back. Portable polynomial shingle hashes keep the operation
+    reproducible in the DuckDB oracle; at 10^12 docs swap portable=False for
+    xxhash64 shingles on both sides."""
+    train_sh = shingles(docs, id_col, text_col, n=n, portable=True)
+    eval_sh = (
+        shingles(eval_docs, id_col, text_col, n=n, portable=True)
+        .select("shingle_hash")
+        .distinct()
+    )
+    contaminated = (
+        train_sh.join(F.broadcast(eval_sh), "shingle_hash", "left_semi")
+        .select("id")
+        .distinct()
+        .withColumnRenamed("id", id_col)
+    )
+    return docs.join(contaminated, id_col, "left_anti")

@@ -97,3 +97,64 @@ def fingerprints_fast(docs: DataFrame, id_col: str = "doc_id", text_col: str = "
     oracle-reproducible."""
     norm = F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")
     return docs.select(F.col(id_col), F.xxhash64(norm).alias("fingerprint"))
+
+
+# Portable PII patterns: plain character classes + bounded repetition only,
+# valid in both Java regex (Spark) and RE2 (DuckDB) with identical semantics.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+PII_PHONE = r"\+?[0-9][0-9()\- ]{6,}[0-9]"
+
+
+def pii_scrub(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(doc_id, n_emails, n_ips, n_phones, scrubbed) — redact emails, IPv4
+    addresses, and phone-like digit runs with <EMAIL>/<IP>/<PHONE> tokens and
+    count each redaction. Order matters (email before IP before phone, so a
+    phone match can never eat an address already redacted); all JVM-side
+    regexp_replace / regexp_extract_all — one narrow map, no shuffle."""
+    t = F.col(text_col)
+    n_emails = F.size(F.regexp_extract_all(t, F.lit(PII_EMAIL), F.lit(0)))
+    after_email = F.regexp_replace(t, PII_EMAIL, "<EMAIL>")
+    n_ips = F.size(F.regexp_extract_all(after_email, F.lit(PII_IPV4), F.lit(0)))
+    after_ip = F.regexp_replace(after_email, PII_IPV4, "<IP>")
+    n_phones = F.size(F.regexp_extract_all(after_ip, F.lit(PII_PHONE), F.lit(0)))
+    scrubbed = F.regexp_replace(after_ip, PII_PHONE, "<PHONE>")
+    return docs.select(
+        F.col(id_col),
+        n_emails.cast("long").alias("n_emails"),
+        n_ips.cast("long").alias("n_ips"),
+        n_phones.cast("long").alias("n_phones"),
+        scrubbed.alias("scrubbed"),
+    )
+
+
+def repetition_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(doc_id, n_bigrams, top_bigram_count, top_bigram_frac) — within-document
+    repetition signal (C4/Gopher-style): the share of word bigrams taken by the
+    single most frequent bigram. High values flag boilerplate/templated text.
+
+    Scale shape: explode bigrams -> count per (doc, bigram) -> max per doc;
+    both aggregations hash-aggregate with map-side partial combine, and the
+    bigram key space is bounded by document length (a conversation-sized
+    partition), so no skew beyond the document's own size."""
+    toks = _tokens(text_col)
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - 2, F.lit(0)))
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 2)))
+    per = (
+        docs.select(F.col(id_col).alias("id"), F.explode(grams).alias("gram"))
+        .where(F.col("gram") != "")
+        .groupBy("id", "gram")
+        .count()
+    )
+    agg = per.groupBy("id").agg(
+        F.sum("count").cast("long").alias("n_bigrams"),
+        F.max("count").cast("long").alias("top_bigram_count"),
+    )
+    return agg.select(
+        F.col("id").alias(id_col),
+        "n_bigrams",
+        "top_bigram_count",
+        F.round(F.col("top_bigram_count") / F.col("n_bigrams"), 6).alias(
+            "top_bigram_frac"
+        ),
+    )

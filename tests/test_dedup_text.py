@@ -257,6 +257,57 @@ def test_ivf_topk_finds_near_dup_and_matches_brute_force_on_probed_cells(spark, 
     assert part and part[0]["nn_id"] == 1
 
 
+def test_pii_scrub_redacts_and_counts(spark):
+    rows = [
+        (0, "mail me at bob.smith+x@corp.example.com thanks"),
+        (1, "server 192.168.0.1 and backup 10.0.0.255 up"),
+        (2, "call +1 555 123-4567 today"),
+        (3, "nothing sensitive here at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in text.pii_scrub(df).collect()}
+    assert (got[0]["n_emails"], got[0]["n_ips"], got[0]["n_phones"]) == (1, 0, 0)
+    assert got[0]["scrubbed"] == "mail me at <EMAIL> thanks"
+    assert (got[1]["n_ips"], got[1]["n_emails"]) == (2, 0)
+    assert got[1]["scrubbed"] == "server <IP> and backup <IP> up"
+    assert got[2]["n_phones"] == 1 and "<PHONE>" in got[2]["scrubbed"]
+    assert got[3]["scrubbed"] == rows[3][1]
+    assert (got[3]["n_emails"], got[3]["n_ips"], got[3]["n_phones"]) == (0, 0, 0)
+
+
+def test_repetition_stats_flags_boilerplate(spark):
+    rows = [(0, "a b a b a b"), (1, "u v w x y z")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in text.repetition_stats(df).collect()}
+    # bigrams of doc 0: "a b" x3, "b a" x2
+    assert got[0]["n_bigrams"] == 5 and got[0]["top_bigram_count"] == 3
+    assert got[0]["top_bigram_frac"] == 0.6
+    assert got[1]["top_bigram_count"] == 1
+
+
+def test_decontaminate_drops_ngram_overlap(spark):
+    train = spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps over the lazy dog tonight"),
+            (1, "completely unrelated training text with fresh tokens only"),
+            (2, "quick brown fox jumps over nothing else matters here"),
+        ],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over a fence")],
+        "doc_id long, text string",
+    )
+    kept = {r["doc_id"] for r in dedup.decontaminate(train, ev, n=5).collect()}
+    # doc 0 shares 'the quick brown fox jumps' (and more); doc 2 shares
+    # 'quick brown fox jumps over'; doc 1 is clean
+    assert kept == {1}
+    # at n=7 the longest shared run ('the quick brown fox jumps over', 6
+    # words) no longer spans a full shingle — everything is kept
+    kept7 = {r["doc_id"] for r in dedup.decontaminate(train, ev, n=7).collect()}
+    assert kept7 == {0, 1, 2}
+
+
 def test_synth_documents_plants_dups_and_is_deterministic(spark):
     from kaminpar_spark.sources.corpus import synth_documents
 
