@@ -38,22 +38,55 @@ def _first_seen_fn(key, pdfs: Iterator[pd.DataFrame], state) -> Iterator[pd.Data
     yield pd.DataFrame({"fingerprint": [key[0]], "doc_id": [min_id]})
 
 
-def streaming_dedup_first_seen(docs: DataFrame) -> DataFrame:
+def _first_seen_ttl_fn(ttl_ms: int):
+    def fn(key, pdfs: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        n_batch = 0
+        min_id = None
+        for pdf in pdfs:
+            n_batch += len(pdf)
+            m = int(pdf["doc_id"].min())
+            min_id = m if min_id is None else min(min_id, m)
+        if state.exists:
+            (n_seen,) = state.get
+            state.update((n_seen + n_batch,))
+            state.setTimeoutDuration(ttl_ms)  # sliding TTL: refresh on sight
+            return
+        state.update((n_batch,))
+        state.setTimeoutDuration(ttl_ms)
+        yield pd.DataFrame({"fingerprint": [key[0]], "doc_id": [min_id]})
+
+    return fn
+
+
+def streaming_dedup_first_seen(docs: DataFrame, ttl_ms: int | None = None) -> DataFrame:
     """Cross-microbatch exact dedup over a streaming (doc_id, fingerprint)
     frame: emit each fingerprint's first occurrence (min doc_id within the
     first batch it appears in) exactly once; every later duplicate — in the
     same batch or any later one — only bumps the per-key count in state.
 
-    Append output mode, no timeout: dedup state is permanent by design (the
-    whole point is remembering every fingerprint ever ingested). For bounded
-    state one would add a TTL timeout and accept re-emission after expiry.
+    ``ttl_ms=None`` (default) keeps state forever — the strict semantics
+    (remember every fingerprint ever ingested), sized for a RocksDB state
+    backend. With ``ttl_ms`` set, keys idle for longer than the TTL are
+    evicted via a processing-time timeout (sliding: every sighting refreshes
+    it), bounding state at the cost of re-emitting a fingerprint whose entry
+    expired — the standard dedup-window trade at 100 TB/day ingest rates.
+    Eviction fires on the first microbatch after expiry in which the key is
+    absent; a key that reappears in the same batch its state expired still
+    reads the stale entry and is suppressed (Spark's timeout contract).
     """
     from pyspark.sql.streaming.state import GroupStateTimeout
 
+    if ttl_ms is None:
+        fn, conf = _first_seen_fn, GroupStateTimeout.NoTimeout
+    else:
+        fn, conf = _first_seen_ttl_fn(ttl_ms), GroupStateTimeout.ProcessingTimeTimeout
     return docs.groupBy("fingerprint").applyInPandasWithState(
-        _first_seen_fn,
+        fn,
         outputStructType=FIRST_SEEN_OUTPUT,
         stateStructType=FIRST_SEEN_STATE,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=conf,
     )

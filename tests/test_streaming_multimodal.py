@@ -174,6 +174,52 @@ def test_streaming_dedup_first_seen_across_batches(spark, tmp_path):
     assert len(rows) == 3
 
 
+def test_streaming_dedup_ttl_evicts_and_reemits(spark, tmp_path):
+    """With a 1 ms TTL, a fingerprint whose state expires while ABSENT from a
+    microbatch is evicted and re-emitted on its next appearance; a fresh
+    fingerprint in between is unaffected."""
+    import os
+    import time
+
+    from kaminpar_spark.streaming.stateful import streaming_dedup_first_seen
+
+    in_dir = tmp_path / "docs"
+    in_dir.mkdir()
+    batches = [
+        [(10, 100)],            # b1: A emitted, state created
+        [(20, 200)],            # b2: A absent + expired -> evicted; B emitted
+        [(30, 100)],            # b3: A reappears -> re-emitted with doc_id 30
+    ]
+    now = time.time()
+    for i, rows in enumerate(batches, 1):
+        spark.createDataFrame(rows, "doc_id long, fingerprint long").coalesce(
+            1
+        ).write.parquet(str(in_dir / f"b{i}"))
+        for f in (in_dir / f"b{i}").iterdir():
+            os.utime(f, (now - 60 + i, now - 60 + i))
+
+    stream = (
+        spark.readStream.schema("doc_id long, fingerprint long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(in_dir) + "/*")
+    )
+    out = streaming_dedup_first_seen(stream, ttl_ms=1)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dedup_ttl_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "chk_ttl"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = [
+        (r["fingerprint"], r["doc_id"])
+        for r in spark.sql("SELECT * FROM dedup_ttl_out ORDER BY doc_id").collect()
+    ]
+    assert got == [(100, 10), (200, 20), (100, 30)]
+
+
 def test_streaming_ingest_to_pagerank_end_to_end(spark, tmp_path):
     """Lambda pattern end to end: stream transcripts -> edge deltas ->
     compacted snapshot -> PageRank; must equal PageRank over the batch ETL
