@@ -409,6 +409,7 @@ def recursive_bisect(
     k_final: int | None = None,
     total_weight_root: int | None = None,
     final_k: int | None = None,
+    multilevel: bool = True,
 ) -> np.ndarray:
     """Recursive bisection to k blocks (helper.cc:87-176
     extend_partition_recursive). ``final_k`` (>= k) is how many of the FINAL
@@ -417,7 +418,11 @@ def recursive_bisect(
     exactly like the reference's InitialPartitioner(final_k)
     (initial_partitioning_facade.h:28-38, context.cc:370-393), and each
     recursion side carries (k_i, final_k_i). With final_k == k (the default)
-    this reduces to plain bisection toward k."""
+    this reduces to plain bisection toward k.
+
+    ``multilevel=True`` (default, the reference's behavior) runs each
+    bisection through the sequential multilevel pipeline (E6/E7,
+    multilevel_bipartition); False bisects the graph flat (pool only)."""
     final_k = final_k or k
     k_final = k_final or final_k
     total_weight_root = total_weight_root or g.total_weight
@@ -429,7 +434,8 @@ def recursive_bisect(
     )
     fk1, fk2 = split_integral(final_k)
     k1, k2 = split_integral(k)
-    part = pool_bipartition(g, eps_prime, seed=seed, ratio=(fk1, fk2))
+    bipartition = multilevel_bipartition if multilevel else pool_bipartition
+    part = bipartition(g, eps_prime, seed=seed, ratio=(fk1, fk2))
     if k1 == 1 and k2 == 1:
         return part
     out = np.zeros(g.n, dtype=np.int64)
@@ -451,10 +457,143 @@ def recursive_bisect(
         sub_part = recursive_bisect(
             sub, k_side, epsilon, seed=seed + offset + 1,
             k_final=k_final, total_weight_root=total_weight_root,
-            final_k=fk_side,
+            final_k=fk_side, multilevel=multilevel,
         )
         out[members] = offset + sub_part
     return out
+
+
+# ---- E6/E7: sequential initial coarsener + graph hierarchy --------------
+#
+# The reference never pool-bipartitions a large graph directly: each
+# InitialPartitioner call first coarsens its subgraph SEQUENTIALLY with a
+# lock-based LP clustering (initial_coarsener.cc:30-137) down to ~20 nodes,
+# bipartitions the tiny coarsest graph, then pops the hierarchy
+# (sequential_graph_hierarchy.cc:6-45) projecting + 2-way-FM-refining at
+# every level (initial_partitioning_facade.h:47-110). Same here, in numpy —
+# the graphs are already driver-sized (the coarsest distributed graph or an
+# extend_partition block), so this is a per-call micro-multilevel, not a
+# distributed stage.
+
+IP_CONTRACTION_LIMIT = 20  # i_ctx.coarsening.contraction_limit (context.cc:304)
+IP_CONVERGENCE_THRESHOLD = 0.05  # context.cc:305
+IP_CLUSTER_WEIGHT_MULTIPLIER = 1.0 / 12.0  # BLOCK_WEIGHT x 1/12 (context.cc:306-307)
+
+
+def lp_cluster_seq(
+    g: SmallGraph, max_cluster_weight: int, rng: np.random.Generator
+) -> tuple[np.ndarray, int]:
+    """One sequential LP clustering pass (initial_coarsener.cc:92-137).
+    Returns (leader, moves). Visit nodes in a shuffled order; an unlocked
+    node joins the neighboring cluster with the largest incident edge weight
+    that stays under ``max_cluster_weight`` (ties broken by coin flip,
+    pick_cluster_from_rating_map initial_coarsener.cc:71-90), locking the
+    chosen leader. Leader values are fixpoints: a stored leader is its own
+    leader and locked, so chains never exceed depth one."""
+    leader = np.arange(g.n, dtype=np.int64)
+    cweight = g.nweights.astype(np.int64).copy()
+    locked = np.zeros(g.n, dtype=bool)
+    moves = 0
+    for u in rng.permutation(g.n):
+        if locked[u]:
+            continue
+        nbrs, ws = g.neighbors(u)
+        if len(nbrs) == 0:
+            continue
+        ratings: dict[int, int] = {}
+        for v, w in zip(nbrs, ws):
+            c = int(leader[v])
+            ratings[c] = ratings.get(c, 0) + int(w)
+        uw = int(g.nweights[u])
+        best, best_gain = u, 0
+        for c, gain in ratings.items():
+            if c == u:
+                continue
+            if (gain > best_gain or (gain == best_gain and best != u and rng.random() < 0.5)) \
+                    and cweight[c] + uw <= max_cluster_weight:
+                best, best_gain = c, gain
+        if best != u:
+            leader[u] = best
+            locked[best] = True
+            cweight[best] += uw
+            moves += 1
+    return leader, moves
+
+
+def contract_clustering(g: SmallGraph, leader: np.ndarray) -> tuple[SmallGraph, np.ndarray]:
+    """Contract a leader clustering: (coarse graph, node mapping fine->coarse)
+    (initial_coarsener.cc:139-267 contract_current_clustering; coarse ids are
+    dense but in sorted-leader order rather than first-appearance order — an
+    id relabeling only, partition semantics unchanged)."""
+    leaders, mapping = np.unique(leader, return_inverse=True)
+    c_n = len(leaders)
+    c_nw = np.bincount(mapping, weights=g.nweights, minlength=c_n).astype(np.int64)
+    src_rep = np.repeat(np.arange(g.n), np.diff(g.indptr))
+    c_src, c_dst = mapping[src_rep], mapping[g.indices]
+    keep = c_src != c_dst  # drop intra-cluster edges
+    key = c_src[keep] * c_n + c_dst[keep]
+    uniq, inv = np.unique(key, return_inverse=True)
+    w = np.zeros(len(uniq), dtype=np.int64)
+    np.add.at(w, inv, g.eweights[keep])
+    return (
+        SmallGraph.from_edges(c_n, uniq // c_n, uniq % c_n, w, c_nw),
+        mapping,
+    )
+
+
+def multilevel_bipartition(
+    g: SmallGraph,
+    epsilon: float,
+    seed: int = 42,
+    repetitions: int = 4,
+    ratio: tuple[int, int] = (1, 1),
+) -> np.ndarray:
+    """Sequential multilevel bipartitioning (E6+E7): LP-coarsen to
+    ~IP_CONTRACTION_LIMIT nodes under the BLOCK_WEIGHT/12 cluster cap
+    (compute_max_cluster_weight context.cc:395-416 with the bipartition
+    context's k=2), pool-bipartition the coarsest graph, then pop the
+    hierarchy with projection + 2-way FM per level. Falls back to the flat
+    pool result if the multilevel one ends infeasible where flat is better
+    (select_best ordering, helper.h:77-104)."""
+    if g.n == 0:
+        return np.zeros(0, dtype=np.int64)
+    rng = np.random.default_rng(seed ^ 0x9E3779B9)
+    max_cw = int(IP_CLUSTER_WEIGHT_MULTIPLIER * (1 + epsilon) * g.total_weight / 2)
+    hierarchy: list[tuple[SmallGraph, np.ndarray]] = []
+    cur = g
+    while cur.n > IP_CONTRACTION_LIMIT:
+        leader, moves = lp_cluster_seq(cur, max_cw, rng)
+        c_n = cur.n - moves
+        if (1.0 - c_n / cur.n) <= IP_CONVERGENCE_THRESHOLD:
+            break  # converged: not shrinking (facade coarsen loop, :77-90)
+        cg, mapping = contract_clustering(cur, leader)
+        hierarchy.append((cur, mapping))
+        cur = cg
+    part = pool_bipartition(cur, epsilon, seed=seed, repetitions=repetitions, ratio=ratio)
+
+    k1, k2 = ratio
+    slack = int(g.nweights.max(initial=1))
+    caps = tuple(
+        max(
+            (1 + epsilon) * math.ceil(g.total_weight * ks / (k1 + k2)),
+            math.ceil(g.total_weight * ks / (k1 + k2)) + slack,
+        )
+        for ks in (k1, k2)
+    )
+    for fine, mapping in reversed(hierarchy):
+        part = part[mapping]
+        part = fm_refine_2way(fine, part, caps, rng=rng)
+
+    if hierarchy:
+        bw = _block_weights(g, part)
+        infeasible = int(max(0, bw[0] - caps[0]) + max(0, bw[1] - caps[1]))
+        if infeasible > 0:
+            flat = pool_bipartition(g, epsilon, seed=seed, repetitions=repetitions, ratio=ratio)
+            fbw = _block_weights(g, flat)
+            f_inf = int(max(0, fbw[0] - caps[0]) + max(0, fbw[1] - caps[1]))
+            if (f_inf, cut_of(g, flat)) < (infeasible, cut_of(g, part)):
+                return flat
+    return part
 
 
 def best_of_bisections(

@@ -133,3 +133,74 @@ def test_weighted_feasibility():
     bw = np.bincount(part, weights=g.nweights, minlength=2)
     # max block weight rule relaxed by max node weight for weighted graphs
     assert bw.max() <= max((1 + 0.1) * 8, 8 + 8)
+
+
+# ---- E6/E7: sequential coarsener + hierarchy --------------------------------
+
+
+def planted_two_cliques(size: int):
+    """Two cliques of ``size`` nodes joined by one edge — planted optimum 1."""
+    e = []
+    for base in (0, size):
+        e += [
+            (base + u, base + v)
+            for u in range(size)
+            for v in range(u + 1, size)
+        ]
+    e.append((0, size))
+    src = np.array([a for a, b in e] + [b for a, b in e])
+    dst = np.array([b for a, b in e] + [a for a, b in e])
+    n = 2 * size
+    return SmallGraph.from_edges(
+        n, src, dst, np.ones(len(src), dtype=np.int64), np.ones(n, dtype=np.int64)
+    )
+
+
+def test_lp_cluster_seq_respects_cap_and_shrinks():
+    from kaminpar_spark.plans.initial import lp_cluster_seq
+
+    g = planted_two_cliques(16)
+    rng = np.random.default_rng(3)
+    leader, moves = lp_cluster_seq(g, max_cluster_weight=4, rng=rng)
+    assert moves > 0  # dense graph must shrink
+    # leader values are fixpoints (depth-one chains resolved at read time)
+    assert np.array_equal(leader[leader], leader)
+    sizes = np.bincount(leader, weights=g.nweights, minlength=g.n)
+    assert sizes.max() <= 4  # cluster cap respected
+
+
+def test_contract_clustering_preserves_weight_and_cut():
+    from kaminpar_spark.plans.initial import contract_clustering, lp_cluster_seq
+
+    g = planted_two_cliques(12)
+    rng = np.random.default_rng(11)
+    leader, _ = lp_cluster_seq(g, max_cluster_weight=6, rng=rng)
+    cg, mapping = contract_clustering(g, leader)
+    assert cg.total_weight == g.total_weight
+    assert cg.n == len(np.unique(leader))
+    # any coarse partition projects to a fine partition with the SAME cut
+    rng2 = np.random.default_rng(5)
+    cpart = rng2.integers(0, 2, size=cg.n)
+    assert cut_of(cg, cpart) == cut_of(g, cpart[mapping])
+
+
+def test_multilevel_bipartition_finds_planted_cut():
+    from kaminpar_spark.plans.initial import multilevel_bipartition
+
+    g = planted_two_cliques(24)  # n=48 > IP_CONTRACTION_LIMIT: coarsening runs
+    part = multilevel_bipartition(g, epsilon=0.03, seed=42)
+    bw = np.bincount(part, weights=g.nweights, minlength=2)
+    assert bw.max() <= (1 + 0.03) * 24 + 1
+    assert cut_of(g, part) == 1  # the planted single-edge cut
+    # never worse than the flat pool on the same graph
+    flat = pool_bipartition(g, epsilon=0.03, seed=42)
+    assert cut_of(g, part) <= cut_of(g, flat)
+
+
+def test_recursive_bisect_multilevel_ring():
+    g = ring(64)
+    labels = recursive_bisect(g, 4, epsilon=0.03, seed=42, multilevel=True)
+    assert set(np.unique(labels)) == {0, 1, 2, 3}
+    bw = np.bincount(labels, weights=g.nweights, minlength=4)
+    assert bw.max() <= (1 + 0.03) * 16 + 1
+    assert 4 <= cut_of(g, labels) <= 8
