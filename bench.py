@@ -127,10 +127,20 @@ def main():
         emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
         lsh_topk(
             emb, emb.where(F2.col("vec_id") < 50), k=10, num_planes=8, dim=64,
-            probe_flips=6, num_tables=8,  # the shipped multi-table config
         ).count()
         queries["lsh_ann_topk"] = round(time.time() - t0, 3)
         _phase("lsh ann done")
+
+        # recall-tuned config (8 tables x 6-flip multi-probe): ~8x the probe
+        # work of the single-table line above, bought for recall@10 0.5 vs
+        # 0.0 single-probe at sf0.01 (driver query lsh_recall measures it)
+        t0 = time.time()
+        lsh_topk(
+            emb, emb.where(F2.col("vec_id") < 50), k=10, num_planes=8, dim=64,
+            probe_flips=6, num_tables=8,
+        ).count()
+        queries["lsh_ann_multiprobe"] = round(time.time() - t0, 3)
+        _phase("lsh ann multiprobe done")
 
     supersteps = pr_iters + lpa_iters
     kernel_sec = pr_sec + lpa_sec

@@ -100,12 +100,28 @@ def minhash_signatures(
     )
 
 
-def lsh_candidate_pairs(sigs: DataFrame, bands: int = 16) -> DataFrame:
+def lsh_candidate_pairs(
+    sigs: DataFrame, bands: int = 16, max_bucket_size: int | None = None
+) -> DataFrame:
     """(id_a, id_b) candidate near-dup pairs: split signatures into bands,
     bucket-join on (band, band_key). Scale path: no all-pairs comparison —
     the join key is the banded signature slice, hub buckets are bounded by
     band width. The band key is the comma-joined slice (portable across
-    engines; at 100 TB wrap it in xxhash64 to shrink the shuffle key)."""
+    engines; at 100 TB wrap it in xxhash64 to shrink the shuffle key).
+
+    ``max_bucket_size`` is the skew circuit breaker (same contract as
+    simhash128_near_pairs): a (band, band_key) bucket larger than the cap is
+    excluded from the band self-join — a boilerplate cluster of s
+    near-identical documents otherwise lands its s^2/bands join work in ONE
+    task per band, which is exactly the single-task hotspot that killed a
+    measured local[2]->local[8] scaling run (0.59 efficiency at 670M
+    candidate pairs from 2M docs). Completeness for the dominant cause of
+    oversized buckets — identical signatures — is restored by a linear
+    equality self-join on the FULL signature; pairs whose every shared band
+    bucket is oversized and whose signatures differ are the documented
+    recall trade at the cap. (At corpus scale the all-pairs OUTPUT of a
+    mega-group is itself quadratic — the right product there is a cluster
+    representative per group, not pairs.)"""
     k = bands
     r = F.size("sig") / k
     banded = sigs.select(
@@ -123,14 +139,32 @@ def lsh_candidate_pairs(sigs: DataFrame, bands: int = 16) -> DataFrame:
             )
         ).alias("band", "band_key"),
     )
+    if max_bucket_size is not None:
+        ok = (
+            banded.groupBy("band", "band_key")
+            .agg(F.count("*").alias("n"))
+            .where(F.col("n") <= max_bucket_size)
+            .select("band", "band_key")
+        )
+        banded = banded.join(ok, ["band", "band_key"], "left_semi")
     a = banded.select(F.col("id").alias("id_a"), "band", "band_key")
     bdf = banded.select(F.col("id").alias("id_b"), "band", "band_key")
-    return (
+    pairs = (
         a.join(bdf, ["band", "band_key"])
         .where(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
-        .distinct()
     )
+    if max_bucket_size is not None:
+        full_key = F.concat_ws(",", F.transform("sig", lambda x: x.cast("string")))
+        ident = sigs.select("id", full_key.alias("sig_key"))
+        ident = (
+            ident.select(F.col("id").alias("id_a"), "sig_key")
+            .join(ident.select(F.col("id").alias("id_b"), "sig_key"), "sig_key")
+            .where(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+        )
+        pairs = pairs.unionByName(ident)
+    return pairs.distinct()
 
 
 def minhash_jaccard(sigs: DataFrame, pairs: DataFrame) -> DataFrame:

@@ -38,7 +38,12 @@ def main():
     t0 = time.time()
     sh = shingles(docs, portable=True)
     sigs = minhash_signatures(sh, num_hashes=64)
-    n_pairs = lsh_candidate_pairs(sigs, bands=16).count()
+    # max_bucket_size arms the skew circuit breaker — the configuration a
+    # 100 TB corpus would run with (a boilerplate mega-group otherwise lands
+    # its quadratic bucket join in one task per band; measured 0.59
+    # efficiency on the pre-fix self-similar corpus). On the prime-mixed
+    # corpus no bucket exceeds the planted pair size, so the cap never binds.
+    n_pairs = lsh_candidate_pairs(sigs, bands=16, max_bucket_size=1000).count()
     wall = time.time() - t0
 
     print(

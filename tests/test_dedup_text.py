@@ -337,3 +337,44 @@ def test_clean_corpus_pipeline(spark):
     got = clean_corpus(docs, min_tokens=5, max_tokens=100, min_stopword_ratio=0.05)
     ids = [r["doc_id"] for r in got.collect()]
     assert ids == [0]  # dup 1 dropped, 2 too short, 3 fails stopword gate
+
+
+def test_lsh_candidate_pairs_bucket_guard(spark, docs):
+    """Capped band join: identical-signature pairs survive via the
+    full-signature equality union even when every band bucket is excluded;
+    uncapped result is a superset of the capped one."""
+    sh = dedup.shingles(docs, portable=True)
+    sigs = dedup.minhash_signatures(sh, num_hashes=16)
+    uncapped = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.lsh_candidate_pairs(sigs, bands=4).collect()
+    }
+    capped = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.lsh_candidate_pairs(sigs, bands=4, max_bucket_size=1).collect()
+    }
+    assert (0, 1) in capped  # exact dup pair: identical signatures
+    assert capped <= uncapped
+    # a generous cap that never binds must reproduce the uncapped pairs
+    loose = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.lsh_candidate_pairs(sigs, bands=4, max_bucket_size=100).collect()
+    }
+    assert loose == uncapped
+
+
+def test_synth_corpus_unique_and_planted_dups(spark):
+    """Corpus generator contract: the ONLY near-dup pairs are the planted
+    (i-1, i) copies at i % 97 == 1 — no accidental cross-doc self-similarity
+    (the pre-fix affine generator recurred every `vocab` docs)."""
+    from kaminpar_spark.sources.corpus import synth_documents
+
+    docs = synth_documents(spark, 2000)
+    sh = dedup.shingles(docs, portable=True)
+    sigs = dedup.minhash_signatures(sh, num_hashes=32)
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.lsh_candidate_pairs(sigs, bands=8, max_bucket_size=1000).collect()
+    }
+    expected = {(i - 1, i) for i in range(2000) if i % 97 == 1}
+    assert pairs == expected
