@@ -483,6 +483,42 @@ def _q_clean_corpus(spark, sf_dir):
     )
 
 
+# Stratified-sampling rates for the driver query (lang strata in the fixture:
+# en/de/es/fr/zh). Hash-gated so the oracle reproduces the exact sample.
+STRAT_RATES = {"en": 0.5, "de": 0.25}
+STRAT_DEFAULT = 0.05
+NGRAM_TOPK_N = 3
+NGRAM_TOPK_K = 20
+
+
+def _q_near_dup_clusters(spark, sf_dir):
+    """Canonical-representative near-dup clustering: MinHash+LSH pair graph ->
+    this engine's own connected-components operator -> min-doc_id cluster."""
+    from kaminpar_spark.functions.pipeline import near_dup_clusters
+
+    return near_dup_clusters(
+        _load(spark, sf_dir, "documents"),
+        threshold=MINHASH_THRESH, num_hashes=MINHASH_K, bands=MINHASH_BANDS,
+    )
+
+
+def _q_stratified_sample(spark, sf_dir):
+    from kaminpar_spark.functions.pipeline import stratified_sample
+
+    return stratified_sample(
+        _load(spark, sf_dir, "documents"),
+        rates=STRAT_RATES, default_rate=STRAT_DEFAULT,
+    )
+
+
+def _q_ngram_topk(spark, sf_dir):
+    from kaminpar_spark.functions.text import ngram_topk
+
+    return ngram_topk(
+        _load(spark, sf_dir, "documents"), n=NGRAM_TOPK_N, k=NGRAM_TOPK_K
+    )
+
+
 def _q_fingerprints(spark, sf_dir):
     from kaminpar_spark.functions.text import fingerprints
 
@@ -638,6 +674,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "block_weights_mod4": _q_block_weights_mod4,
         "dedup_exact": _q_dedup_exact,
         "clean_corpus": _q_clean_corpus,
+        "near_dup_clusters": _q_near_dup_clusters,
+        "stratified_sample": _q_stratified_sample,
+        "ngram_topk": _q_ngram_topk,
         "pii_scrub": _q_pii_scrub,
         "repetition_stats": _q_repetition_stats,
         "decontaminate": _q_decontaminate,
@@ -1044,6 +1083,48 @@ SELECT id_a, id_b, est_jaccard FROM (
   SELECT c.id_a, c.id_b, CAST({eq_sum} AS DOUBLE) / {MINHASH_K} AS est_jaccard
   FROM cand c JOIN sig sa ON c.id_a = sa.id JOIN sig sb ON c.id_b = sb.id) t
 WHERE est_jaccard >= {MINHASH_THRESH}"""
+
+
+def _near_dup_clusters_sql() -> str:
+    """Transitive closure over the minhash pair set via a recursive
+    min-label-reachability CTE (tiny pair graph at oracle scale), then
+    cluster_id = min reachable id, self for unpaired documents."""
+    return f"""
+WITH RECURSIVE pairs AS ({_minhash_sql()}),
+edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+          UNION ALL SELECT id_b, id_a FROM pairs),
+reach(id, lbl) AS (
+  SELECT DISTINCT a, a FROM edges
+  UNION
+  SELECT e.a, r.lbl FROM edges e JOIN reach r ON e.b = r.id),
+comp AS (SELECT id, MIN(lbl) AS comp FROM reach GROUP BY id)
+SELECT d.doc_id, CAST(COALESCE(c.comp, d.doc_id) AS BIGINT) AS cluster_id
+FROM documents d LEFT JOIN comp c ON d.doc_id = c.id"""
+
+
+def _stratified_sample_sql() -> str:
+    from kaminpar_spark.functions.hashing import POLY_MOD, char_poly_hash_sql
+
+    h = char_poly_hash_sql("'strat' || CAST(doc_id AS VARCHAR)")
+    whens = " ".join(
+        f"WHEN '{k}' THEN {r}" for k, r in sorted(STRAT_RATES.items())
+    )
+    return f"""
+WITH b AS (
+  SELECT doc_id, lang, ((({h}) * 48271) % {POLY_MOD}) % 10000 AS bucket,
+         CASE lang {whens} ELSE {STRAT_DEFAULT} END AS rate
+  FROM documents)
+SELECT doc_id, lang, CAST(bucket AS BIGINT) AS bucket
+FROM b WHERE bucket < rate * 10000"""
+
+
+_NGRAM_TOPK_SQL = f"""
+WITH toks AS (SELECT string_split(text, ' ') AS w FROM documents),
+g AS (SELECT array_to_string(array_slice(w, i + 1, i + {NGRAM_TOPK_N}), ' ') AS gram
+      FROM (SELECT w, unnest(range(len(w) - {NGRAM_TOPK_N - 1})) AS i
+            FROM toks WHERE len(w) >= {NGRAM_TOPK_N}))
+SELECT gram, CAST(count(*) AS BIGINT) AS cnt FROM g
+GROUP BY gram ORDER BY cnt DESC, gram LIMIT {NGRAM_TOPK_K}"""
 
 
 def _simhash_sql() -> str:
@@ -1577,6 +1658,9 @@ SELECT doc_id,
          AS n_subword_tokens
 FROM documents""",
         "ngram_jaccard": _NGRAM_JACCARD_SQL,
+        "near_dup_clusters": _near_dup_clusters_sql(),
+        "stratified_sample": _stratified_sample_sql(),
+        "ngram_topk": _NGRAM_TOPK_SQL,
         "minhash_near_dups": _minhash_sql(),
         "simhash_near_dups": _simhash_sql(),
         "lsh_topk": _lsh_topk_sql(),

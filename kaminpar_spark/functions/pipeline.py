@@ -16,7 +16,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from kaminpar_spark.functions.dedup import exact_dedup
+from kaminpar_spark.functions.dedup import exact_dedup, minhash_dedup_pairs
+from kaminpar_spark.functions.hashing import char_poly_hash
 from kaminpar_spark.functions.text import quality_scores
 
 
@@ -36,4 +37,88 @@ def clean_corpus(
         (F.col("n_tokens") >= min_tokens)
         & (F.col("n_tokens") <= max_tokens)
         & (F.col("stopword_ratio") >= min_stopword_ratio)
+    )
+
+
+def near_dup_clusters(
+    docs: DataFrame,
+    threshold: float = 0.7,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, cluster_id) — canonical-representative near-dup clustering:
+    MinHash+LSH pair graph -> connected components (this engine's own
+    hash-to-min CC operator) -> cluster_id = min doc_id in the component;
+    documents with no near-dup are their own cluster.
+
+    This is the shape a 100 TB dedup actually ships: pairwise near-dup edges
+    alone over-delete (A~B, B~C but A!~C must still collapse to ONE kept
+    doc), so the pair set is clustered and one representative per cluster
+    survives. The pair graph is tiny relative to the corpus (only near-dups),
+    so the CC supersteps run on the filtered edge set, never the corpus.
+    """
+    from kaminpar_spark.graph import GraphFrame
+    from kaminpar_spark.operators.components import connected_components
+
+    pairs = minhash_dedup_pairs(
+        docs, id_col, text_col, threshold=threshold,
+        num_hashes=num_hashes, bands=bands, shingle_n=shingle_n,
+    )
+    g = GraphFrame.from_edge_pairs(
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")),
+        symmetrize=True,
+    )
+    comp = connected_components(g)
+    return (
+        docs.select(F.col(id_col))
+        .join(comp.withColumnRenamed("id", id_col), id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("comp"), F.col(id_col)).cast("long").alias("cluster_id"),
+        )
+    )
+
+
+def stratified_sample(
+    docs: DataFrame,
+    rates: dict[str, float],
+    default_rate: float = 0.1,
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+    salt: str = "strat",
+    resolution: int = 10000,
+) -> DataFrame:
+    """(doc_id, <strata_col>, bucket) — deterministic hash-based stratified
+    sampling for training-data mixing: stratum s keeps a doc iff
+    poly_hash(salt || doc_id) mod `resolution` < rates[s] * resolution.
+
+    Hash-gated sampling (vs Bernoulli rand()) is reproducible across runs,
+    partitionings, and engines — the DuckDB oracle evaluates the identical
+    polynomial hash — and is a pure narrow filter: no shuffle, pushed toward
+    the scan, trivially correct at any scale. Repeated runs with the same
+    salt return the same sample (stable held-out splits); changing the salt
+    draws a fresh independent sample.
+
+    The raw polynomial hash is a weak mixer over near-consecutive numeric
+    ids (consecutive ids land in consecutive buckets), so a Lehmer/Park-
+    Miller step (x*48271 mod 2^31-1, full-period MCG) decorrelates it before
+    the bucket mod; max product 48271*(2^31-1) ~ 1e14, no int64 overflow.
+    """
+    from kaminpar_spark.functions.hashing import POLY_MOD
+
+    h = char_poly_hash(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    bucket = F.pmod(F.pmod(h * F.lit(48271), F.lit(POLY_MOD)), F.lit(resolution))
+    rate = F.lit(float(default_rate))
+    for key, r in sorted(rates.items()):
+        rate = F.when(F.col(strata_col) == key, F.lit(float(r))).otherwise(rate)
+    return (
+        docs.select(
+            F.col(id_col), F.col(strata_col), bucket.cast("long").alias("bucket"),
+            rate.alias("_rate"),
+        )
+        .where(F.col("bucket") < F.col("_rate") * resolution)
+        .drop("_rate")
     )

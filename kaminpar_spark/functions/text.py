@@ -158,3 +158,34 @@ def repetition_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "t
             "top_bigram_frac"
         ),
     )
+
+
+def ngram_topk(
+    docs: DataFrame,
+    n: int = 3,
+    k: int = 20,
+    text_col: str = "text",
+) -> DataFrame:
+    """(gram, cnt) — the k most frequent word n-grams across the corpus
+    (tokenizer corpus statistics / boilerplate discovery). Deterministic
+    tie-break: count desc, then gram asc.
+
+    Scale shape: explode n-grams -> one hash aggregate (map-side partial
+    combine absorbs the head of the Zipf curve) -> global top-k, which Spark
+    executes as TakeOrderedAndProject (per-partition heap of size k, then a
+    k*num_partitions driver merge) — never a full sort of the gram table."""
+    toks = _tokens(text_col)
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        docs.select(F.explode(grams).alias("gram"))
+        .groupBy("gram")
+        .agg(F.count("*").cast("long").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("gram"))
+        .limit(k)
+    )
