@@ -35,6 +35,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame
 
 from kaminpar_spark.plans.lineage import persistent_rdd_ids, release, release_ids, truncate
+from kaminpar_spark.sources.iceberg import read_table, write_table
 
 StepFn = Callable[[DataFrame, int], DataFrame]
 MetricsFn = Callable[[DataFrame], dict]
@@ -82,8 +83,11 @@ class SuperstepRunner:
 
     The manifest line carries {step, rows, metrics, wall_sec, path,
     converged} — the per-partition lineage + convergence metrics demanded by
-    the north rule. At 100 TB these snapshots are the Iceberg-snapshot
-    analog; parquet is the sandbox stand-in (same write path, no catalog).
+    the north rule. Snapshot IO routes through sources.iceberg.write_table/
+    read_table: a path workdir (this sandbox) snapshots to parquet, a dotted
+    Iceberg catalog identifier gets real atomic createOrReplace snapshots
+    when the runtime JAR is present (see sources/iceberg.py for the
+    spark-submit recipe).
     ``checkpoint_every=k`` trades durability for speed: intermediate steps
     use localCheckpoint, every k-th goes to parquet (resume restarts from the
     last durable step).
@@ -127,7 +131,7 @@ class SuperstepRunner:
         start, state = 0, init_state
         if done:
             last = done[-1]
-            state = self.spark.read.parquet(last["path"])
+            state = read_table(self.spark, last["path"])
             if last.get("converged"):
                 return state
             start = last["step"] + 1
@@ -138,8 +142,8 @@ class SuperstepRunner:
             durable = (i % self.checkpoint_every == 0) or (i == max_iters - 1)
             snap = os.path.join(self._dir(name), f"step={i}")
             if durable:
-                new.write.mode("overwrite").parquet(snap)
-                new = self.spark.read.parquet(snap)
+                write_table(new, snap)
+                new = read_table(self.spark, snap)
             else:
                 new = truncate(new)
             rows = new.count()
@@ -147,8 +151,8 @@ class SuperstepRunner:
             is_conv = converged(m)
             if is_conv and not durable:
                 # converged on a non-durable step: persist it after all
-                new.write.mode("overwrite").parquet(snap)
-                new = self.spark.read.parquet(snap)
+                write_table(new, snap)
+                new = read_table(self.spark, snap)
                 durable = True
             rec = {
                 "step": i,
