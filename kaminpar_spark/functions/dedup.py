@@ -117,11 +117,13 @@ def lsh_candidate_pairs(
     measured local[2]->local[8] scaling run (0.59 efficiency at 670M
     candidate pairs from 2M docs). Completeness for the dominant cause of
     oversized buckets — identical signatures — is restored by a linear
-    equality self-join on the FULL signature; pairs whose every shared band
-    bucket is oversized and whose signatures differ are the documented
-    recall trade at the cap. (At corpus scale the all-pairs OUTPUT of a
-    mega-group is itself quadratic — the right product there is a cluster
-    representative per group, not pairs.)"""
+    star join against each identical-signature group's min-id representative
+    (s-1 pairs per s-doc group, never a quadratic clique out of one task);
+    pairs whose every shared band bucket is oversized and whose signatures
+    differ are the documented recall trade at the cap. Group members stay
+    mutually reachable through the representative, which is what
+    keep-one-representative dedup / near_dup_clusters' transitive closure
+    consume."""
     k = bands
     r = F.size("sig") / k
     banded = sigs.select(
@@ -155,13 +157,21 @@ def lsh_candidate_pairs(
         .select("id_a", "id_b")
     )
     if max_bucket_size is not None:
+        # Identical-signature completeness as a STAR, not a clique: pairing
+        # every member of an s-doc identical group against the group's min-id
+        # representative emits s-1 pairs from one hash agg + equi-join,
+        # instead of s^2/2 pairs out of a single join task (the same hotspot
+        # the bucket cap exists to avoid). Any two group members remain
+        # connected through the representative, which is exactly what the
+        # downstream consumers need (near_dup_clusters' transitive closure /
+        # keep-one-representative dedup).
         full_key = F.concat_ws(",", F.transform("sig", lambda x: x.cast("string")))
-        ident = sigs.select("id", full_key.alias("sig_key"))
+        groups = sigs.select("id", full_key.alias("sig_key"))
+        reps = groups.groupBy("sig_key").agg(F.min("id").alias("id_a"))
         ident = (
-            ident.select(F.col("id").alias("id_a"), "sig_key")
-            .join(ident.select(F.col("id").alias("id_b"), "sig_key"), "sig_key")
-            .where(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b")
+            groups.join(reps, "sig_key")
+            .where(F.col("id") != F.col("id_a"))
+            .select("id_a", F.col("id").alias("id_b"))
         )
         pairs = pairs.unionByName(ident)
     return pairs.distinct()
@@ -414,9 +424,11 @@ def simhash128_near_pairs(
     than the cap are excluded from the band self-join — a quadratic-bucket
     circuit breaker for pathological corpora (e.g. millions of boilerplate
     copies). Completeness for the dominant cause of oversized buckets
-    (identical sketches) is restored by a linear hamming-0 self-join on the
-    full two-word sketch; pairs at distance 1..max_hamming whose EVERY shared
-    band bucket is oversized are the documented recall trade at the cap."""
+    (identical sketches) is restored by a linear hamming-0 STAR join against
+    each identical-sketch group's min-id representative (s-1 pairs per s-doc
+    group, not a single-task clique); pairs at distance 1..max_hamming whose
+    EVERY shared band bucket is oversized are the documented recall trade at
+    the cap."""
     band_structs = [
         F.struct(
             F.lit(i).alias("band"),
@@ -459,14 +471,19 @@ def simhash128_near_pairs(
         )
     )
     if max_bucket_size is not None:
-        ident_a = sh.select(
-            F.col("id").alias("id_a"), "sim_lo", "sim_hi"
-        )
-        ident_b = sh.select(F.col("id").alias("id_b"), "sim_lo", "sim_hi")
+        # Star, not clique (see lsh_candidate_pairs): an s-doc identical-
+        # sketch group emits s-1 representative pairs from a hash agg +
+        # equi-join instead of an s^2/2 single-task self-join.
+        groups = sh.select("id", "sim_lo", "sim_hi")
+        reps = groups.groupBy("sim_lo", "sim_hi").agg(F.min("id").alias("id_a"))
         ident = (
-            ident_a.join(ident_b, ["sim_lo", "sim_hi"])
-            .where(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b", F.lit(0).cast(pairs.schema["hamming"].dataType).alias("hamming"))
+            groups.join(reps, ["sim_lo", "sim_hi"])
+            .where(F.col("id") != F.col("id_a"))
+            .select(
+                "id_a",
+                F.col("id").alias("id_b"),
+                F.lit(0).cast(pairs.schema["hamming"].dataType).alias("hamming"),
+            )
         )
         pairs = pairs.unionByName(ident)
     return pairs.distinct().where(F.col("hamming") <= max_hamming)
