@@ -489,6 +489,14 @@ STRAT_RATES = {"en": 0.5, "de": 0.25}
 STRAT_DEFAULT = 0.05
 NGRAM_TOPK_N = 3
 NGRAM_TOPK_K = 20
+# Sequence packing: context-window budget + shard fan-out (pipeline.pack_sequences).
+PACK_BUDGET = 512
+PACK_SHARDS = 8
+# Source-level gating: mean-token threshold chosen to split the fixture's
+# sources (~45-62 mean tokens) so the filter is exercised both ways.
+SRCQ_MIN_MEAN_TOKENS = 52.0
+SRCQ_MAX_DUP_RATE = 0.5
+TFIDF_K = 3
 
 
 def _q_near_dup_clusters(spark, sf_dir):
@@ -509,6 +517,32 @@ def _q_stratified_sample(spark, sf_dir):
         _load(spark, sf_dir, "documents"),
         rates=STRAT_RATES, default_rate=STRAT_DEFAULT,
     )
+
+
+def _q_pack_sequences(spark, sf_dir):
+    """GPT-style concat-and-chunk sequence packing (sharded running sum)."""
+    from kaminpar_spark.functions.pipeline import pack_sequences
+
+    return pack_sequences(
+        _load(spark, sf_dir, "documents"), budget=PACK_BUDGET, num_shards=PACK_SHARDS
+    )
+
+
+def _q_source_filter(spark, sf_dir):
+    """Domain/source-level corpus gating (C4/RefinedWeb-style)."""
+    from kaminpar_spark.functions.pipeline import source_quality_filter
+
+    return source_quality_filter(
+        _load(spark, sf_dir, "documents"),
+        min_mean_tokens=SRCQ_MIN_MEAN_TOKENS, max_dup_rate=SRCQ_MAX_DUP_RATE,
+    )
+
+
+def _q_tfidf_top_terms(spark, sf_dir):
+    """Per-document TF-IDF keyword extraction (top-k terms)."""
+    from kaminpar_spark.functions.text import tfidf_top_terms
+
+    return tfidf_top_terms(_load(spark, sf_dir, "documents"), k=TFIDF_K)
 
 
 def _q_ngram_topk(spark, sf_dir):
@@ -676,6 +710,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clean_corpus": _q_clean_corpus,
         "near_dup_clusters": _q_near_dup_clusters,
         "stratified_sample": _q_stratified_sample,
+        "pack_sequences": _q_pack_sequences,
+        "source_filter": _q_source_filter,
+        "tfidf_top_terms": _q_tfidf_top_terms,
         "ngram_topk": _q_ngram_topk,
         "pii_scrub": _q_pii_scrub,
         "repetition_stats": _q_repetition_stats,
@@ -1125,6 +1162,45 @@ g AS (SELECT array_to_string(array_slice(w, i + 1, i + {NGRAM_TOPK_N}), ' ') AS 
             FROM toks WHERE len(w) >= {NGRAM_TOPK_N}))
 SELECT gram, CAST(count(*) AS BIGINT) AS cnt FROM g
 GROUP BY gram ORDER BY cnt DESC, gram LIMIT {NGRAM_TOPK_K}"""
+
+
+_PACK_SEQUENCES_SQL = f"""
+WITH base AS (
+  SELECT doc_id, CAST(doc_id % {PACK_SHARDS} AS BIGINT) AS shard,
+         CAST(GREATEST(len(string_split(text, ' ')), 1) AS BIGINT) AS n_tokens
+  FROM documents),
+c AS (
+  SELECT doc_id, shard, n_tokens,
+         CAST(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id) AS BIGINT)
+           AS end_pos
+  FROM base)
+SELECT doc_id, shard, n_tokens,
+       end_pos - n_tokens AS start_pos,
+       CAST(floor((end_pos - n_tokens) / {PACK_BUDGET}) AS BIGINT) AS seq_first,
+       CAST(floor((end_pos - 1) / {PACK_BUDGET}) AS BIGINT) AS seq_last
+FROM c"""
+
+_SOURCE_FILTER_SQL = f"""
+WITH s AS (
+  SELECT source, count(*) AS n_docs,
+         round(avg(CAST(len(string_split(text, ' ')) AS DOUBLE)), 6) AS mean_tokens,
+         round(1.0 - CAST(count(DISTINCT text) AS DOUBLE) / count(*), 6) AS dup_rate
+  FROM documents GROUP BY source)
+SELECT d.doc_id, d.source, s.mean_tokens, s.dup_rate
+FROM documents d JOIN s USING (source)
+WHERE s.mean_tokens >= {SRCQ_MIN_MEAN_TOKENS} AND s.dup_rate <= {SRCQ_MAX_DUP_RATE}
+  AND s.n_docs >= 1"""
+
+_TFIDF_SQL = f"""
+WITH n AS (SELECT CAST(count(*) AS DOUBLE) AS _n FROM documents),
+t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM t GROUP BY doc_id, term),
+dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+sc AS (SELECT tf.doc_id, tf.term, tf.tf, round(tf.tf * ln(n._n / dfq.df), 6) AS score
+       FROM tf JOIN dfq USING (term) CROSS JOIN n),
+r AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term ASC)
+        AS rnk FROM sc)
+SELECT doc_id, term, tf, score FROM r WHERE rnk <= {TFIDF_K}"""
 
 
 def _simhash_sql() -> str:
@@ -1660,6 +1736,9 @@ FROM documents""",
         "ngram_jaccard": _NGRAM_JACCARD_SQL,
         "near_dup_clusters": _near_dup_clusters_sql(),
         "stratified_sample": _stratified_sample_sql(),
+        "pack_sequences": _PACK_SEQUENCES_SQL,
+        "source_filter": _SOURCE_FILTER_SQL,
+        "tfidf_top_terms": _TFIDF_SQL,
         "ngram_topk": _NGRAM_TOPK_SQL,
         "minhash_near_dups": _minhash_sql(),
         "simhash_near_dups": _simhash_sql(),

@@ -82,6 +82,101 @@ def near_dup_clusters(
     )
 
 
+def pack_sequences(
+    docs: DataFrame,
+    budget: int = 2048,
+    num_shards: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, shard, n_tokens, start_pos, seq_first, seq_last) — GPT-style
+    concat-and-chunk sequence packing: within each shard, documents are laid
+    end-to-end in doc-id order into one token stream that is cut every
+    ``budget`` tokens; a document occupies stream positions
+    [start_pos, start_pos + n_tokens) and therefore lands in packed training
+    sequences seq_first..seq_last of its shard (straddling a boundary means
+    the document is split across two consecutive sequences, exactly like
+    packed pretraining batches).
+
+    Scale shape: a single global running sum would be one sort task; instead
+    the stream is sharded by pmod(doc_id, num_shards) and the window runs
+    per-shard — at 100 TB set num_shards to O(cluster cores) and each shard's
+    cumsum is an independent sorted partition. Deterministic: shard choice,
+    order, and boundaries depend only on doc_id and whitespace token counts
+    (empty docs occupy one pad slot so positions stay strictly increasing).
+    """
+    from pyspark.sql import Window
+
+    base = docs.select(
+        F.col(id_col),
+        F.pmod(F.col(id_col), F.lit(num_shards)).cast("long").alias("shard"),
+        F.greatest(F.size(F.split(F.col(text_col), " ")), F.lit(1))
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    w = Window.partitionBy("shard").orderBy(id_col)
+    return (
+        base.withColumn("end_pos", F.sum("n_tokens").over(w))
+        .select(
+            F.col(id_col),
+            "shard",
+            "n_tokens",
+            (F.col("end_pos") - F.col("n_tokens")).alias("start_pos"),
+            F.floor((F.col("end_pos") - F.col("n_tokens")) / budget)
+            .cast("long")
+            .alias("seq_first"),
+            F.floor((F.col("end_pos") - 1) / budget).cast("long").alias("seq_last"),
+        )
+    )
+
+
+def source_quality_filter(
+    docs: DataFrame,
+    min_mean_tokens: float = 0.0,
+    max_dup_rate: float = 1.0,
+    min_docs: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """(doc_id, source, mean_tokens, dup_rate) — domain/source-level corpus
+    gating (the C4/RefinedWeb move): compute per-source aggregate quality —
+    doc count, mean whitespace-token length, exact-duplicate rate
+    (1 - distinct texts / docs) — and keep only documents whose SOURCE passes
+    every gate. Low-quality mirrors and template farms are dropped wholesale
+    rather than doc-by-doc.
+
+    Scale shape: the stats aggregate reduces the corpus to one row per source
+    (#sources << #docs, partial aggregation map-side), the surviving-source
+    list is tiny and broadcast back onto the corpus — one shuffle total, no
+    per-doc Python. ``count(distinct text)`` per source is exact here for
+    oracle parity; at 100 TB swap in approx_count_distinct or pre-hash texts.
+    """
+    stats = (
+        docs.groupBy(source_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(
+                F.avg(F.size(F.split(F.col(text_col), " ")).cast("double")), 6
+            ).alias("mean_tokens"),
+            F.round(
+                1.0 - F.countDistinct(text_col).cast("double") / F.count(F.lit(1)),
+                6,
+            ).alias("dup_rate"),
+        )
+        .where(
+            (F.col("mean_tokens") >= min_mean_tokens)
+            & (F.col("dup_rate") <= max_dup_rate)
+            & (F.col("n_docs") >= min_docs)
+        )
+    )
+    return docs.select(F.col(id_col), F.col(source_col)).join(
+        F.broadcast(stats.select(source_col, "mean_tokens", "dup_rate")),
+        source_col,
+        "inner",
+    ).select(id_col, source_col, "mean_tokens", "dup_rate")
+
+
 def stratified_sample(
     docs: DataFrame,
     rates: dict[str, float],

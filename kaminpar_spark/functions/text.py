@@ -189,3 +189,44 @@ def ngram_topk(
         .orderBy(F.desc("cnt"), F.asc("gram"))
         .limit(k)
     )
+
+
+def tfidf_top_terms(
+    docs: DataFrame,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, term, tf, score) — the k most characteristic terms per
+    document by TF-IDF (keyword extraction / topic fingerprinting):
+    score = tf * ln(N / df), deterministic tie-break score desc then term asc.
+
+    Scale shape: explode -> (doc, term) hash aggregate (map-side combine) ->
+    df aggregate over the much smaller distinct (doc, term) table -> a
+    shuffle join on term (the vocabulary can exceed broadcast size at corpus
+    scale, so no broadcast hint) -> per-doc top-k window. The window
+    partitions by doc_id, so its sort is bounded by a document's distinct
+    term count — no hub key exists by construction.
+    """
+    from pyspark.sql import Window
+
+    n_docs_df = docs.agg(F.count(F.lit(1)).cast("double").alias("_n"))
+    terms = docs.select(F.col(id_col), F.explode(_tokens(text_col)).alias("term"))
+    tf = terms.groupBy(id_col, "term").agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    df_tab = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    scored = (
+        tf.join(df_tab, "term")
+        .crossJoin(F.broadcast(n_docs_df))
+        .select(
+            F.col(id_col),
+            "term",
+            "tf",
+            F.round(F.col("tf") * F.log(F.col("_n") / F.col("df")), 6).alias("score"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .drop("rnk")
+    )

@@ -60,3 +60,57 @@ def test_ngram_topk(spark):
     ]
     out = ngram_topk(_docs(spark, rows), n=3, k=2).collect()
     assert [(r["gram"], r["cnt"]) for r in out] == [("a b c", 4), ("b c a", 2)]
+
+
+def test_pack_sequences_invariants(spark):
+    from kaminpar_spark.functions.pipeline import pack_sequences
+
+    rows = [(i, " ".join(["w"] * (3 + (i * 7) % 11)), "en") for i in range(50)]
+    rows.append((50, "", "en"))  # empty doc occupies one pad slot
+    out = pack_sequences(_docs(spark, rows), budget=16, num_shards=4).collect()
+    assert len(out) == 51
+    by_shard: dict[int, list] = {}
+    for r in out:
+        by_shard.setdefault(r["shard"], []).append(r)
+    for shard, docs in by_shard.items():
+        docs.sort(key=lambda r: r["doc_id"])
+        pos = 0
+        for r in docs:
+            # contiguous stream: each doc starts where the previous ended
+            assert r["shard"] == r["doc_id"] % 4
+            assert r["start_pos"] == pos
+            assert r["n_tokens"] >= 1
+            assert r["seq_first"] == r["start_pos"] // 16
+            assert r["seq_last"] == (r["start_pos"] + r["n_tokens"] - 1) // 16
+            assert r["seq_first"] <= r["seq_last"]
+            pos += r["n_tokens"]
+
+
+def test_source_quality_filter_gates_whole_sources(spark):
+    from kaminpar_spark.functions.pipeline import source_quality_filter
+
+    rows = []
+    # good: long unique docs; bad_short: short docs; bad_dup: all-identical docs
+    for i in range(10):
+        rows.append((i, f"unique document number {i} with plenty of words here", "good"))
+        rows.append((100 + i, f"tiny {i}", "bad_short"))
+        rows.append((200 + i, "same text every time", "bad_dup"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    kept = source_quality_filter(docs, min_mean_tokens=5.0, max_dup_rate=0.5).collect()
+    assert {r["source"] for r in kept} == {"good"}
+    assert len(kept) == 10
+
+
+def test_tfidf_top_terms_idf_downweights_common(spark):
+    from kaminpar_spark.functions.text import tfidf_top_terms
+
+    rows = [
+        (0, "common common rare0 rare0 rare0", "en"),
+        (1, "common other1 other1", "en"),
+        (2, "common other2", "en"),
+    ]
+    out = tfidf_top_terms(_docs(spark, rows), k=1).collect()
+    top = {r["doc_id"]: r["term"] for r in out}
+    # "common" appears in every doc -> idf = ln(1) = 0 -> never the top term
+    assert top == {0: "rare0", 1: "other1", 2: "other2"}
+    assert all(r["score"] > 0 for r in out)
