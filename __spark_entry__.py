@@ -84,6 +84,25 @@ def _q_degrees(spark, sf_dir):
     return g.degrees()
 
 
+BFS_HOPS = 4
+
+
+def _q_bfs_dist(spark, sf_dir):
+    """Hop-bounded BFS levels from node 0 (frontier relaxation supersteps)."""
+    from kaminpar_spark.operators.paths import bfs_levels
+
+    g, _ = _graph(spark, sf_dir)
+    return bfs_levels(g, [0], max_hops=BFS_HOPS)
+
+
+def _q_sssp_dist(spark, sf_dir):
+    """Bellman-Ford shortest path weight from node 0 over <= 4 edges."""
+    from kaminpar_spark.operators.paths import sssp
+
+    g, _ = _graph(spark, sf_dir)
+    return sssp(g, [0], max_hops=BFS_HOPS)
+
+
 def _q_degree_buckets(spark, sf_dir):
     g, _ = _graph(spark, sf_dir)
     return g.degree_buckets()
@@ -695,6 +714,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transcript_turns": _q_transcript_turns,
         "transcript_edges": _q_transcript_edges,
         "degrees": _q_degrees,
+        "bfs_dist4": _q_bfs_dist,
+        "sssp_dist4": _q_sssp_dist,
         "degree_buckets": _q_degree_buckets,
         "pagerank5": _q_pagerank5,
         "ppr5": _q_ppr5,
@@ -807,6 +828,30 @@ deg AS MATERIALIZED (
   ON n.id = d.id)
 """
 )
+
+
+def _dist_sql(weighted: bool) -> str:
+    """Unrolled min-relaxation (one MATERIALIZED CTE per superstep), mirroring
+    operators.paths.relax_step round by round — full relaxation from all
+    reached nodes produces the same per-round states as the engine's changed-
+    frontier optimization (distances are monotone non-increasing)."""
+    stepw = "e.weight" if weighted else "1"
+    prev = "d0"
+    steps = ""
+    for i in range(1, BFS_HOPS + 1):
+        steps += f""",
+d{i} AS MATERIALIZED (
+  SELECT a.id,
+         CASE WHEN a.dist IS NULL THEN m.nd WHEN m.nd IS NULL THEN a.dist
+              ELSE least(a.dist, m.nd) END AS dist
+  FROM {prev} a LEFT JOIN (
+    SELECT e.dst AS id, MIN(r.dist + {stepw}) AS nd
+    FROM edges e JOIN {prev} r ON e.src = r.id WHERE r.dist IS NOT NULL
+    GROUP BY e.dst) m ON a.id = m.id)"""
+        prev = f"d{i}"
+    return f"""WITH {_EDGES_CTE},
+d0 AS (SELECT id, CASE WHEN id = 0 THEN CAST(0 AS BIGINT) END AS dist FROM nodes){steps}
+SELECT id, CAST(dist AS BIGINT) AS dist FROM {prev} WHERE dist IS NOT NULL"""
 
 
 def _pagerank_sql() -> str:
@@ -1664,6 +1709,8 @@ def oracle_sql() -> dict[str, str]:
         "SELECT conv_id, turn_idx, role, text, tool, ts FROM transcripts",
         "transcript_edges": f"WITH {_EDGES_CTE} SELECT src, dst, weight FROM edges",
         "degrees": f"WITH {_EDGES_CTE} SELECT id, degree, weighted_degree FROM deg",
+        "bfs_dist4": _dist_sql(weighted=False),
+        "sssp_dist4": _dist_sql(weighted=True),
         "degree_buckets": f"""WITH {_EDGES_CTE}
 SELECT CAST(CASE WHEN degree = 0 THEN 0 ELSE floor(log2(degree)) + 1 END AS INT) AS bucket,
        CAST(count(*) AS BIGINT) AS n_nodes
