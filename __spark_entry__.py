@@ -153,6 +153,46 @@ def _q_adjacency_jaccard(spark, sf_dir):
     return aj.orderBy(F.desc("jaccard"), "u", "w").limit(JACCARD_TOPK)
 
 
+def _q_assortativity(spark, sf_dir):
+    """Degree assortativity: Pearson r of endpoint degrees over half-edges.
+    Exact-integer moment sums (decimal(38,0)) + one IEEE expression — the
+    determinism shape that makes a float metric hash-exact cross-engine."""
+    from kaminpar_spark.operators.stats import degree_assortativity
+
+    g, _ = _graph(spark, sf_dir)
+    return degree_assortativity(g)
+
+
+TRUSS_K = 5  # support >= 3 peels ~500 of 29k edges at sf0.01 (max support 2072)
+
+
+def _q_truss_edges(spark, sf_dir):
+    """One k-truss peel round (k=TRUSS_K): undirected edges whose triangle
+    support (oriented-triangle explode + hash count) is >= k-2."""
+    from kaminpar_spark.operators.triangles import truss_edges
+
+    g, _ = _graph(spark, sf_dir)
+    return truss_edges(g, TRUSS_K)
+
+
+def _q_graph_summary(spark, sf_dir):
+    """graph_statistics tool surface as one exact row (A8): node/edge counts,
+    degree min/max/mean/exact-median, density."""
+    g, _ = _graph(spark, sf_dir)
+    deg = g.degrees()
+    n = F.count("*")
+    sd = F.sum("degree")
+    return deg.agg(
+        n.cast("long").alias("n_nodes"),
+        F.expr("sum(degree) div 2").alias("n_edges"),
+        F.min("degree").alias("min_degree"),
+        F.max("degree").alias("max_degree"),
+        F.round(sd / n, 6).alias("avg_degree"),
+        F.round(F.expr("percentile(degree, 0.5)"), 6).alias("median_degree"),
+        F.round(sd / n / (n - F.lit(1)), 6).alias("density"),
+    )
+
+
 def _q_lpa_modularity(spark, sf_dir):
     """Modularity of the step-1 LP labels (community-quality metric)."""
     from kaminpar_spark.operators.labelprop import lp_step
@@ -538,6 +578,20 @@ def _q_stratified_sample(spark, sf_dir):
     )
 
 
+MIX_TARGETS = {"en": 0.4, "de": 0.2, "fr": 0.2, "zh": 0.2}  # es dropped
+
+
+def _q_domain_mix(spark, sf_dir):
+    """Target-mix rebalancing: per-language keep rates derived FROM the data
+    (largest achievable corpus at the target shares), then the deterministic
+    hash gate. The training-mix counterpart of stratified_sample."""
+    from kaminpar_spark.functions.pipeline import domain_mix_rebalance
+
+    return domain_mix_rebalance(
+        _load(spark, sf_dir, "documents"), MIX_TARGETS, strata_col="lang"
+    )
+
+
 def _q_pack_sequences(spark, sf_dir):
     """GPT-style concat-and-chunk sequence packing (sharded running sum)."""
     from kaminpar_spark.functions.pipeline import pack_sequences
@@ -725,6 +779,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lp_step1": _q_lp_step1,
         "lpa_modularity": _q_lpa_modularity,
         "adjacency_jaccard": _q_adjacency_jaccard,
+        "assortativity": _q_assortativity,
+        "truss_edges5": _q_truss_edges,
+        "graph_summary": _q_graph_summary,
+        "domain_mix": _q_domain_mix,
         "edge_cut_mod4": _q_edge_cut_mod4,
         "block_weights_mod4": _q_block_weights_mod4,
         "dedup_exact": _q_dedup_exact,
@@ -903,6 +961,64 @@ oe AS MATERIALIZED (
 SELECT CAST(count(*) AS BIGINT) AS triangles
 FROM oe e1 JOIN oe e2 ON e1.dst = e2.src
            JOIN oe e3 ON e3.src = e1.src AND e3.dst = e2.dst"""
+
+_ASSORT_SQL = f"""WITH {_EDGES_CTE},
+xy AS (SELECT CAST(da.degree AS HUGEINT) AS dx, CAST(db.degree AS HUGEINT) AS dy
+       FROM edges e JOIN deg da ON e.src = da.id JOIN deg db ON e.dst = db.id),
+s AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(dx) AS DOUBLE) AS sx, CAST(sum(dy) AS DOUBLE) AS sy,
+             CAST(sum(dx*dy) AS DOUBLE) AS sxy,
+             CAST(sum(dx*dx) AS DOUBLE) AS sxx, CAST(sum(dy*dy) AS DOUBLE) AS syy
+      FROM xy)
+SELECT round((n*sxy - sx*sy) / sqrt(n*sxx - sx*sx) / sqrt(n*syy - sy*sy), 6) AS assortativity
+FROM s"""
+
+_TRUSS_SQL_TEMPLATE = """,
+oe AS MATERIALIZED (
+  SELECT e.src, e.dst
+  FROM edges e JOIN deg a ON e.src = a.id JOIN deg b ON e.dst = b.id
+  WHERE (a.degree < b.degree) OR (a.degree = b.degree AND e.src < e.dst)),
+tri AS MATERIALIZED (
+  SELECT e1.src AS u, e1.dst AS v, e2.dst AS w
+  FROM oe e1 JOIN oe e2 ON e1.dst = e2.src
+             JOIN oe e3 ON e3.src = e1.src AND e3.dst = e2.dst),
+te AS (SELECT least(u, v) AS a, greatest(u, v) AS b FROM tri
+       UNION ALL SELECT least(v, w) AS a, greatest(v, w) AS b FROM tri
+       UNION ALL SELECT least(u, w) AS a, greatest(u, w) AS b FROM tri),
+sup AS (SELECT a, b, count(*) AS s FROM te GROUP BY a, b),
+und AS (SELECT least(src, dst) AS a, greatest(src, dst) AS b FROM oe)
+SELECT und.a, und.b, CAST(coalesce(sup.s, 0) AS BIGINT) AS support
+FROM und LEFT JOIN sup ON und.a = sup.a AND und.b = sup.b
+WHERE coalesce(sup.s, 0) >= {min_support}"""
+
+_GRAPH_SUMMARY_SQL = f"""WITH {_EDGES_CTE}
+SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+       CAST(sum(degree) // 2 AS BIGINT) AS n_edges,
+       CAST(min(degree) AS BIGINT) AS min_degree,
+       CAST(max(degree) AS BIGINT) AS max_degree,
+       round(CAST(sum(degree) AS DOUBLE) / count(*), 6) AS avg_degree,
+       round(quantile_cont(degree, 0.5), 6) AS median_degree,
+       round(CAST(sum(degree) AS DOUBLE) / count(*) / (count(*) - 1), 6) AS density
+FROM deg"""
+
+
+def _domain_mix_sql() -> str:
+    from kaminpar_spark.functions.hashing import POLY_MOD, char_poly_hash_sql
+
+    h = char_poly_hash_sql("'mix' || CAST(doc_id AS VARCHAR)")
+    whens = " ".join(f"WHEN '{k}' THEN {r}" for k, r in sorted(MIX_TARGETS.items()))
+    return f"""
+WITH cnt AS (SELECT lang, count(*) AS c FROM documents GROUP BY lang),
+tt AS (SELECT lang, c, CASE lang {whens} END AS tgt FROM cnt
+       WHERE (CASE lang {whens} END) IS NOT NULL),
+sc AS (SELECT min(CAST(c AS DOUBLE) / tgt) AS scale FROM tt),
+r AS (SELECT lang, (SELECT scale FROM sc) * tgt / c AS rate FROM tt),
+b AS (SELECT doc_id, lang, ((({h}) * 48271) % {POLY_MOD}) % 1000000 AS bucket
+      FROM documents)
+SELECT b.doc_id, b.lang, CAST(b.bucket AS BIGINT) AS bucket
+FROM b JOIN r ON b.lang = r.lang
+WHERE b.bucket < r.rate * 1000000"""
+
 
 _ADJ_JACCARD_SQL = f"""WITH {_EDGES_CTE},
 wed AS MATERIALIZED (
@@ -1723,6 +1839,11 @@ FROM deg GROUP BY 1""",
         "lp_step1": _LP1_SQL,
         "lpa_modularity": _LPA_MODULARITY_SQL,
         "adjacency_jaccard": _ADJ_JACCARD_SQL,
+        "assortativity": _ASSORT_SQL,
+        "truss_edges5": f"WITH {_EDGES_CTE}"
+        + _TRUSS_SQL_TEMPLATE.format(min_support=TRUSS_K - 2),
+        "graph_summary": _GRAPH_SUMMARY_SQL,
+        "domain_mix": _domain_mix_sql(),
         "edge_cut_mod4": f"""WITH {_EDGES_CTE}
 SELECT CAST(sum(weight) / 2 AS BIGINT) AS cut FROM edges WHERE src % 4 <> dst % 4""",
         "block_weights_mod4": f"""WITH {_EDGES_CTE}

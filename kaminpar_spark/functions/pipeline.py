@@ -217,3 +217,49 @@ def stratified_sample(
         .where(F.col("bucket") < F.col("_rate") * resolution)
         .drop("_rate")
     )
+
+
+def domain_mix_rebalance(
+    docs: DataFrame,
+    targets: dict[str, float],
+    strata_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "mix",
+    resolution: int = 1_000_000,
+) -> DataFrame:
+    """(doc_id, <strata_col>, bucket) — downsample each stratum so the kept
+    corpus matches the ``targets`` mix (shares summing to <= 1) at the
+    largest achievable size: scale = min_i(count_i / target_i), stratum i
+    keeps ~scale * target_i docs via the same deterministic Lehmer-stepped
+    hash gate as stratified_sample (reproducible across runs/partitionings/
+    engines). Strata absent from ``targets`` are dropped.
+
+    This is the training-mix counterpart of stratified_sample: there the
+    caller fixes per-stratum RATES; here the caller fixes the OUTPUT MIX and
+    the rates are derived from the data. Scale shape: one tiny groupBy
+    (#strata rows, broadcast back onto the scan) + a narrow pushed-down
+    filter — no doc-scale shuffle at any corpus size.
+    """
+    from kaminpar_spark.functions.hashing import POLY_MOD
+
+    counts = docs.groupBy(strata_col).agg(F.count("*").alias("_cnt"))
+    tgt = F.lit(None).cast("double")
+    for key, share in sorted(targets.items()):
+        tgt = F.when(F.col(strata_col) == key, F.lit(float(share))).otherwise(tgt)
+    scaled = counts.select(
+        strata_col, "_cnt", tgt.alias("_tgt")
+    ).where(F.col("_tgt").isNotNull())
+    # achievable corpus scale: the most-constraining stratum hits rate 1.0
+    scale = scaled.agg(F.min(F.col("_cnt") / F.col("_tgt")).alias("_scale"))
+    rates = scaled.crossJoin(F.broadcast(scale)).select(
+        strata_col,
+        (F.col("_scale") * F.col("_tgt") / F.col("_cnt")).alias("_rate"),
+    )
+    h = char_poly_hash(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    bucket = F.pmod(F.pmod(h * F.lit(48271), F.lit(POLY_MOD)), F.lit(resolution))
+    return (
+        docs.select(F.col(id_col), F.col(strata_col), bucket.cast("long").alias("bucket"))
+        .join(F.broadcast(rates), strata_col)
+        .where(F.col("bucket") < F.col("_rate") * resolution)
+        .select(id_col, strata_col, "bucket")
+    )

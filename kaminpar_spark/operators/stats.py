@@ -65,3 +65,46 @@ def degree_histogram(graph: GraphFrame) -> DataFrame:
     """Power-of-2 degree histogram (graph_statistics.cc:147-152) — same as
     GraphFrame.degree_buckets, re-exported for the tool surface."""
     return graph.degree_buckets()
+
+
+def degree_assortativity(graph: GraphFrame) -> DataFrame:
+    """One-row (assortativity double): Pearson correlation of endpoint
+    degrees over all half-edges (the standard symmetric estimator — the
+    symmetrized edge table counts each undirected edge in both directions).
+
+    Determinism shape: the five moments are summed as exact integers
+    (decimal(38,0) — order-independent under any partitioning, no float
+    accumulation), and the correlation is ONE fixed IEEE expression over
+    those exact sums, so any engine computes bit-identical output. A plain
+    ``corr()`` aggregate would be a float sum whose value depends on
+    partition order. decimal(38,0) holds sum(dx*dy) up to ~1e38 — beyond
+    any int64 bound a 10^12-edge hub-heavy graph could reach.
+
+    Scale shape: two node-scale equi-joins (edges x degrees per endpoint,
+    the same shape every superstep gather uses) + one global agg with
+    map-side partial aggregation. No window, no sort, no collect.
+    """
+    deg = graph.degrees().select("id", "degree")
+    e = graph.edges.select("src", "dst")
+    xy = (
+        e.join(deg.select(F.col("id").alias("src"), F.col("degree").alias("dx")), "src")
+        .join(deg.select(F.col("id").alias("dst"), F.col("degree").alias("dy")), "dst")
+        .select(
+            F.col("dx").cast("decimal(38,0)").alias("dx"),
+            F.col("dy").cast("decimal(38,0)").alias("dy"),
+        )
+    )
+    s = xy.agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum("dx").cast("double").alias("sx"),
+        F.sum("dy").cast("double").alias("sy"),
+        F.sum(F.col("dx") * F.col("dy")).cast("double").alias("sxy"),
+        F.sum(F.col("dx") * F.col("dx")).cast("double").alias("sxx"),
+        F.sum(F.col("dy") * F.col("dy")).cast("double").alias("syy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    vx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    return s.select(
+        F.round(num / F.sqrt(vx) / F.sqrt(vy), 6).alias("assortativity")
+    )

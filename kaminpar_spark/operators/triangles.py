@@ -81,6 +81,50 @@ def triangles_per_node(graph: GraphFrame) -> DataFrame:
     )
 
 
+def edge_support(graph: GraphFrame) -> DataFrame:
+    """(a, b, support) per undirected edge with a < b: the number of
+    triangles the edge participates in (= |N(a) ∩ N(b)|) — the k-truss
+    building block.
+
+    Each oriented triangle (u→v, v→w, u→w) is enumerated exactly once (the
+    degree orientation bounds wedge fan-out at hubs), then exploded into its
+    three undirected edges and hash-counted — map-side partial aggregation
+    absorbs edges shared by many triangles. Edges in no triangle are
+    reported with support 0 via a left join back to the oriented edge set.
+    """
+    from kaminpar_spark.plans.lineage import truncate
+
+    e = truncate(oriented_edges(graph))
+    w1 = e.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+    w2 = e.select(F.col("src").alias("v"), F.col("dst").alias("w"))
+    wedges = w1.join(w2, "v").select("u", "v", "w")
+    closing = e.select(F.col("src").alias("u"), F.col("dst").alias("w"))
+    tri = wedges.join(closing, ["u", "w"], "inner").select("u", "v", "w")
+    tri_edges = tri.select(
+        F.explode(
+            F.array(
+                F.struct(F.least("u", "v").alias("a"), F.greatest("u", "v").alias("b")),
+                F.struct(F.least("v", "w").alias("a"), F.greatest("v", "w").alias("b")),
+                F.struct(F.least("u", "w").alias("a"), F.greatest("u", "w").alias("b")),
+            )
+        ).alias("ed")
+    ).select("ed.a", "ed.b")
+    support = tri_edges.groupBy("a", "b").agg(F.count("*").alias("support"))
+    und = e.select(F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b"))
+    return und.join(support, ["a", "b"], "left").select(
+        "a", "b", F.coalesce("support", F.lit(0)).cast("long").alias("support")
+    )
+
+
+def truss_edges(graph: GraphFrame, k: int) -> DataFrame:
+    """(a, b, support) — one k-truss peel round: undirected edges whose
+    triangle support is >= k-2. Iterating to the fixpoint (recompute support
+    on the surviving subgraph until no edge drops) yields the k-truss; one
+    round is the oracle-checkable superstep, same contract as lp_step1 /
+    relax_step."""
+    return edge_support(graph).where(F.col("support") >= k - 2)
+
+
 def local_clustering_coefficient(graph: GraphFrame, round_digits: int = 6) -> DataFrame:
     """(id, lcc) — 2*T(v) / (deg(v)*(deg(v)-1)); 0 for degree<2 nodes.
     Rounded so the value is reproducible across engines/summation orders."""
