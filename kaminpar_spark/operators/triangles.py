@@ -125,6 +125,38 @@ def truss_edges(graph: GraphFrame, k: int) -> DataFrame:
     return edge_support(graph).where(F.col("support") >= k - 2)
 
 
+def truss_decompose(graph: GraphFrame, k: int, max_rounds: int = 50) -> DataFrame:
+    """(a, b, support) — the k-truss fixpoint: repeatedly drop edges with
+    support < k-2 and recompute support on the surviving subgraph until no
+    edge drops (or ``max_rounds``). Returned support is measured in the
+    final surviving subgraph.
+
+    Scale shape: each round is the same oriented-wedge join + hash count as
+    ``edge_support`` on a shrinking edge set, with one ``truncate`` per
+    round to keep lineage flat (the standard iterative-Spark contract used
+    by every other fixpoint here). Rounds are data-dependent but bounded:
+    each non-final round removes >= 1 edge, and real peels converge in a
+    handful of rounds because support loss cascades along shared triangles.
+    """
+    from kaminpar_spark.plans.lineage import truncate
+
+    g = graph
+    for _ in range(max_rounds):
+        sup = truncate(edge_support(g))
+        kept = sup.where(F.col("support") >= k - 2)
+        n_before = sup.count()
+        n_after = kept.count()
+        if n_after == n_before or n_after == 0:
+            return kept
+        und = kept.select("a", "b")
+        edges = (
+            und.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+            .unionByName(und.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+        )
+        g = GraphFrame.from_edge_pairs(edges, symmetrize=False, combine_parallel=False)
+    return truncate(edge_support(g)).where(F.col("support") >= k - 2)
+
+
 def local_clustering_coefficient(graph: GraphFrame, round_digits: int = 6) -> DataFrame:
     """(id, lcc) — 2*T(v) / (deg(v)*(deg(v)-1)); 0 for degree<2 nodes.
     Rounded so the value is reproducible across engines/summation orders."""

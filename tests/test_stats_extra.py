@@ -56,6 +56,23 @@ def test_star_support_zero(spark):
     assert edge_support(g).count() == 4
 
 
+def test_truss_decompose_fixpoint_and_cascade(spark):
+    from kaminpar_spark.fixtures import _graph
+    from kaminpar_spark.operators.triangles import truss_decompose
+
+    # K4 + pendant chain: 4-truss fixpoint = the clique (one peel round)
+    g = fixtures.clique_pendant(spark)
+    kept = truss_decompose(g, k=4).collect()
+    assert len(kept) == 6 and all(r["support"] == 2 for r in kept)
+    # diamond (two triangles sharing edge 1-2): peeling cascades — round 1
+    # drops the four support-1 edges, round 2 drops the now-support-0 shared
+    # edge; the 4-truss is empty
+    diamond = _graph(spark, [(0, 1, 1), (0, 2, 1), (1, 2, 1), (1, 3, 1), (2, 3, 1)], n=4)
+    assert truss_decompose(diamond, k=4).count() == 0
+    # and its 3-truss (support >= 1) is the whole diamond
+    assert truss_decompose(diamond, k=3).count() == 5
+
+
 def _docs(spark, counts: dict[str, int]):
     rows, i = [], 0
     for lang, n in sorted(counts.items()):
