@@ -103,6 +103,42 @@ def _q_sssp_dist(spark, sf_dir):
     return sssp(g, [0], max_hops=BFS_HOPS)
 
 
+WALK_LEN = 4
+WALK_START_MOD = 29  # sampled starts: id % 29 == 0 (~130 walks at sf0.01)
+WALK_WINDOW = 2
+
+
+def _q_random_walks(spark, sf_dir):
+    """Deterministic random walks (len 4) from hash-sampled starts: next hop
+    is the neighbor minimizing an affine hash of (cur, walk, step, dst) —
+    bit-reproducible embedding-prep sampling, one frontier join per step."""
+    from kaminpar_spark.operators.walks import deterministic_walks
+
+    g, _ = _graph(spark, sf_dir)
+    starts = g.nodes.where(F.col("id") % WALK_START_MOD == 0).select("id")
+    return deterministic_walks(g, starts, walk_len=WALK_LEN)
+
+
+def _q_walk_contexts(spark, sf_dir):
+    """Skip-gram co-occurrence pairs (window 2) over the deterministic walks
+    — the DeepWalk context corpus for a downstream embedding trainer."""
+    from kaminpar_spark.operators.walks import deterministic_walks, walk_contexts
+
+    g, _ = _graph(spark, sf_dir)
+    starts = g.nodes.where(F.col("id") % WALK_START_MOD == 0).select("id")
+    return walk_contexts(deterministic_walks(g, starts, walk_len=WALK_LEN), window=WALK_WINDOW)
+
+
+def _q_conductance_mod4(spark, sf_dir):
+    """Per-block conductance phi(S) = cut(S)/min(vol(S), 2m-vol(S)) of the
+    id%4 partition — one pass over half-edges, hash aggregates only."""
+    from kaminpar_spark.operators.metrics import block_conductance
+
+    g, _ = _graph(spark, sf_dir)
+    part = g.nodes.select("id", (F.col("id") % 4).cast("int").alias("block"))
+    return block_conductance(g, part)
+
+
 def _q_degree_buckets(spark, sf_dir):
     g, _ = _graph(spark, sf_dir)
     return g.degree_buckets()
@@ -781,6 +817,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "adjacency_jaccard": _q_adjacency_jaccard,
         "assortativity": _q_assortativity,
         "truss_edges5": _q_truss_edges,
+        "random_walks4": _q_random_walks,
+        "walk_contexts": _q_walk_contexts,
+        "conductance_mod4": _q_conductance_mod4,
         "graph_summary": _q_graph_summary,
         "domain_mix": _q_domain_mix,
         "edge_cut_mod4": _q_edge_cut_mod4,
@@ -886,6 +925,59 @@ deg AS MATERIALIZED (
   ON n.id = d.id)
 """
 )
+
+
+def _walk_steps_sql() -> tuple[str, str]:
+    """(CTE chain, union select) for the deterministic walks — one arg_min
+    CTE per step mirroring operators.walks._step_key bit-for-bit."""
+    from kaminpar_spark.operators.walks import WALK_A, WALK_B, WALK_C, WALK_D
+    from kaminpar_spark.functions.hashing import POLY_MOD
+
+    ctes = f""",
+w0 AS MATERIALIZED (SELECT id AS walk_id, id AS cur FROM nodes WHERE id % {WALK_START_MOD} = 0)"""
+    selects = ["SELECT walk_id, CAST(0 AS INT) AS step, cur AS id FROM w0"]
+    for s in range(1, WALK_LEN + 1):
+        key = (
+            f"(({WALK_A}*w.cur + {WALK_B}*w.walk_id + {WALK_C * s} + {WALK_D}*e.dst) "
+            f"% {POLY_MOD}) * {1 << 31} + e.dst"
+        )
+        ctes += f""",
+w{s} AS MATERIALIZED (
+  SELECT w.walk_id, arg_min(e.dst, {key}) AS cur
+  FROM w{s - 1} w JOIN edges e ON e.src = w.cur GROUP BY w.walk_id)"""
+        selects.append(f"SELECT walk_id, CAST({s} AS INT) AS step, cur AS id FROM w{s}")
+    return ctes, " UNION ALL ".join(selects)
+
+
+def _walks_sql() -> str:
+    ctes, union = _walk_steps_sql()
+    return f"WITH {_EDGES_CTE}{ctes}\n{union}"
+
+
+def _walk_contexts_sql() -> str:
+    ctes, union = _walk_steps_sql()
+    return f"""WITH {_EDGES_CTE}{ctes},
+walks AS MATERIALIZED ({union})
+SELECT a.id AS center, b.id AS context, CAST(count(*) AS BIGINT) AS n
+FROM walks a JOIN walks b
+  ON a.walk_id = b.walk_id AND a.step <> b.step AND abs(a.step - b.step) <= {WALK_WINDOW}
+GROUP BY 1, 2"""
+
+
+_CONDUCTANCE_SQL = f"""WITH {_EDGES_CTE},
+per AS (
+  SELECT src % 4 AS block,
+         sum(weight) AS volume,
+         sum(CASE WHEN src % 4 <> dst % 4 THEN weight ELSE 0 END) AS cut_w
+  FROM edges GROUP BY 1),
+tot AS (SELECT sum(weight) AS vol_all FROM edges)
+SELECT CAST(block AS INT) AS block,
+       CAST(cut_w AS BIGINT) AS cut_weight,
+       CAST(volume AS BIGINT) AS volume,
+       CASE WHEN least(volume, (SELECT vol_all FROM tot) - volume) > 0
+            THEN round(CAST(cut_w AS DOUBLE) / least(volume, (SELECT vol_all FROM tot) - volume), 6)
+       END AS conductance
+FROM per"""
 
 
 def _dist_sql(weighted: bool) -> str:
@@ -1842,6 +1934,9 @@ FROM deg GROUP BY 1""",
         "assortativity": _ASSORT_SQL,
         "truss_edges5": f"WITH {_EDGES_CTE}"
         + _TRUSS_SQL_TEMPLATE.format(min_support=TRUSS_K - 2),
+        "random_walks4": _walks_sql(),
+        "walk_contexts": _walk_contexts_sql(),
+        "conductance_mod4": _CONDUCTANCE_SQL,
         "graph_summary": _GRAPH_SUMMARY_SQL,
         "domain_mix": _domain_mix_sql(),
         "edge_cut_mod4": f"""WITH {_EDGES_CTE}

@@ -102,6 +102,42 @@ def quality(
     )
 
 
+def block_conductance(graph: GraphFrame, partition: DataFrame) -> DataFrame:
+    """(block, cut_weight, volume, conductance) per block — the standard
+    community/partition quality ratio phi(S) = cut(S) / min(vol(S), 2m-vol(S))
+    that complements the reference's cut/imbalance pair (metrics.cc:8-48) for
+    the LP community family.
+
+    Volume and cut come from ONE pass over the half-edge table: vol(S) is the
+    sum of half-edge weights with src in S (== weighted degree sum), cut(S)
+    the subset of those whose dst lands outside S. Both are hash aggregates
+    with map-side partial combine; blocks whose complement volume is zero
+    (the whole graph in one block) get conductance NULL."""
+    p = partition.select("id", "block")
+    e = (
+        graph.edges.join(
+            p.select(F.col("id").alias("src"), F.col("block").alias("b_src")), "src"
+        )
+        .join(p.select(F.col("id").alias("dst"), F.col("block").alias("b_dst")), "dst")
+    )
+    per = e.groupBy(F.col("b_src").alias("block")).agg(
+        F.sum("weight").cast("long").alias("volume"),
+        F.sum(
+            F.when(F.col("b_src") != F.col("b_dst"), F.col("weight")).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("cut_weight"),
+    )
+    two_m = graph.total_edge_weight()
+    denom = F.least(F.col("volume"), F.lit(int(two_m)) - F.col("volume"))
+    return per.select(
+        "block",
+        "cut_weight",
+        "volume",
+        F.when(denom > 0, F.round(F.col("cut_weight") / denom, 6)).alias("conductance"),
+    )
+
+
 def modularity(graph: GraphFrame, labels: DataFrame) -> float:
     """Newman modularity of a community assignment (id, label):
     Q = sum_c [ w_in(c)/2m - (tot(c)/2m)^2 ], with w_in counted over

@@ -1,0 +1,92 @@
+"""Deterministic random walks — graph-embedding / corpus-sampling prep.
+
+The reference has no walk operator (its random bits live in the shuffled
+bipartitioner pool, initial_partitioning/pool_bipartitioner.h); walks are the
+standard prep step a training-data pipeline runs over a link graph (DeepWalk/
+node2vec-style context generation, graph-aware corpus sampling), so they are
+first-class here.
+
+Randomness is a deterministic affine hash — the same trick as the sketch
+family (functions.hashing): the next hop from ``cur`` for walk ``walk_id`` at
+step ``step`` is the neighbor ``dst`` minimizing
+
+    key(cur, walk_id, step, dst) = (A*cur + B*walk_id + C*step + D*dst) mod M
+
+with M = 2^31-1 and small prime multipliers, tie-broken by dst. The walk is
+therefore a pure function of the graph — bit-reproducible across engines
+(the DuckDB oracle unrolls one arg_min CTE per step) and across retries,
+which is what a resumable 100 TB pipeline needs (a Python RNG in a task
+retry is not).
+
+Scale shape: each step is ONE shuffle-hash join of the frontier against the
+edge table on the walk's current node plus a hash min-aggregate per walk —
+map-side combine absorbs hub fan-out, no Python, no collect. Walk count
+scales with the sampled start set, never with the edge count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from kaminpar_spark.functions.hashing import POLY_MOD
+from kaminpar_spark.graph import GraphFrame
+
+# Small prime mixers: ids are dense longs (< 2^31 even at 10^12-turn scale
+# after two-level densification), so each term stays < 2^45 and the four-term
+# sum fits int64 with no intermediate pmod (ANSI-safe).
+WALK_A, WALK_B, WALK_C, WALK_D = 10007, 10009, 10037, 10039
+
+
+def _step_key(cur: F.Column, walk_id: F.Column, step: int, dst: F.Column) -> F.Column:
+    h = (
+        F.lit(WALK_A) * cur + F.lit(WALK_B) * walk_id + F.lit(WALK_C * step) + F.lit(WALK_D) * dst
+    ) % F.lit(POLY_MOD)
+    # Unique per (walk, candidate): shift the 31-bit hash past the id space.
+    return h * F.lit(1 << 31) + dst
+
+
+def deterministic_walks(
+    graph: GraphFrame, starts: DataFrame, walk_len: int = 4
+) -> DataFrame:
+    """(walk_id, step, id) — one walk per start row (walk_id == start id),
+    steps 0..walk_len; step 0 is the start node. A walk that reaches a node
+    with no outgoing half-edge stops early (its later steps are omitted) —
+    cannot happen on symmetric graphs unless the start itself is isolated.
+
+    ``starts``: DataFrame with column ``id`` (the sampled start nodes)."""
+    cur = starts.select(
+        F.col("id").alias("walk_id"), F.col("id").alias("cur")
+    )
+    out = [cur.select("walk_id", F.lit(0).alias("step"), F.col("cur").alias("id"))]
+    for s in range(1, walk_len + 1):
+        key = _step_key(F.col("cur"), F.col("walk_id"), s, F.col("dst"))
+        nxt = (
+            cur.join(graph.edges.select("src", "dst"), cur.cur == F.col("src"))
+            .groupBy("walk_id")
+            .agg(F.min(F.struct(key.alias("k"), F.col("dst").alias("d"))).alias("m"))
+            .select("walk_id", F.col("m.d").alias("cur"))
+        )
+        out.append(nxt.select("walk_id", F.lit(s).alias("step"), F.col("cur").alias("id")))
+        cur = nxt
+    res = out[0]
+    for df in out[1:]:
+        res = res.unionByName(df)
+    return res.select("walk_id", F.col("step").cast("int").alias("step"), "id")
+
+
+def walk_contexts(walks: DataFrame, window: int = 2) -> DataFrame:
+    """(center, context, n) — skip-gram co-occurrence pairs within ``window``
+    steps along each walk, with multiplicity. The DeepWalk corpus: feed to a
+    downstream embedding trainer. Self-join bounded per walk by walk length —
+    linear in total walk steps for constant window."""
+    a = walks.select("walk_id", F.col("step").alias("s_a"), F.col("id").alias("center"))
+    b = walks.select("walk_id", F.col("step").alias("s_b"), F.col("id").alias("context"))
+    return (
+        a.join(b, "walk_id")
+        .where(
+            (F.col("s_a") != F.col("s_b"))
+            & (F.abs(F.col("s_a") - F.col("s_b")) <= window)
+        )
+        .groupBy("center", "context")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
