@@ -103,6 +103,19 @@ def _q_sssp_dist(spark, sf_dir):
     return sssp(g, [0], max_hops=BFS_HOPS)
 
 
+HARMONIC_SRC_MOD = 1000  # sampled sources: id % 1000 == 0 (4 at sf0.01)
+
+
+def _q_harmonic(spark, sf_dir):
+    """Sampled harmonic centrality (4-hop, shared multi-source BFS
+    supersteps; exact lcm-scaled integer accumulation -> one division)."""
+    from kaminpar_spark.operators.paths import harmonic_centrality
+
+    g, _ = _graph(spark, sf_dir)
+    srcs = g.nodes.where(F.col("id") % HARMONIC_SRC_MOD == 0).select("id")
+    return harmonic_centrality(g, srcs, max_hops=BFS_HOPS)
+
+
 WALK_LEN = 4
 WALK_START_MOD = 29  # sampled starts: id % 29 == 0 (~130 walks at sf0.01)
 WALK_WINDOW = 2
@@ -817,6 +830,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "adjacency_jaccard": _q_adjacency_jaccard,
         "assortativity": _q_assortativity,
         "truss_edges5": _q_truss_edges,
+        "harmonic4": _q_harmonic,
         "random_walks4": _q_random_walks,
         "walk_contexts": _q_walk_contexts,
         "conductance_mod4": _q_conductance_mod4,
@@ -925,6 +939,35 @@ deg AS MATERIALIZED (
   ON n.id = d.id)
 """
 )
+
+
+def _harmonic_sql() -> str:
+    """Unrolled multi-source min-relaxation + lcm-scaled harmonic sum,
+    mirroring operators.paths.multi_source_distances/harmonic_centrality."""
+    import math
+
+    scale = math.lcm(*range(1, BFS_HOPS + 1))
+    prev = "m0"
+    steps = ""
+    for i in range(1, BFS_HOPS + 1):
+        steps += f""",
+m{i} AS MATERIALIZED (
+  SELECT a.src, a.id,
+         CASE WHEN a.dist IS NULL THEN c.nd WHEN c.nd IS NULL THEN a.dist
+              ELSE least(a.dist, c.nd) END AS dist
+  FROM {prev} a LEFT JOIN (
+    SELECT r.src, e.dst AS id, MIN(r.dist + 1) AS nd
+    FROM edges e JOIN {prev} r ON e.src = r.id WHERE r.dist IS NOT NULL
+    GROUP BY r.src, e.dst) c
+  ON a.src = c.src AND a.id = c.id)"""
+        prev = f"m{i}"
+    return f"""WITH {_EDGES_CTE},
+srcs AS (SELECT id AS src FROM nodes WHERE id % {HARMONIC_SRC_MOD} = 0),
+m0 AS (SELECT s.src, n.id,
+              CASE WHEN n.id = s.src THEN CAST(0 AS BIGINT) END AS dist
+       FROM nodes n CROSS JOIN srcs s){steps}
+SELECT id, round(sum({scale} // dist) / {float(scale)}, 6) AS harmonic
+FROM {prev} WHERE dist > 0 GROUP BY id"""
 
 
 def _walk_steps_sql() -> tuple[str, str]:
@@ -1934,6 +1977,7 @@ FROM deg GROUP BY 1""",
         "assortativity": _ASSORT_SQL,
         "truss_edges5": f"WITH {_EDGES_CTE}"
         + _TRUSS_SQL_TEMPLATE.format(min_support=TRUSS_K - 2),
+        "harmonic4": _harmonic_sql(),
         "random_walks4": _walks_sql(),
         "walk_contexts": _walk_contexts_sql(),
         "conductance_mod4": _CONDUCTANCE_SQL,

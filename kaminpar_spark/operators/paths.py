@@ -108,6 +108,92 @@ def bfs_levels(graph: GraphFrame, sources, max_hops: int = 20, runner=None) -> D
     return distances(graph, sources, max_hops=max_hops, weighted=False, runner=runner)
 
 
+def multi_source_distances(
+    graph: GraphFrame, sources, max_hops: int = 4, runner=None
+) -> DataFrame:
+    """(src, id, dist) — one BFS per source node, all run in SHARED supersteps
+    (state keyed by (src, id), one frontier join per round for every source at
+    once) instead of |S| sequential driver loops. State is |S| x n rows —
+    callers keep the source set bounded (sampled centrality estimators).
+
+    Same hop-bounded min-relaxation semantics as ``distances``."""
+    from kaminpar_spark.plans.superstep import run_in_memory
+
+    spark = graph.nodes.sparkSession
+    if isinstance(sources, DataFrame):
+        src_df = sources.select(F.col("id").alias("src"))
+    else:
+        src_df = spark.createDataFrame([(int(i),) for i in sources], "src long")
+    state = graph.nodes.select("id").crossJoin(F.broadcast(src_df)).select(
+        "src",
+        "id",
+        F.when(F.col("id") == F.col("src"), F.lit(0)).cast("long").alias("dist"),
+        F.when(F.col("id") == F.col("src"), F.lit(1)).otherwise(F.lit(0)).alias("changed"),
+    )
+
+    def step(s: DataFrame, i: int) -> DataFrame:
+        frontier = s.where(F.col("changed") == 1).select("src", "id", "dist")
+        e = graph.edges.select(F.col("src").alias("id"), "dst")
+        cand = (
+            frontier.join(e.hint("shuffle_hash"), "id")
+            .groupBy("src", F.col("dst").alias("id"))
+            .agg((F.min("dist") + 1).alias("nd"))
+        )
+        return (
+            s.select("src", "id", F.col("dist").alias("old_dist"))
+            .join(cand.hint("shuffle_hash"), ["src", "id"], "left")
+            .select(
+                "src",
+                "id",
+                F.least("old_dist", "nd").alias("dist"),
+                F.when(
+                    F.col("nd").isNotNull()
+                    & (F.col("old_dist").isNull() | (F.col("nd") < F.col("old_dist"))),
+                    F.lit(1),
+                )
+                .otherwise(F.lit(0))
+                .alias("changed"),
+            )
+        )
+
+    def metrics(new: DataFrame) -> dict:
+        moved = new.agg(F.sum("changed").alias("mv")).first()["mv"]
+        return {"moved": int(moved or 0)}
+
+    def converged(m: dict) -> bool:
+        return m["moved"] == 0
+
+    if runner is not None:
+        final = runner.run("ms_distances", state, step, metrics, converged, max_hops)
+    else:
+        final = run_in_memory(state, step, metrics, converged, max_hops)
+    return final.where(F.col("dist").isNotNull()).select("src", "id", "dist")
+
+
+def harmonic_centrality(
+    graph: GraphFrame, sources, max_hops: int = 4, runner=None
+) -> DataFrame:
+    """(id, harmonic) — sampled harmonic centrality: sum over the source set
+    of 1/dist(s, id) within max_hops hops (the standard estimator scales this
+    by (n-1)/|S|; the raw sum is returned so callers pick their normalizer).
+
+    Determinism: 1/dist terms are accumulated as EXACT integers scaled by
+    lcm(1..max_hops) — dist <= max_hops always divides the scale — then one
+    final division produces the double. A float sum would be partition-order
+    dependent; the integer sum is hash-exact cross-engine (same trick as
+    stats.degree_assortativity)."""
+    import math
+
+    scale = math.lcm(*range(1, max_hops + 1))
+    d = multi_source_distances(graph, sources, max_hops=max_hops, runner=runner)
+    return (
+        d.where(F.col("dist") > 0)
+        .groupBy("id")
+        .agg(F.sum(F.expr(f"{scale} div dist")).alias("hsum"))
+        .select("id", F.round(F.col("hsum") / F.lit(float(scale)), 6).alias("harmonic"))
+    )
+
+
 def sssp(graph: GraphFrame, sources, max_hops: int = 20, runner=None) -> DataFrame:
     """(id, dist) — Bellman-Ford shortest path weight over <= max_hops edges
     (exact SSSP once max_hops >= the shortest-path hop diameter; weights are
