@@ -104,6 +104,35 @@ def _q_sssp_dist(spark, sf_dir):
 
 
 HARMONIC_SRC_MOD = 1000  # sampled sources: id % 1000 == 0 (4 at sf0.01)
+DIAM_HOPS = 8
+
+
+def _q_diameter(spark, sf_dir):
+    """Double-sweep diameter lower bound (two hop-bounded BFS passes;
+    peripheral tie-broken to min id)."""
+    from kaminpar_spark.operators.paths import double_sweep_diameter
+
+    g, _ = _graph(spark, sf_dir)
+    return double_sweep_diameter(g, start=0, max_hops=DIAM_HOPS)
+
+
+def _q_butterflies(spark, sf_dir):
+    """Bipartite butterfly count over the conv-actor incidence (4-cycle
+    cohesion of actor co-participation; wedge join bounded per conversation)."""
+    from kaminpar_spark.operators.bipartite import butterfly_count
+    from kaminpar_spark.sources.transcripts import conv_actor_incidence, synth_transcripts
+
+    n = _n_convs(spark, sf_dir)
+    t = synth_transcripts(spark, n)
+    return butterfly_count(conv_actor_incidence(t, n))
+
+
+def _q_char_diversity(spark, sf_dir):
+    """Gini-Simpson character diversity per document — transcendental-free
+    entropy-class quality gate (exact integer moments, one division)."""
+    from kaminpar_spark.functions.text import char_diversity
+
+    return char_diversity(_load(spark, sf_dir, "documents"))
 
 
 def _q_harmonic(spark, sf_dir):
@@ -831,6 +860,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "assortativity": _q_assortativity,
         "truss_edges5": _q_truss_edges,
         "harmonic4": _q_harmonic,
+        "diameter_sweep": _q_diameter,
+        "butterflies": _q_butterflies,
+        "char_diversity": _q_char_diversity,
         "random_walks4": _q_random_walks,
         "walk_contexts": _q_walk_contexts,
         "conductance_mod4": _q_conductance_mod4,
@@ -939,6 +971,66 @@ deg AS MATERIALIZED (
   ON n.id = d.id)
 """
 )
+
+
+def _diameter_sql() -> str:
+    """Two unrolled BFS chains; the second seeded by the first sweep's
+    peripheral node (ORDER BY dist DESC, id LIMIT 1 = the engine's
+    deterministic tie-break)."""
+
+    def chain(tag: str, src_expr: str) -> tuple[str, str]:
+        prev = f"{tag}0"
+        s = f""",
+{tag}0 AS (SELECT id, CASE WHEN id = ({src_expr}) THEN CAST(0 AS BIGINT) END AS dist FROM nodes)"""
+        for i in range(1, DIAM_HOPS + 1):
+            s += f""",
+{tag}{i} AS MATERIALIZED (
+  SELECT a.id,
+         CASE WHEN a.dist IS NULL THEN m.nd WHEN m.nd IS NULL THEN a.dist
+              ELSE least(a.dist, m.nd) END AS dist
+  FROM {prev} a LEFT JOIN (
+    SELECT e.dst AS id, MIN(r.dist + 1) AS nd
+    FROM edges e JOIN {prev} r ON e.src = r.id WHERE r.dist IS NOT NULL
+    GROUP BY e.dst) m ON a.id = m.id)"""
+            prev = f"{tag}{i}"
+        return s, prev
+
+    c1, last1 = chain("da", "0")
+    c2, last2 = chain("db", "SELECT peripheral FROM per")
+    return f"""WITH {_EDGES_CTE}{c1},
+per AS (SELECT id AS peripheral FROM {last1} WHERE dist IS NOT NULL
+        ORDER BY dist DESC, id LIMIT 1){c2}
+SELECT (SELECT peripheral FROM per) AS peripheral,
+       CAST(max(dist) AS BIGINT) AS diameter_lb
+FROM {last2} WHERE dist IS NOT NULL"""
+
+
+_BUTTERFLIES_SQL = f"""WITH {_EDGES_CTE},
+inc AS (SELECT DISTINCT conv_id, actor FROM actor_turns),
+pc AS (SELECT a.actor AS r_a, b.actor AS r_b, count(*) AS cnt
+       FROM inc a JOIN inc b ON a.conv_id = b.conv_id AND a.actor < b.actor
+       GROUP BY 1, 2)
+SELECT CAST(count(*) AS BIGINT) AS co_pairs,
+       CAST(sum(cnt) AS BIGINT) AS wedge_pairs,
+       CAST(sum(cnt * (cnt - 1) // 2) AS BIGINT) AS butterflies
+FROM pc"""
+
+
+_CHAR_DIVERSITY_SQL = """
+WITH ex AS (SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents),
+cnts AS (SELECT doc_id, ch, count(*) AS c FROM ex WHERE ch <> '' GROUP BY doc_id, ch),
+per AS (SELECT doc_id,
+               CAST(sum(c) AS BIGINT) AS n_chars,
+               CAST(count(*) AS BIGINT) AS distinct_chars,
+               CAST(sum(c * c) AS BIGINT) AS sq
+        FROM cnts GROUP BY doc_id)
+SELECT d.doc_id,
+       coalesce(p.n_chars, 0) AS n_chars,
+       coalesce(p.distinct_chars, 0) AS distinct_chars,
+       CASE WHEN p.n_chars > 0
+            THEN round(1.0 - CAST(p.sq AS DOUBLE) / (p.n_chars * p.n_chars), 6)
+       END AS simpson
+FROM documents d LEFT JOIN per p USING (doc_id)"""
 
 
 def _harmonic_sql() -> str:
@@ -1978,6 +2070,9 @@ FROM deg GROUP BY 1""",
         "truss_edges5": f"WITH {_EDGES_CTE}"
         + _TRUSS_SQL_TEMPLATE.format(min_support=TRUSS_K - 2),
         "harmonic4": _harmonic_sql(),
+        "diameter_sweep": _diameter_sql(),
+        "butterflies": _BUTTERFLIES_SQL,
+        "char_diversity": _CHAR_DIVERSITY_SQL,
         "random_walks4": _walks_sql(),
         "walk_contexts": _walk_contexts_sql(),
         "conductance_mod4": _CONDUCTANCE_SQL,

@@ -106,6 +106,45 @@ PII_IPV4 = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
 PII_PHONE = r"\+?[0-9][0-9()\- ]{6,}[0-9]"
 
 
+def char_diversity(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(doc_id, n_chars, distinct_chars, simpson) — character-distribution
+    diversity per document. ``simpson`` is the Gini-Simpson index
+    1 - sum_i (c_i/n)^2: near 0 for degenerate/repetitive payloads (one char
+    dominating), higher for natural text — an entropy-class quality gate that,
+    unlike Shannon entropy, needs NO transcendental function: sum c_i^2 is an
+    exact integer, so the one final division is bit-reproducible cross-engine
+    (libm log() differs in the last bit between JVM and C runtimes).
+    Empty documents get simpson NULL."""
+    cnts = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(F.filter(F.split(F.col(text_col), ""), lambda c: c != "")).alias("ch"),
+        )
+        .groupBy("doc_id", "ch")
+        .agg(F.count("*").alias("c"))
+    )
+    per = cnts.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_chars"),
+        F.count("*").cast("long").alias("distinct_chars"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("sq"),
+    )
+    docs_all = docs.select(F.col(id_col).alias("doc_id"))
+    return (
+        docs_all.join(per, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_chars", F.lit(0)).alias("n_chars"),
+            F.coalesce("distinct_chars", F.lit(0)).alias("distinct_chars"),
+            F.when(
+                F.col("n_chars") > 0,
+                F.round(
+                    F.lit(1.0) - F.col("sq") / (F.col("n_chars") * F.col("n_chars")), 6
+                ),
+            ).alias("simpson"),
+        )
+    )
+
+
 def pii_scrub(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """(doc_id, n_emails, n_ips, n_phones, scrubbed) — redact emails, IPv4
     addresses, and phone-like digit runs with <EMAIL>/<IP>/<PHONE> tokens and

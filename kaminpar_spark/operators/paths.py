@@ -194,6 +194,25 @@ def harmonic_centrality(
     )
 
 
+def double_sweep_diameter(
+    graph: GraphFrame, start: int = 0, max_hops: int = 8, runner=None
+) -> DataFrame:
+    """One row (peripheral, diameter_lb) — the classic double-sweep diameter
+    lower bound: BFS from ``start``, hop to the farthest reached node
+    (ties -> min id, deterministic), BFS again; the second eccentricity is a
+    lower bound on the true diameter (exact once max_hops >= diameter; tight
+    on most real graphs, Magnien et al. JEA'09). Two BFS passes; the only
+    driver-side value is the single peripheral id."""
+    d1 = distances(graph, [start], max_hops=max_hops, runner=runner)
+    far = (
+        d1.orderBy(F.desc("dist"), F.asc("id"))
+        .limit(1)
+        .select(F.col("id").alias("peripheral"))
+    )
+    d2 = distances(graph, far.select(F.col("peripheral").alias("id")), max_hops=max_hops, runner=runner)
+    return far.crossJoin(d2.agg(F.max("dist").alias("diameter_lb")))
+
+
 def sssp(graph: GraphFrame, sources, max_hops: int = 20, runner=None) -> DataFrame:
     """(id, dist) — Bellman-Ford shortest path weight over <= max_hops edges
     (exact SSSP once max_hops >= the shortest-path hop diameter; weights are

@@ -100,6 +100,14 @@ def turn_links(transcripts: DataFrame, n_convs: int) -> DataFrame:
     )
 
 
+def conv_actor_incidence(transcripts: DataFrame, n_convs: int) -> DataFrame:
+    """(conv_id, actor) — the distinct bipartite incidence underlying the
+    projected link graph (input to operators.bipartite)."""
+    return (
+        transcripts.select("conv_id", actor_column(n_convs).alias("actor")).distinct()
+    )
+
+
 def transcript_graph(
     transcripts: DataFrame,
     n_convs: int,
