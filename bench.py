@@ -108,6 +108,24 @@ def main():
         queries["triangle_count"] = round(time.time() - t0, 3)
         _phase("triangles done")
 
+        # ---- deterministic random walks (embedding-prep sampling) ----
+        from kaminpar_spark.operators.walks import deterministic_walks
+
+        t0 = time.time()
+        starts = gp.nodes.where(F.col("id") % 29 == 0).select("id")
+        deterministic_walks(gp, starts, walk_len=4).count()
+        queries["random_walks"] = round(time.time() - t0, 3)
+        _phase("walks done")
+
+        # ---- bipartite butterflies over the conv-actor incidence ----
+        from kaminpar_spark.operators.bipartite import butterfly_count
+        from kaminpar_spark.sources.transcripts import conv_actor_incidence
+
+        t0 = time.time()
+        butterfly_count(conv_actor_incidence(t, n_convs)).first()
+        queries["butterflies"] = round(time.time() - t0, 3)
+        _phase("butterflies done")
+
         # ---- LLM-data-pipeline lines: MinHash+LSH dedup and LSH ANN at this
         # SF (JVM-only sketch kernels; documents/embeddings parquet) ----
         from pyspark.sql import functions as F2

@@ -169,6 +169,16 @@ amortized over every subsequent analytics run.
 
 Reproduce: `python scripts/scaling_bench.py --convs {args.convs} --levels {lo},{hi}`
 """
+    if os.path.exists(os.path.join(REPO, "BENCH", "DEDUP_SCALING.md")):
+        md += """
+## Dedup-family row (same protocol, MinHash+LSH kernel)
+
+Full table in `BENCH/DEDUP_SCALING.md`: portable shingles -> 64-hash MinHash
+signatures in ONE groupBy -> 16-band LSH bucket join (skew guard armed) ->
+candidate count, over 1,000,000 deterministic synthetic documents (~1%
+planted duplicate pairs), input pre-built and shared across levels.
+Reproduce: `python scripts/dedup_scaling_bench.py`.
+"""
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
         f.write(md)
