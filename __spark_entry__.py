@@ -145,6 +145,18 @@ def _q_harmonic(spark, sf_dir):
     return harmonic_centrality(g, srcs, max_hops=BFS_HOPS)
 
 
+JP_ROUNDS = 6
+
+
+def _q_jp_colors(spark, sf_dir):
+    """Jones-Plassmann greedy coloring, 6 supersteps (hash priorities,
+    smallest-absent-color; NULL = not yet scheduled, bfs_dist4 contract)."""
+    from kaminpar_spark.operators.coloring import jp_color
+
+    g, _ = _graph(spark, sf_dir)
+    return jp_color(g, rounds=JP_ROUNDS)
+
+
 WALK_LEN = 4
 WALK_START_MOD = 29  # sampled starts: id % 29 == 0 (~130 walks at sf0.01)
 WALK_WINDOW = 2
@@ -861,6 +873,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "truss_edges5": _q_truss_edges,
         "harmonic4": _q_harmonic,
         "diameter_sweep": _q_diameter,
+        "jp_colors6": _q_jp_colors,
         "butterflies": _q_butterflies,
         "char_diversity": _q_char_diversity,
         "random_walks4": _q_random_walks,
@@ -1060,6 +1073,39 @@ m0 AS (SELECT s.src, n.id,
        FROM nodes n CROSS JOIN srcs s){steps}
 SELECT id, round(sum({scale} // dist) / {float(scale)}, 6) AS harmonic
 FROM {prev} WHERE dist > 0 GROUP BY id"""
+
+
+def _jp_sql() -> str:
+    """Unrolled Jones-Plassmann rounds mirroring operators.coloring.jp_round
+    (hash priorities, collision-free key, smallest absent color)."""
+    from kaminpar_spark.operators.coloring import COLOR_PRI_A, COLOR_PRI_B
+    from kaminpar_spark.functions.hashing import POLY_MOD
+
+    steps = ""
+    prev = "st0"
+    for r in range(1, JP_ROUNDS + 1):
+        steps += f""",
+un{r} AS (SELECT id, pri * {1 << 31} + id AS k FROM {prev} WHERE color IS NULL),
+nbmax{r} AS (SELECT e.dst AS id, max(u.k) AS nb_k
+             FROM edges e JOIN un{r} u ON e.src = u.id GROUP BY e.dst),
+win{r} AS (SELECT u.id FROM un{r} u LEFT JOIN nbmax{r} m ON u.id = m.id
+           WHERE m.nb_k IS NULL OR u.k > m.nb_k),
+used{r} AS (SELECT e.dst AS id, list(DISTINCT s.color) AS used
+            FROM edges e JOIN {prev} s ON e.src = s.id
+            WHERE s.color IS NOT NULL GROUP BY e.dst),
+asg{r} AS (SELECT w.id,
+             list_min(list_filter(range(0, coalesce(len(u.used), 0) + 1),
+                      x -> NOT list_contains(coalesce(u.used, CAST([] AS BIGINT[])), x)))
+               AS new_color
+           FROM win{r} w LEFT JOIN used{r} u ON w.id = u.id),
+st{r} AS MATERIALIZED (
+  SELECT s.id, s.pri, coalesce(s.color, a.new_color) AS color
+  FROM {prev} s LEFT JOIN asg{r} a ON s.id = a.id)"""
+        prev = f"st{r}"
+    return f"""WITH {_EDGES_CTE},
+st0 AS (SELECT id, ({COLOR_PRI_A} * id + {COLOR_PRI_B}) % {POLY_MOD} AS pri,
+               CAST(NULL AS BIGINT) AS color FROM nodes){steps}
+SELECT id, CAST(color AS BIGINT) AS color FROM {prev}"""
 
 
 def _walk_steps_sql() -> tuple[str, str]:
@@ -2071,6 +2117,7 @@ FROM deg GROUP BY 1""",
         + _TRUSS_SQL_TEMPLATE.format(min_support=TRUSS_K - 2),
         "harmonic4": _harmonic_sql(),
         "diameter_sweep": _diameter_sql(),
+        "jp_colors6": _jp_sql(),
         "butterflies": _BUTTERFLIES_SQL,
         "char_diversity": _CHAR_DIVERSITY_SQL,
         "random_walks4": _walks_sql(),
