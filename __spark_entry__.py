@@ -148,6 +148,15 @@ def _q_harmonic(spark, sf_dir):
 JP_ROUNDS = 6
 
 
+def _q_luby_mis(spark, sf_dir):
+    """Luby maximal independent set, 6 supersteps (1 in-set / -1 excluded /
+    0 undecided; expected halving of the undecided set per round)."""
+    from kaminpar_spark.operators.coloring import luby_mis
+
+    g, _ = _graph(spark, sf_dir)
+    return luby_mis(g, rounds=JP_ROUNDS)
+
+
 def _q_jp_colors(spark, sf_dir):
     """Jones-Plassmann greedy coloring, 6 supersteps (hash priorities,
     smallest-absent-color; NULL = not yet scheduled, bfs_dist4 contract)."""
@@ -874,6 +883,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "harmonic4": _q_harmonic,
         "diameter_sweep": _q_diameter,
         "jp_colors6": _q_jp_colors,
+        "luby_mis6": _q_luby_mis,
         "butterflies": _q_butterflies,
         "char_diversity": _q_char_diversity,
         "random_walks4": _q_random_walks,
@@ -1106,6 +1116,36 @@ st{r} AS MATERIALIZED (
 st0 AS (SELECT id, ({COLOR_PRI_A} * id + {COLOR_PRI_B}) % {POLY_MOD} AS pri,
                CAST(NULL AS BIGINT) AS color FROM nodes){steps}
 SELECT id, CAST(color AS BIGINT) AS color FROM {prev}"""
+
+
+def _luby_sql() -> str:
+    """Unrolled Luby MIS rounds mirroring operators.coloring.luby_mis_round."""
+    from kaminpar_spark.operators.coloring import COLOR_PRI_A, COLOR_PRI_B
+    from kaminpar_spark.functions.hashing import POLY_MOD
+
+    steps = ""
+    prev = "l0"
+    for r in range(1, JP_ROUNDS + 1):
+        steps += f""",
+lun{r} AS (SELECT id, pri * {1 << 31} + id AS k FROM {prev} WHERE st = 0),
+lnb{r} AS (SELECT e.dst AS id, max(u.k) AS nb_k
+           FROM edges e JOIN lun{r} u ON e.src = u.id GROUP BY e.dst),
+lwin{r} AS (SELECT u.id FROM lun{r} u LEFT JOIN lnb{r} m ON u.id = m.id
+            WHERE m.nb_k IS NULL OR u.k > m.nb_k),
+llose{r} AS (SELECT DISTINCT e.dst AS id FROM edges e JOIN lwin{r} w ON e.src = w.id),
+l{r} AS MATERIALIZED (
+  SELECT s.id, s.pri,
+         CASE WHEN s.st <> 0 THEN s.st
+              WHEN w.id IS NOT NULL THEN 1
+              WHEN x.id IS NOT NULL THEN -1
+              ELSE 0 END AS st
+  FROM {prev} s LEFT JOIN lwin{r} w ON s.id = w.id
+               LEFT JOIN llose{r} x ON s.id = x.id)"""
+        prev = f"l{r}"
+    return f"""WITH {_EDGES_CTE},
+l0 AS (SELECT id, ({COLOR_PRI_A} * id + {COLOR_PRI_B}) % {POLY_MOD} AS pri,
+              0 AS st FROM nodes){steps}
+SELECT id, CAST(st AS INT) AS st FROM {prev}"""
 
 
 def _walk_steps_sql() -> tuple[str, str]:
@@ -2118,6 +2158,7 @@ FROM deg GROUP BY 1""",
         "harmonic4": _harmonic_sql(),
         "diameter_sweep": _diameter_sql(),
         "jp_colors6": _jp_sql(),
+        "luby_mis6": _luby_sql(),
         "butterflies": _BUTTERFLIES_SQL,
         "char_diversity": _CHAR_DIVERSITY_SQL,
         "random_walks4": _walks_sql(),

@@ -51,7 +51,7 @@ def load_graph(spark, path: str, symmetrize: bool):
 
 def main(argv=None):
     ap = argparse.ArgumentParser(prog="kaminpar-spark")
-    ap.add_argument("command", choices=["partition", "pagerank", "ppr", "components", "labelprop", "triangles", "kcore", "stats"])
+    ap.add_argument("command", choices=["partition", "pagerank", "ppr", "components", "labelprop", "triangles", "kcore", "stats", "bfs", "diameter", "color", "mis", "walks"])
     ap.add_argument("--sources", default="0", help="[ppr] comma-separated teleport node ids")
     ap.add_argument("-G", "--graph", required=True)
     ap.add_argument("-k", type=int, default=2)
@@ -169,6 +169,55 @@ def main(argv=None):
 
         n = triangle_count(g)
         print(f"RESULT triangles={n} time={time.time()-t0:.3f}s")
+    elif args.command == "bfs":
+        from kaminpar_spark.operators.paths import bfs_levels
+
+        srcs = [int(x) for x in args.sources.split(",")]
+        d = bfs_levels(g, srcs, max_hops=args.max_iters)
+        if args.save:
+            d.write.mode("overwrite").parquet(args.save)
+        print(f"RESULT reached={d.count()} time={time.time()-t0:.3f}s")
+    elif args.command == "diameter":
+        from kaminpar_spark.operators.paths import double_sweep_diameter
+
+        row = double_sweep_diameter(
+            g, start=int(args.sources.split(",")[0]), max_hops=args.max_iters
+        ).collect()[0]
+        print(
+            f"RESULT peripheral={row['peripheral']} diameter_lb={row['diameter_lb']} "
+            f"time={time.time()-t0:.3f}s"
+        )
+    elif args.command == "color":
+        from pyspark.sql import functions as F
+
+        from kaminpar_spark.operators.coloring import color_to_completion
+
+        colors = color_to_completion(g, max_rounds=args.max_iters)
+        if args.save:
+            colors.write.mode("overwrite").parquet(args.save)
+        n_colors = colors.agg(F.countDistinct("color")).first()[0]
+        print(f"RESULT n_colors={n_colors} time={time.time()-t0:.3f}s")
+    elif args.command == "mis":
+        from pyspark.sql import functions as F
+
+        from kaminpar_spark.operators.coloring import luby_mis
+
+        st = luby_mis(g, rounds=args.max_iters)
+        if args.save:
+            st.write.mode("overwrite").parquet(args.save)
+        n_in = st.where(F.col("st") == 1).count()
+        n_und = st.where(F.col("st") == 0).count()
+        print(f"RESULT mis_size={n_in} undecided={n_und} time={time.time()-t0:.3f}s")
+    elif args.command == "walks":
+        from pyspark.sql import functions as F
+
+        from kaminpar_spark.operators.walks import deterministic_walks
+
+        starts = g.nodes.where(F.col("id") % 29 == 0).select("id")
+        w = deterministic_walks(g, starts, walk_len=args.max_iters)
+        if args.save:
+            w.write.mode("overwrite").parquet(args.save)
+        print(f"RESULT walk_rows={w.count()} time={time.time()-t0:.3f}s")
     elif args.command == "stats":
         from dataclasses import asdict
 

@@ -102,6 +102,65 @@ def jp_color(graph: GraphFrame, rounds: int = 6) -> DataFrame:
     return state.select("id", "color")
 
 
+def luby_mis_round(graph: GraphFrame, state: DataFrame) -> DataFrame:
+    """One Luby superstep over state (id, pri, st) with st in
+    {0 undecided, 1 in-MIS, -1 excluded}: every undecided node that beats all
+    undecided neighbors on (pri, id) joins the MIS; undecided neighbors of
+    new members become excluded."""
+    un = state.where(F.col("st") == 0).select(
+        "id", (F.col("pri") * F.lit(1 << 31) + F.col("id")).alias("k")
+    )
+    e = graph.edges.select("src", "dst")
+    nb_max = (
+        un.select(F.col("id").alias("src"), F.col("k").alias("src_k"))
+        .join(e.hint("shuffle_hash"), "src")
+        .groupBy(F.col("dst").alias("id"))
+        .agg(F.max("src_k").alias("nb_k"))
+    )
+    winners = (
+        un.join(nb_max.hint("shuffle_hash"), "id", "left")
+        .where(F.col("nb_k").isNull() | (F.col("k") > F.col("nb_k")))
+        .select("id", F.lit(1).alias("win"))
+    )
+    losers = (
+        winners.select(F.col("id").alias("src"))
+        .join(e.hint("shuffle_hash"), "src")
+        .select(F.col("dst").alias("id"), F.lit(1).alias("lose"))
+        .distinct()
+    )
+    return (
+        state.join(winners.hint("shuffle_hash"), "id", "left")
+        .join(losers.hint("shuffle_hash"), "id", "left")
+        .select(
+            "id",
+            "pri",
+            F.when(F.col("st") != 0, F.col("st"))
+            .when(F.col("win").isNotNull(), F.lit(1))
+            .when(F.col("lose").isNotNull(), F.lit(-1))
+            .otherwise(F.lit(0))
+            .cast("int")
+            .alias("st"),
+        )
+    )
+
+
+def luby_mis(graph: GraphFrame, rounds: int = 6) -> DataFrame:
+    """(id, st) after exactly ``rounds`` Luby supersteps — st 1 = in the
+    maximal independent set, -1 = excluded (a neighbor is in), 0 = undecided
+    (round-bounded contract; at the fixpoint no 0 remains and the 1-set is a
+    maximal independent set). Deterministic: same hash priorities as
+    jp_color. Unlike a clique-bound coloring, Luby halves the undecided set
+    per round in expectation on ANY graph."""
+    from kaminpar_spark.plans.lineage import truncate
+
+    state = graph.nodes.select(
+        "id", color_priority(F.col("id")).alias("pri"), F.lit(0).cast("int").alias("st")
+    )
+    for _ in range(rounds):
+        state = truncate(luby_mis_round(graph, state))
+    return state.select("id", "st")
+
+
 def color_to_completion(graph: GraphFrame, max_rounds: int = 100) -> DataFrame:
     """(id, color) — iterate JP rounds until every node is colored (or
     ``max_rounds``; a warning row is impossible — JP colors >= 1 node per
