@@ -79,6 +79,14 @@ def _q_transcript_edges(spark, sf_dir):
     return g.edges
 
 
+def _q_conv_stats(spark, sf_dir):
+    """Per-conversation session analytics (turn counts by role, distinct
+    tools, duration, max inter-turn gap) — the transcripts-native rollup."""
+    from kaminpar_spark.sources.transcripts import conversation_stats, synth_transcripts
+
+    return conversation_stats(synth_transcripts(spark, _n_convs(spark, sf_dir)))
+
+
 def _q_degrees(spark, sf_dir):
     g, _ = _graph(spark, sf_dir)
     return g.degrees()
@@ -591,6 +599,60 @@ def _q_ivf_recall(spark, sf_dir):
     return _recall_df(exact, approx)
 
 
+KMV_K = 256
+
+
+def _q_kmv_shingles(spark, sf_dir):
+    """KMV distinct-cardinality sketch of corpus 3-gram shingles (k=256,
+    ~16k true distinct at sf0.01), alongside the exact distinct count — the
+    estimate itself is deterministic (portable hash + exactly-rounded
+    division), so the oracle checks the ESTIMATE, not a tolerance band."""
+    from kaminpar_spark.functions.sketches import kmv_distinct
+
+    docs = _load(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.col("text")), " ")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - 3, F.lit(0)))
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 3)))
+    g = docs.select(F.explode(grams).alias("gram")).where(F.col("gram") != "")
+    est = kmv_distinct(g, "gram", k=KMV_K)
+    exact = g.agg(F.count_distinct("gram").alias("exact_distinct"))
+    return est.crossJoin(exact)
+
+
+DUP_WINDOW = 8
+
+
+def _q_dup_windows(spark, sf_dir):
+    """Cross-document repeated token-window stats (exact substring
+    repetition, window=8): per-doc share of sliding windows that also occur
+    in another document."""
+    from kaminpar_spark.functions.dedup import repeated_window_stats
+
+    docs = _load(spark, sf_dir, "documents")
+    return repeated_window_stats(docs, window=DUP_WINDOW).select(
+        F.col("id").alias("doc_id"),
+        "n_windows",
+        "n_dup_windows",
+        "dup_share",
+    )
+
+
+KMEANS_K = 8
+KMEANS_ITERS = 2
+
+
+def _q_kmeans_cells(spark, sf_dir):
+    """Quantized Lloyd k-means assignments after 2 centroid updates (k=8,
+    integer-lattice embeddings so the centroid sums are exact int64 and the
+    whole fixpoint is cross-engine bit-reproducible; all-integer output)."""
+    from kaminpar_spark.functions.similarity import kmeans_quantized
+
+    emb = _load(spark, sf_dir, "embeddings")
+    return kmeans_quantized(
+        emb, k=KMEANS_K, iters=KMEANS_ITERS, dim=EMB_DIM
+    ).select(F.col("id").alias("vec_id"), F.col("cell").alias("cell"))
+
+
 def _q_pii_scrub(spark, sf_dir):
     """PII redaction over documents augmented with deterministic synthetic
     PII (the raw corpus is PII-free word salad, so the augmentation is what
@@ -866,6 +928,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "transcript_turns": _q_transcript_turns,
         "transcript_edges": _q_transcript_edges,
+        "conv_stats": _q_conv_stats,
         "degrees": _q_degrees,
         "bfs_dist4": _q_bfs_dist,
         "sssp_dist4": _q_sssp_dist,
@@ -904,6 +967,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": _q_pii_scrub,
         "repetition_stats": _q_repetition_stats,
         "decontaminate": _q_decontaminate,
+        "dup_windows8": _q_dup_windows,
+        "kmv_shingles": _q_kmv_shingles,
         "token_counts": _q_token_counts,
         "text_quality": _q_text_quality,
         "embedding_topk": _q_embedding_topk,
@@ -922,6 +987,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_dups": _q_simhash_near_dups,
         "lsh_topk": _q_lsh_topk,
         "ivf_topk": _q_ivf_topk,
+        "kmeans_cells2": _q_kmeans_cells,
         "lsh_recall": _q_lsh_recall,
         "ivf_recall": _q_ivf_recall,
         "fingerprints": _q_fingerprints,
@@ -1772,6 +1838,53 @@ SELECT id AS doc_id,
 FROM per GROUP BY id"""
 
 
+def _kmv_sql() -> str:
+    from kaminpar_spark.functions.hashing import POLY_MOD, char_poly_hash_sql
+    from kaminpar_spark.functions.sketches import KMV_MIX
+
+    scale = repr(float(KMV_K - 1) * POLY_MOD)  # exact integer-valued double
+    th = f"(({char_poly_hash_sql('tok')}) * {KMV_MIX}) % {POLY_MOD}"
+    return f"""
+WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+idx AS (SELECT doc_id, w, unnest(range(greatest(len(w) - 2, 1))) AS i FROM toks),
+tks AS MATERIALIZED (
+  SELECT array_to_string(array_slice(w, i + 1, i + 3), ' ') AS tok FROM idx
+  WHERE array_to_string(array_slice(w, i + 1, i + 3), ' ') <> ''),
+hs AS (SELECT DISTINCT {th} AS h FROM tks),
+kmv AS (SELECT CAST(count(*) AS BIGINT) AS k_used, max(h) AS kth_hash
+        FROM (SELECT h FROM hs ORDER BY h LIMIT {KMV_K})),
+ex AS (SELECT CAST(count(DISTINCT tok) AS BIGINT) AS exact_distinct FROM tks)
+SELECT k_used, kth_hash,
+       round(CASE WHEN k_used < {KMV_K} THEN CAST(k_used AS DOUBLE)
+                  ELSE {scale} / kth_hash END, 4) AS est_distinct,
+       exact_distinct
+FROM kmv, ex"""
+
+
+def _dup_windows_sql() -> str:
+    """Twin of dedup.repeated_window_stats at window=DUP_WINDOW. dup_share is
+    one exactly-rounded division of exact int64 counts — deterministic
+    without rounding."""
+    from kaminpar_spark.functions.hashing import char_poly_hash_sql
+
+    w = DUP_WINDOW
+    gh = char_poly_hash_sql("gram")
+    return f"""
+WITH toks AS (SELECT doc_id AS id, string_split(lower(text), ' ') AS w FROM documents),
+idx AS (SELECT id, w, unnest(range(greatest(len(w) - {w - 1}, 1))) AS i FROM toks),
+grams AS (SELECT id, array_to_string(array_slice(w, i + 1, i + {w}), ' ') AS gram
+          FROM idx WHERE array_to_string(array_slice(w, i + 1, i + {w}), ' ') <> ''),
+wins AS MATERIALIZED (SELECT id, {gh} AS wh FROM grams),
+rep AS (SELECT wh FROM wins GROUP BY wh HAVING count(DISTINCT id) >= 2)
+SELECT id AS doc_id,
+       CAST(count(*) AS BIGINT) AS n_windows,
+       CAST(count(*) FILTER (WHERE wh IN (SELECT wh FROM rep)) AS BIGINT)
+         AS n_dup_windows,
+       CAST(count(*) FILTER (WHERE wh IN (SELECT wh FROM rep)) AS DOUBLE)
+         / count(*) AS dup_share
+FROM wins GROUP BY id"""
+
+
 def _decontaminate_sql() -> str:
     from kaminpar_spark.functions.hashing import char_poly_hash_sql
 
@@ -1939,6 +2052,66 @@ hit AS (SELECT count(*) AS n_hit FROM exact e
                       WHERE a.qid = e.qid AND a.nn_id = e.nn_id)),
 tot AS (SELECT count(*) AS n_tot FROM exact)
 SELECT round(CAST(n_hit AS DOUBLE) / n_tot, 6) AS recall_at_10 FROM hit, tot"""
+
+
+def _kmeans_sql() -> str:
+    """DuckDB twin of similarity.kmeans_quantized (k=KMEANS_K, iters=2,
+    unrolled). Exactness argument: quantized components are int64, so the
+    per-cell sums are order-independent; every distance is the same
+    left-to-right IEEE fold Spark runs (_kmeans_dist_expr), so assignments
+    match bit-for-bit. Empty cells keep the previous centroid (LEFT JOIN +
+    CASE), mirroring the Spark driver's dict update."""
+    from kaminpar_spark.functions.similarity import (
+        IVF_MIX_MOD,
+        IVF_MIX_MULT,
+        KMEANS_SCALE,
+    )
+
+    def dist(svec: str, n: str) -> str:
+        d = f"(CAST(q.qv[i] AS DOUBLE) - CAST({svec}[i] AS DOUBLE) / CAST({n} AS DOUBLE))"
+        return (
+            f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+            f"list_transform(range(1, {EMB_DIM + 1}), i -> {d} * {d})), "
+            f"(acc, x) -> acc + x)"
+        )
+
+    def assign(cent: str, out: str) -> str:
+        return f""",
+{out} AS MATERIALIZED (
+  SELECT id, qv, cid AS cell FROM (
+    SELECT q.id, q.qv, c.cid,
+           row_number() OVER (PARTITION BY q.id
+                              ORDER BY {dist('c.svec', 'c.n')} ASC, c.cid ASC) AS rn
+    FROM q CROSS JOIN {cent} c) t WHERE rn = 1)"""
+
+    def update(asg: str, prev: str, out: str) -> str:
+        sums = ", ".join(f"CAST(sum(qv[{i + 1}]) AS BIGINT) AS s{i}" for i in range(EMB_DIM))
+        lv = ", ".join(f"u.s{i}" for i in range(EMB_DIM))
+        return f""",
+u_{out} AS (SELECT cell, {sums}, count(*) AS n FROM {asg} GROUP BY cell),
+{out} AS MATERIALIZED (
+  SELECT c.cid,
+         CASE WHEN u.cell IS NULL THEN c.svec ELSE list_value({lv}) END AS svec,
+         CAST(coalesce(u.n, c.n) AS BIGINT) AS n
+  FROM {prev} c LEFT JOIN u_{out} u ON c.cid = u.cell)"""
+
+    steps, cent = "", "c0"
+    for r in range(1, KMEANS_ITERS + 1):
+        steps += assign(cent, f"a{r - 1}")
+        steps += update(f"a{r - 1}", cent, f"c{r}")
+        cent = f"c{r}"
+    steps += assign(cent, "afinal")
+    return f"""
+WITH q AS MATERIALIZED (
+  SELECT vec_id AS id,
+         list_transform(embedding,
+           x -> CAST(round(CAST(x AS DOUBLE) * {float(KMEANS_SCALE)}) AS BIGINT)) AS qv
+  FROM embeddings),
+c0_seed AS MATERIALIZED (
+  SELECT id AS cid, qv AS svec, CAST(1 AS BIGINT) AS n FROM q
+  ORDER BY (id * {IVF_MIX_MULT}) % {IVF_MIX_MOD}, id LIMIT {KMEANS_K}),
+c0 AS (SELECT * FROM c0_seed){steps}
+SELECT id AS vec_id, CAST(cell AS BIGINT) AS cell FROM afinal"""
 
 
 def _embedding_near_dups_sql() -> str:
@@ -2137,6 +2310,19 @@ def oracle_sql() -> dict[str, str]:
         "transcript_turns": f"WITH {_TRANSCRIPTS_CTE} "
         "SELECT conv_id, turn_idx, role, text, tool, ts FROM transcripts",
         "transcript_edges": f"WITH {_EDGES_CTE} SELECT src, dst, weight FROM edges",
+        "conv_stats": f"""WITH {_TRANSCRIPTS_CTE},
+g AS (SELECT conv_id, role, tool, ts,
+             date_diff('second', lag(ts) OVER (PARTITION BY conv_id ORDER BY turn_idx), ts) AS gap_s
+      FROM transcripts)
+SELECT conv_id,
+       CAST(count(*) AS BIGINT) AS n_turns,
+       CAST(count(*) FILTER (WHERE role = 'user') AS BIGINT) AS n_user,
+       CAST(count(*) FILTER (WHERE role = 'assistant') AS BIGINT) AS n_assistant,
+       CAST(count(*) FILTER (WHERE role = 'tool') AS BIGINT) AS n_tool,
+       CAST(count(DISTINCT tool) AS BIGINT) AS n_distinct_tools,
+       CAST(date_diff('second', min(ts), max(ts)) AS BIGINT) AS duration_s,
+       CAST(max(gap_s) AS BIGINT) AS max_gap_s
+FROM g GROUP BY conv_id""",
         "degrees": f"WITH {_EDGES_CTE} SELECT id, degree, weighted_degree FROM deg",
         "bfs_dist4": _dist_sql(weighted=False),
         "sssp_dist4": _dist_sql(weighted=True),
@@ -2234,10 +2420,13 @@ FROM documents""",
         "simhash_near_dups": _simhash_sql(),
         "lsh_topk": _lsh_topk_sql(),
         "ivf_topk": _ivf_topk_sql(),
+        "kmeans_cells2": _kmeans_sql(),
         "fingerprints": _fingerprints_sql(),
         "pii_scrub": _pii_scrub_sql(),
         "repetition_stats": _REPETITION_SQL,
         "decontaminate": _decontaminate_sql(),
+        "dup_windows8": _dup_windows_sql(),
+        "kmv_shingles": _kmv_sql(),
         "media_features": _media_features_sql(),
         "embedding_near_dups": _embedding_near_dups_sql(),
         "frame_sample_plan": _FRAME_SAMPLE_SQL,

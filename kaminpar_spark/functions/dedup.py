@@ -251,6 +251,57 @@ def ngram_jaccard_pairs(
     )
 
 
+def repeated_window_stats(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 8,
+) -> DataFrame:
+    """(id, n_windows, n_dup_windows, dup_share) — per document, how much of
+    it is covered by token windows of length ``window`` that ALSO occur in at
+    least one other document (exact cross-doc substring repetition, the
+    sliding-window flavor of "Deduplicating Training Data Makes Language
+    Models Better": repeated 50-token spans; here the window length is a
+    parameter). Complements repetition_stats (intra-doc boilerplate) and the
+    shingle near-dup family (whole-doc similarity).
+
+    Scale shape: one explode to (doc, window-hash) rows (~token count of the
+    corpus), one hash groupBy for the repeated-window set (map-side partial
+    agg on the count-distinct rewrite), one equi-join back, one per-doc agg —
+    no pairwise comparisons anywhere, so cost is linear in corpus tokens.
+    Pure JVM; the polynomial window hash makes the DuckDB oracle exact.
+    dup_share is an exactly-rounded IEEE division of two exact int64 counts,
+    so it is cross-engine deterministic without rounding."""
+    toks = F.split(F.lower(F.col(text_col)), " ")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - window, F.lit(0)))
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, window)))
+    wins = (
+        docs.select(F.col(id_col).alias("id"), F.explode(grams).alias("gram"))
+        .where(F.col("gram") != "")
+        .select("id", char_poly_hash(F.col("gram")).alias("wh"))
+    )
+    rep = (
+        wins.groupBy("wh")
+        .agg(F.count_distinct("id").alias("nd"))
+        .where(F.col("nd") >= 2)
+        .select("wh", F.lit(1).alias("is_rep"))
+    )
+    return (
+        wins.join(rep, "wh", "left")
+        .groupBy("id")
+        .agg(
+            F.count("*").alias("n_windows"),
+            F.sum(F.coalesce(F.col("is_rep"), F.lit(0))).alias("n_dup_windows"),
+        )
+        .select(
+            "id",
+            "n_windows",
+            "n_dup_windows",
+            (F.col("n_dup_windows") / F.col("n_windows")).alias("dup_share"),
+        )
+    )
+
+
 SIMHASH_BITS = 62  # 31 bits from each of two polynomial hash streams
 
 

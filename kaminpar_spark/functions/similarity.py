@@ -378,6 +378,119 @@ def ivf_topk(
     )
 
 
+# --- Quantized Lloyd k-means over embeddings --------------------------------
+#
+# Clustering embeddings (corpus curation, IVF index refinement, diversity
+# sampling) is the one vector op the family above lacks. The classic blocker
+# for a cross-engine-exact distributed k-means is the centroid mean: a float
+# groupBy-sum is summed in partition order, so no two engines (or two runs)
+# agree bit-for-bit. We sidestep it by quantizing the embeddings to an
+# integer lattice ONCE (round(x * scale) as int64): per-cell component sums
+# are then exact integers (order-independent), centroids stay exact
+# (sum_vec, count) pairs, and every distance is a fixed-order IEEE fold over
+# exact inputs — bit-identical in Spark and DuckDB, like _fold_cos_sql.
+
+KMEANS_SCALE = 1_000_000
+
+
+def quantize_embeddings(
+    vecs: DataFrame,
+    scale: int = KMEANS_SCALE,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, qv: array<long>) — embeddings on the integer lattice
+    round(x * scale). Exact int64 arithmetic downstream; scale=1e6 keeps unit
+    vectors' components < 2^20, so even 10^12-row cell sums fit int64."""
+    q = F.transform(
+        F.col(vec_col),
+        lambda x: F.round(x.cast("double") * F.lit(float(scale)), 0).cast("long"),
+    )
+    return vecs.select(F.col(id_col).alias("id"), q.alias("qv"))
+
+
+def _kmeans_dist_expr(svec: list[int], n: int) -> F.Column:
+    """Squared Euclidean distance of qv to the exact centroid svec/n, as one
+    JVM-parsed fold (same construction trick as _plane_dot). Op order per dim:
+    m = CAST(s AS DOUBLE)/CAST(n AS DOUBLE); d = CAST(v AS DOUBLE) - m;
+    acc + d*d, left-to-right — each step exactly-rounded IEEE, so any engine
+    replaying the same order gets the same bits."""
+    arr = "array(" + ",".join(f"{int(s)}L" for s in svec) + ")"
+    return F.expr(
+        f"aggregate(zip_with(qv, {arr}, (a, b) -> "
+        f"(CAST(a AS DOUBLE) - CAST(b AS DOUBLE) / CAST({int(n)} AS DOUBLE)) * "
+        f"(CAST(a AS DOUBLE) - CAST(b AS DOUBLE) / CAST({int(n)} AS DOUBLE))), "
+        f"0.0D, (acc, x) -> acc + x)"
+    )
+
+
+def kmeans_quantized(
+    vecs: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    scale: int = KMEANS_SCALE,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
+    """(id, cell) — Lloyd k-means assignments after ``iters`` centroid
+    updates, on the quantized lattice. Deterministic and reproducible in ANSI
+    SQL (__spark_entry__._kmeans_sql twin).
+
+    Scale shape (the reason this is NOT MLlib KMeans): per iteration the
+    assignment is a MAP-ONLY projection (k literal-centroid folds + one
+    array_min argmin — no join, no shuffle) and the update is ONE hash
+    aggregate with dim+1 sum/count columns (map-side partial agg; only
+    k rows per partition shuffle). The k×(dim+1) centroid table lives on the
+    driver as exact Python ints — k rows, the same driver-side scalar state
+    the reference keeps for block weights (kaminpar/datastructure/graph.h:342).
+    Empty cells keep their previous centroid (k never shrinks). Seeds are the
+    k lowest-mixer-hash vectors (ivf_centroids rule), cid = seed vec_id."""
+    if dim is None:
+        dim = len(vecs.select(vec_col).first()[0])
+    from kaminpar_spark.plans.lineage import release, truncate
+
+    qdf = truncate(quantize_embeddings(vecs, scale, id_col, vec_col))
+    mix = (F.col("id") * F.lit(IVF_MIX_MULT)) % F.lit(IVF_MIX_MOD)
+    seeds = (
+        qdf.select("id", "qv", mix.alias("mx")).orderBy("mx", "id").limit(k).collect()
+    )
+    # cid -> (component-sum vector, member count); exact ints throughout
+    cents: dict[int, tuple[list[int], int]] = {
+        int(r["id"]): ([int(v) for v in r["qv"]], 1) for r in seeds
+    }
+
+    def assign(df: DataFrame) -> DataFrame:
+        structs = [
+            F.struct(
+                _kmeans_dist_expr(svec, n).alias("d"),
+                F.lit(cid).cast("long").alias("cid"),
+            )
+            for cid, (svec, n) in sorted(cents.items())
+        ]
+        return df.select("id", "qv", F.array_min(F.array(*structs))["cid"].alias("cell"))
+
+    for _ in range(iters):
+        upd = (
+            assign(qdf)
+            .groupBy("cell")
+            .agg(
+                *[F.sum(F.element_at("qv", i + 1)).alias(f"s{i}") for i in range(dim)],
+                F.count("*").alias("n"),
+            )
+            .collect()
+        )
+        for r in upd:
+            cents[int(r["cell"])] = (
+                [int(r[f"s{i}"]) for i in range(dim)],
+                int(r["n"]),
+            )
+    out = assign(qdf).select("id", "cell")
+    out = truncate(out)
+    release(qdf)
+    return out
+
+
 def embedding_near_dup_pairs(
     vecs: DataFrame,
     threshold: float = 0.95,

@@ -142,3 +142,31 @@ def transcript_graph(
     )
     g = GraphFrame.from_edge_pairs(pairs, symmetrize=True)
     return g, amap
+
+
+def conversation_stats(transcripts: DataFrame) -> DataFrame:
+    """Per-conversation session analytics over the raw transcript table:
+    (conv_id, n_turns, n_user, n_assistant, n_tool, n_distinct_tools,
+    duration_s, max_gap_s).
+
+    Scale shape: ONE lag window partitioned by conv_id (bounded partitions —
+    a conversation fits in memory by definition, same contract as the ETL's
+    turn-link window) feeding ONE groupBy(conv_id) with map-side partial
+    aggregation. All integer outputs; count(DISTINCT tool) ignores the NULL
+    tool of non-tool turns in both engines."""
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    per_turn = transcripts.select(
+        "conv_id", "role", "tool", "ts", gap.alias("gap_s")
+    )
+    return per_turn.groupBy("conv_id").agg(
+        F.count("*").alias("n_turns"),
+        F.sum((F.col("role") == "user").cast("long")).alias("n_user"),
+        F.sum((F.col("role") == "assistant").cast("long")).alias("n_assistant"),
+        F.sum((F.col("role") == "tool").cast("long")).alias("n_tool"),
+        F.count_distinct("tool").alias("n_distinct_tools"),
+        (F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts"))).alias(
+            "duration_s"
+        ),
+        F.max("gap_s").alias("max_gap_s"),
+    )

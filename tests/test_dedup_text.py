@@ -378,3 +378,30 @@ def test_synth_corpus_unique_and_planted_dups(spark):
     }
     expected = {(i - 1, i) for i in range(2000) if i % 97 == 1}
     assert pairs == expected
+
+
+def test_repeated_window_stats(spark):
+    """Docs A and B share an exact 8-token span; C is unique; D repeats a
+    window internally only (must NOT count — repetition is cross-doc)."""
+    span = "alpha bravo charlie delta echo foxtrot golf hotel"
+    rows = [
+        (0, "intro words then " + span + " trailing bits here"),
+        (1, span + " totally different ending follows now ok"),
+        (2, "completely unrelated text with many distinct words " * 2),
+        (3, "loop loop loop loop loop loop loop loop loop loop loop loop"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["id"]: r
+        for r in dedup.repeated_window_stats(docs, window=8).collect()
+    }
+    # A: 10 tokens of context + 8-token span => sliding windows exist; the
+    # span appears at exactly one start offset in A and one in B
+    assert out[0]["n_dup_windows"] == 1
+    assert out[1]["n_dup_windows"] == 1
+    assert out[2]["n_dup_windows"] == 0
+    # D's windows repeat only within D itself -> not cross-doc duplicated
+    assert out[3]["n_dup_windows"] == 0
+    for r in out.values():
+        assert r["n_windows"] >= 1
+        assert abs(r["dup_share"] - r["n_dup_windows"] / r["n_windows"]) < 1e-12

@@ -66,3 +66,22 @@ def test_dense_ids_scalable_matches_count(spark):
     assert amap1.count() == amap2.count()
     assert g1.num_half_edges() == g2.num_half_edges()
     assert sorted(r["id"] for r in amap2.collect()) == list(range(amap2.count()))
+
+
+def test_conversation_stats(spark):
+    from kaminpar_spark.sources.transcripts import conversation_stats
+
+    t = synth_transcripts(spark, 20)
+    out = {r["conv_id"]: r for r in conversation_stats(t).collect()}
+    assert len(out) == 20
+    for c in range(20):
+        r = out[f"conv_{c:08d}"]
+        n = 4 + (c % 9)
+        assert r["n_turns"] == n
+        assert r["n_user"] + r["n_assistant"] + r["n_tool"] == n
+        # roles cycle user/assistant/tool from t=0
+        assert r["n_user"] == (n + 2) // 3
+        # ts = base + (c*1000 + t*10)s -> every gap is 10s, duration 10*(n-1)
+        assert r["duration_s"] == 10 * (n - 1)
+        assert r["max_gap_s"] == 10
+        assert 1 <= r["n_distinct_tools"] <= r["n_tool"]
