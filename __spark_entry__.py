@@ -165,6 +165,19 @@ def _q_luby_mis(spark, sf_dir):
     return luby_mis(g, rounds=JP_ROUNDS)
 
 
+HEM_ROUNDS = 3
+
+
+def _q_hem_matching(spark, sf_dir):
+    """Heavy-edge matching, 3 locally-dominant supersteps (mate NULL while
+    unmatched — round-bounded contract; fixpoint = maximal matching, the
+    METIS-family coarsening kernel alongside the engine's LP clustering)."""
+    from kaminpar_spark.operators.matching import heavy_edge_matching
+
+    g, _ = _graph(spark, sf_dir)
+    return heavy_edge_matching(g, rounds=HEM_ROUNDS)
+
+
 def _q_jp_colors(spark, sf_dir):
     """Jones-Plassmann greedy coloring, 6 supersteps (hash priorities,
     smallest-absent-color; NULL = not yet scheduled, bfs_dist4 contract)."""
@@ -947,6 +960,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "diameter_sweep": _q_diameter,
         "jp_colors6": _q_jp_colors,
         "luby_mis6": _q_luby_mis,
+        "hem_matching3": _q_hem_matching,
         "butterflies": _q_butterflies,
         "char_diversity": _q_char_diversity,
         "random_walks4": _q_random_walks,
@@ -1212,6 +1226,32 @@ l{r} AS MATERIALIZED (
 l0 AS (SELECT id, ({COLOR_PRI_A} * id + {COLOR_PRI_B}) % {POLY_MOD} AS pri,
               0 AS st FROM nodes){steps}
 SELECT id, CAST(st AS INT) AS st FROM {prev}"""
+
+
+def _hem_sql() -> str:
+    """Unrolled locally-dominant matching rounds mirroring
+    operators.matching.matching_round (pick = max weight then min dst;
+    mutual picks match; mate NULL while unmatched)."""
+    steps, prev = "", "m0"
+    for r in range(1, HEM_ROUNDS + 1):
+        steps += f""",
+un{r} AS (SELECT id FROM {prev} WHERE mate IS NULL),
+live{r} AS (SELECT e.src, e.dst, e.weight FROM edges e
+            JOIN un{r} a ON e.src = a.id JOIN un{r} b ON e.dst = b.id),
+pick{r} AS MATERIALIZED (
+  SELECT src AS id, dst AS pick FROM (
+    SELECT src, dst,
+           row_number() OVER (PARTITION BY src ORDER BY weight DESC, dst ASC) AS rn
+    FROM live{r}) t WHERE rn = 1),
+mut{r} AS (SELECT p.id, p.pick FROM pick{r} p
+           JOIN pick{r} q ON p.id = q.pick AND p.pick = q.id),
+m{r} AS MATERIALIZED (
+  SELECT s.id, coalesce(s.mate, w.pick) AS mate
+  FROM {prev} s LEFT JOIN mut{r} w ON s.id = w.id)"""
+        prev = f"m{r}"
+    return f"""WITH {_EDGES_CTE},
+m0 AS (SELECT id, CAST(NULL AS BIGINT) AS mate FROM nodes){steps}
+SELECT id, mate FROM {prev}"""
 
 
 def _walk_steps_sql() -> tuple[str, str]:
@@ -2345,6 +2385,7 @@ FROM deg GROUP BY 1""",
         "diameter_sweep": _diameter_sql(),
         "jp_colors6": _jp_sql(),
         "luby_mis6": _luby_sql(),
+        "hem_matching3": _hem_sql(),
         "butterflies": _BUTTERFLIES_SQL,
         "char_diversity": _CHAR_DIVERSITY_SQL,
         "random_walks4": _walks_sql(),
