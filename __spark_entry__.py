@@ -165,6 +165,22 @@ def _q_luby_mis(spark, sf_dir):
     return luby_mis(g, rounds=JP_ROUNDS)
 
 
+HITS_ITERS = 3
+
+
+def _q_hits(spark, sf_dir):
+    """HITS hubs/authorities on the DIRECTED turn graph (who initiates ->
+    who responds), 3 rounds, exact integer lattice scores (max-rescale by
+    floor-division instead of L2 norm keeps every value cross-engine
+    bit-exact)."""
+    from kaminpar_spark.operators.hits import hits
+    from kaminpar_spark.sources.transcripts import synth_transcripts, transcript_digraph
+
+    n = _n_convs(spark, sf_dir)
+    edges, _ = transcript_digraph(synth_transcripts(spark, n), n, stable_ids=True)
+    return hits(edges, iters=HITS_ITERS)
+
+
 HEM_ROUNDS = 3
 
 
@@ -961,6 +977,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jp_colors6": _q_jp_colors,
         "luby_mis6": _q_luby_mis,
         "hem_matching3": _q_hem_matching,
+        "hits3": _q_hits,
         "butterflies": _q_butterflies,
         "char_diversity": _q_char_diversity,
         "random_walks4": _q_random_walks,
@@ -1226,6 +1243,37 @@ l{r} AS MATERIALIZED (
 l0 AS (SELECT id, ({COLOR_PRI_A} * id + {COLOR_PRI_B}) % {POLY_MOD} AS pri,
               0 AS st FROM nodes){steps}
 SELECT id, CAST(st AS INT) AS st FROM {prev}"""
+
+
+def _hits_sql() -> str:
+    """Unrolled HITS rounds mirroring operators.hits (directed edges from the
+    pre-symmetrization `pairs` CTE; exact int sums + floor-div max rescale)."""
+    from kaminpar_spark.operators.hits import HITS_SCALE
+
+    steps, prev_hub = "", "h0"
+    for r in range(1, HITS_ITERS + 1):
+        steps += f""",
+ar{r} AS MATERIALIZED (
+  SELECT e.dst AS id, sum(e.weight * h.s) AS raw
+  FROM dedges e JOIN {prev_hub} h ON e.src = h.id GROUP BY e.dst),
+a{r} AS MATERIALIZED (
+  SELECT n.id,
+         CAST(coalesce(ar.raw * {HITS_SCALE} // (SELECT max(raw) FROM ar{r}), 0) AS BIGINT) AS s
+  FROM nodes n LEFT JOIN ar{r} ar ON n.id = ar.id),
+hr{r} AS MATERIALIZED (
+  SELECT e.src AS id, sum(e.weight * a.s) AS raw
+  FROM dedges e JOIN a{r} a ON e.dst = a.id GROUP BY e.src),
+h{r} AS MATERIALIZED (
+  SELECT n.id,
+         CAST(coalesce(hr.raw * {HITS_SCALE} // (SELECT max(raw) FROM hr{r}), 0) AS BIGINT) AS s
+  FROM nodes n LEFT JOIN hr{r} hr ON n.id = hr.id)"""
+        prev_hub = f"h{r}"
+    return f"""WITH {_EDGES_CTE},
+dedges AS MATERIALIZED (
+  SELECT src, dst, CAST(count(*) AS BIGINT) AS weight FROM pairs GROUP BY src, dst),
+h0 AS (SELECT id, CAST({HITS_SCALE} AS BIGINT) AS s FROM nodes){steps}
+SELECT n.id, a.s AS auth, h.s AS hub
+FROM nodes n JOIN a{HITS_ITERS} a ON n.id = a.id JOIN h{HITS_ITERS} h ON n.id = h.id"""
 
 
 def _hem_sql() -> str:
@@ -2386,6 +2434,7 @@ FROM deg GROUP BY 1""",
         "jp_colors6": _jp_sql(),
         "luby_mis6": _luby_sql(),
         "hem_matching3": _hem_sql(),
+        "hits3": _hits_sql(),
         "butterflies": _BUTTERFLIES_SQL,
         "char_diversity": _CHAR_DIVERSITY_SQL,
         "random_walks4": _walks_sql(),

@@ -170,3 +170,33 @@ def conversation_stats(transcripts: DataFrame) -> DataFrame:
         ),
         F.max("gap_s").alias("max_gap_s"),
     )
+
+
+def transcript_digraph(
+    transcripts: DataFrame,
+    n_convs: int,
+    stable_ids: bool = False,
+    num_partitions: int | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Directed ETL: (edges (src,dst,weight), actor_map). Unlike
+    transcript_graph this keeps the turn DIRECTION (prev actor -> next
+    actor), the input for directed link analysis (HITS: who initiates vs who
+    responds). Same two-level dense ids, same materialized mapping."""
+    links = turn_links(transcripts, n_convs)
+    actors = links.select(F.col("a_src").alias("actor")).unionByName(
+        links.select(F.col("a_dst").alias("actor"))
+    )
+    if stable_ids:
+        amap = dense_ids_by_order(actors, "actor", out="id")
+    else:
+        amap = dense_ids(actors, "actor", num_partitions=num_partitions, out="id")
+    from kaminpar_spark.plans.lineage import truncate
+
+    amap = truncate(amap)
+    edges = (
+        links.join(amap.withColumnRenamed("actor", "a_src").withColumnRenamed("id", "src"), "a_src")
+        .join(amap.withColumnRenamed("actor", "a_dst").withColumnRenamed("id", "dst"), "a_dst")
+        .groupBy("src", "dst")
+        .agg(F.count("*").alias("weight"))
+    )
+    return edges, amap
