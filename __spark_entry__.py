@@ -87,6 +87,14 @@ def _q_conv_stats(spark, sf_dir):
     return conversation_stats(synth_transcripts(spark, _n_convs(spark, sf_dir)))
 
 
+def _q_tool_transitions(spark, sf_dir):
+    """Markov transition counts between consecutive tool turns per
+    conversation (which tool follows which under stable turn ordering)."""
+    from kaminpar_spark.sources.transcripts import synth_transcripts, tool_transitions
+
+    return tool_transitions(synth_transcripts(spark, _n_convs(spark, sf_dir)))
+
+
 def _q_degrees(spark, sf_dir):
     g, _ = _graph(spark, sf_dir)
     return g.degrees()
@@ -958,6 +966,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transcript_turns": _q_transcript_turns,
         "transcript_edges": _q_transcript_edges,
         "conv_stats": _q_conv_stats,
+        "tool_transitions": _q_tool_transitions,
         "degrees": _q_degrees,
         "bfs_dist4": _q_bfs_dist,
         "sssp_dist4": _q_sssp_dist,
@@ -2411,6 +2420,12 @@ SELECT conv_id,
        CAST(date_diff('second', min(ts), max(ts)) AS BIGINT) AS duration_s,
        CAST(max(gap_s) AS BIGINT) AS max_gap_s
 FROM g GROUP BY conv_id""",
+        "tool_transitions": f"""WITH {_TRANSCRIPTS_CTE},
+tt AS (SELECT conv_id, turn_idx, tool,
+              lag(tool) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev_tool
+       FROM transcripts WHERE role = 'tool')
+SELECT prev_tool AS src_tool, tool AS dst_tool, CAST(count(*) AS BIGINT) AS n
+FROM tt WHERE prev_tool IS NOT NULL GROUP BY prev_tool, tool""",
         "degrees": f"WITH {_EDGES_CTE} SELECT id, degree, weighted_degree FROM deg",
         "bfs_dist4": _dist_sql(weighted=False),
         "sssp_dist4": _dist_sql(weighted=True),

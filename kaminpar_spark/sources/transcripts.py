@@ -200,3 +200,18 @@ def transcript_digraph(
         .agg(F.count("*").alias("weight"))
     )
     return edges, amap
+
+
+def tool_transitions(transcripts: DataFrame) -> DataFrame:
+    """(src_tool, dst_tool, n) — Markov transition counts between consecutive
+    TOOL turns within a conversation (stable (conv_id, turn_idx) order):
+    which tool tends to follow which. Same bounded-partition lag window as
+    the ETL, one groupBy with map-side partial agg."""
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    t = transcripts.where(F.col("role") == "tool").select("conv_id", "turn_idx", "tool")
+    return (
+        t.withColumn("prev_tool", F.lag("tool").over(w))
+        .where(F.col("prev_tool").isNotNull())
+        .groupBy(F.col("prev_tool").alias("src_tool"), F.col("tool").alias("dst_tool"))
+        .agg(F.count("*").alias("n"))
+    )

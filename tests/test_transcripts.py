@@ -85,3 +85,29 @@ def test_conversation_stats(spark):
         assert r["duration_s"] == 10 * (n - 1)
         assert r["max_gap_s"] == 10
         assert 1 <= r["n_distinct_tools"] <= r["n_tool"]
+
+
+def test_tool_transitions(spark):
+    from kaminpar_spark.sources.transcripts import tool_transitions
+
+    t = synth_transcripts(spark, 40)
+    out = tool_transitions(t).collect()
+    # transitions exist, counts positive, endpoints are tool actors
+    assert len(out) > 0
+    assert all(r["n"] >= 1 for r in out)
+    assert all(
+        r["src_tool"].startswith("tool_") and r["dst_tool"].startswith("tool_")
+        for r in out
+    )
+    # total transitions = sum over convs of (n_tool_turns - 1)
+    from pyspark.sql import functions as F
+
+    per_conv = (
+        t.where(F.col("role") == "tool")
+        .groupBy("conv_id")
+        .count()
+        .select((F.col("count") - 1).alias("m"))
+        .agg(F.sum("m"))
+        .first()[0]
+    )
+    assert sum(r["n"] for r in out) == per_conv
