@@ -174,6 +174,7 @@ class Partitioner:
         cluster_weight_limit: str = "epsilon-block-weight",
         cluster_weight_multiplier: float = 1.0,
         ip_replications: int = 3,
+        coarsener: str = "lp",
     ):
         """``scheme='deep'`` (default) mirrors the reference's deep multilevel
         scheme: bisect the coarsest graph to k' = 2^ceil(log2(n/C)) only, then
@@ -216,6 +217,12 @@ class Partitioner:
         )
         self.cluster_weight_limit = cluster_weight_limit
         self.cluster_weight_multiplier = cluster_weight_multiplier
+        # "lp" (reference default: size-constrained LP clustering) or "hem"
+        # (heavy-edge matching, the METIS-family alternative; halves at most
+        # per level, so expect more levels; over-cap pairs are split back to
+        # singletons to respect the cluster weight rule)
+        assert coarsener in ("lp", "hem")
+        self.coarsener = coarsener
         self.ip_replications = max(1, ip_replications)
 
     def _cluster_cap(self, epsilon: float, total_w: int, n: int, k: int) -> int | None:
@@ -255,13 +262,34 @@ class Partitioner:
 
                 rating_g = cap_neighbors(g, self.max_num_neighbors)
                 rating_g = GraphFrame(edges=truncate(rating_g.edges), nodes=g.nodes)
-            clustering = label_propagation(
-                rating_g,
-                max_iters=self.lp_iters,
-                max_cluster_weight=cluster_cap,
-                semi_sync=True,
-                name=f"coarsen_lp_{len(hierarchy)}",
-            ).withColumnRenamed("label", "cluster")
+            if self.coarsener == "hem":
+                from kaminpar_spark.operators.matching import matching_clustering
+
+                clustering = matching_clustering(rating_g, rounds=self.lp_iters)
+                if cluster_cap is not None:
+                    # split over-cap pairs back to singletons (both members
+                    # self-map, preserving the leader invariant)
+                    wsum = (
+                        clustering.join(g.nodes, "id")
+                        .groupBy("cluster")
+                        .agg(F.sum("weight").alias("cw"))
+                    )
+                    clustering = truncate(
+                        clustering.join(wsum, "cluster").select(
+                            "id",
+                            F.when(F.col("cw") > cluster_cap, F.col("id"))
+                            .otherwise(F.col("cluster"))
+                            .alias("cluster"),
+                        )
+                    )
+            else:
+                clustering = label_propagation(
+                    rating_g,
+                    max_iters=self.lp_iters,
+                    max_cluster_weight=cluster_cap,
+                    semi_sync=True,
+                    name=f"coarsen_lp_{len(hierarchy)}",
+                ).withColumnRenamed("label", "cluster")
             if self.large_degree_threshold is not None:
                 # high-degree nodes are not rated: undo any move they made
                 # (others may still have joined their cluster)

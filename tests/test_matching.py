@@ -69,3 +69,22 @@ def test_matching_clustering_contracts(spark):
     # just assert real shrinkage and weight conservation
     assert n1 < n0
     assert cg.total_node_weight() == g.total_node_weight()
+
+
+def test_partitioner_hem_coarsener(spark):
+    """Partitioner(coarsener='hem') end-to-end: feasible k-way partition via
+    matching-based coarsening (the METIS-family pipeline shape)."""
+    from kaminpar_spark.operators import metrics
+    from kaminpar_spark.plans.partitioner import Partitioner
+
+    g, _, _ = fixtures.erdos_renyi(spark, n=400, p=0.02, seed=3)
+    res = Partitioner(
+        g, spark=spark, contraction_limit=50, coarsener="hem"
+    ).partition(k=4, epsilon=0.03)
+    blocks = res.partition
+    assert blocks.count() == g.num_nodes()
+    assert blocks.select("block").distinct().count() == 4
+    imb = metrics.imbalance(g, blocks)
+    assert imb <= 0.03 + 1e-9
+    # matching-based coarsening actually ran (at least one level)
+    assert any(l["stage"] == "coarsen" for l in res.levels)
