@@ -51,7 +51,7 @@ def load_graph(spark, path: str, symmetrize: bool):
 
 def main(argv=None):
     ap = argparse.ArgumentParser(prog="kaminpar-spark")
-    ap.add_argument("command", choices=["partition", "pagerank", "ppr", "components", "labelprop", "triangles", "kcore", "stats", "bfs", "diameter", "color", "mis", "walks"])
+    ap.add_argument("command", choices=["partition", "pagerank", "ppr", "components", "labelprop", "triangles", "kcore", "stats", "bfs", "diameter", "color", "mis", "walks", "match"])
     ap.add_argument("--sources", default="0", help="[ppr] comma-separated teleport node ids")
     ap.add_argument("-G", "--graph", required=True)
     ap.add_argument("-k", type=int, default=2)
@@ -218,6 +218,17 @@ def main(argv=None):
         if args.save:
             w.write.mode("overwrite").parquet(args.save)
         print(f"RESULT walk_rows={w.count()} time={time.time()-t0:.3f}s")
+    elif args.command == "match":
+        from pyspark.sql import functions as F
+
+        from kaminpar_spark.operators.matching import heavy_edge_matching
+
+        st = heavy_edge_matching(g, rounds=args.max_iters)
+        if args.save:
+            st.write.mode("overwrite").parquet(args.save)
+        n_pairs = st.where(F.col("mate").isNotNull()).count() // 2
+        n_un = st.where(F.col("mate").isNull()).count()
+        print(f"RESULT matched_pairs={n_pairs} unmatched={n_un} time={time.time()-t0:.3f}s")
     elif args.command == "stats":
         from dataclasses import asdict
 

@@ -80,6 +80,7 @@ def test_cli_new_subcommands(spark, tmp_path, capsys):
         ("color", "n_colors="),
         ("mis", "mis_size="),
         ("walks", "walk_rows="),
+        ("match", "matched_pairs="),
     ]:
         assert cli.main([cmd, "-G", str(edges), "--max-iters", "10"]) == 0
         out = capsys.readouterr().out
