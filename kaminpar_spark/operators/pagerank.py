@@ -23,17 +23,40 @@ from pyspark.sql import DataFrame, functions as F
 from kaminpar_spark.graph import GraphFrame
 
 
-def init_ranks(graph: GraphFrame, n: int, weighted: bool = False) -> DataFrame:
-    """(id, rank=1/n, out_norm) — out_norm is the precomputed contribution
-    normalizer 1/degree (or 1/weighted_degree when edge weights matter)."""
+def init_ranks(
+    graph: GraphFrame,
+    n: int,
+    weighted: bool = False,
+    warm_start: DataFrame | None = None,
+) -> DataFrame:
+    """(id, rank, out_norm) — out_norm is the precomputed contribution
+    normalizer 1/degree (or 1/weighted_degree when edge weights matter).
+
+    ``warm_start``: (id, rank) from a previous snapshot's converged run.
+    Nodes present there start from their old rank, new nodes from 1/n, and
+    the vector is renormalized to unit mass — on a snapshot update (the
+    production cadence: re-rank after each transcript ingest) the walk
+    re-converges from the old fixpoint in a fraction of the cold-start
+    supersteps instead of repaying the full iteration budget."""
     deg = graph.degrees()
     norm = (1.0 / F.col("weighted_degree")) if weighted else (1.0 / F.col("degree"))
-    return deg.select(
+    state = deg.select(
         "id",
         F.lit(1.0 / n).alias("rank"),
         F.when(F.col("degree") > 0, norm).otherwise(F.lit(0.0)).alias("out_norm"),
         F.lit(0.0).alias("old_rank"),
     )
+    if warm_start is None:
+        return state
+    prev = warm_start.select("id", F.col("rank").alias("prev_rank"))
+    seeded = state.join(prev, "id", "left").select(
+        "id",
+        F.coalesce("prev_rank", "rank").alias("rank"),
+        "out_norm",
+        "old_rank",
+    )
+    total = seeded.agg(F.sum("rank")).first()[0] or 1.0
+    return seeded.withColumn("rank", F.col("rank") / F.lit(total))
 
 
 def pagerank_step(
@@ -85,6 +108,7 @@ def pagerank(
     runner=None,
     on_metrics=None,
     steps_per_block: int = 1,
+    warm_start: DataFrame | None = None,
 ) -> DataFrame:
     """Run to convergence; returns (id, rank). With a SuperstepRunner the loop
     is durable + resumable; otherwise in-memory with truncated lineage.
@@ -98,7 +122,7 @@ def pagerank(
     from kaminpar_spark.plans.superstep import run_in_memory
 
     n = graph.num_nodes()
-    state = init_ranks(graph, n, weighted=weighted)
+    state = init_ranks(graph, n, weighted=weighted, warm_start=warm_start)
     # one upfront job: if no dangling nodes exist, skip the per-step
     # dangling-mass aggregate entirely (one Spark job per superstep saved)
     has_dangling = (

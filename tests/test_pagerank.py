@@ -91,3 +91,50 @@ def test_personalized_pagerank_matches_numpy(spark):
     arr = np.array([got.get(i, 0.0) for i in range(300)])
     assert np.allclose(arr, want, atol=1e-6)
     assert abs(arr.sum() - 1.0) < 1e-6  # PPR mass conserved
+
+
+def test_pagerank_warm_start_converges_faster(spark):
+    """Snapshot-update scenario: converge on graph A, grow it slightly to B,
+    re-rank B warm vs cold. Warm start must (a) reach the same fixpoint and
+    (b) take fewer supersteps at equal tolerance."""
+    from kaminpar_spark import fixtures
+    from kaminpar_spark.operators.pagerank import pagerank
+
+    from pyspark.sql import functions as F
+
+    g_old, _, _ = fixtures.erdos_renyi(spark, n=150, p=0.04, seed=21)
+    prev = pagerank(g_old, tol=1e-10, max_iters=100)
+
+    # grown snapshot: same seed graph + a few extra nodes/edges
+    extra = [(i, 150 + i % 5, 1) for i in range(10)]
+    new_edges = g_old.edges.select("src", "dst", "weight").unionByName(
+        spark.createDataFrame(
+            extra + [(d, s, w) for s, d, w in extra],
+            "src long, dst long, weight long",
+        )
+    )
+    from kaminpar_spark.graph import GraphFrame
+
+    g_new = GraphFrame.from_edge_pairs(new_edges, symmetrize=False)
+
+    steps = {"cold": 0, "warm": 0}
+
+    def counter(key):
+        def cb(i, m):
+            steps[key] += 1
+        return cb
+
+    cold = pagerank(g_new, tol=1e-9, max_iters=100, on_metrics=counter("cold"))
+    warm = pagerank(
+        g_new, tol=1e-9, max_iters=100, on_metrics=counter("warm"), warm_start=prev
+    )
+    assert steps["warm"] < steps["cold"], steps
+    # same fixpoint (both converged to tol)
+    joined = cold.withColumnRenamed("rank", "r_cold").join(
+        warm.withColumnRenamed("rank", "r_warm"), "id"
+    )
+    max_diff = joined.agg(
+        F.max(F.abs(F.col("r_cold") - F.col("r_warm")))
+    ).first()[0]
+    assert max_diff < 1e-6
+    assert abs(warm.agg(F.sum("rank")).first()[0] - 1.0) < 1e-9
