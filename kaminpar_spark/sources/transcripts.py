@@ -215,3 +215,56 @@ def tool_transitions(transcripts: DataFrame) -> DataFrame:
         .groupBy(F.col("prev_tool").alias("src_tool"), F.col("tool").alias("dst_tool"))
         .agg(F.count("*").alias("n"))
     )
+
+
+def extend_actor_map(
+    amap: DataFrame, links: DataFrame, num_partitions: int | None = None
+) -> DataFrame:
+    """Incremental dense-id extension: actors already in ``amap`` keep their
+    ids; actors appearing only in the new ``links`` get fresh dense ids
+    starting at max(id)+1 (two-level scheme, no re-rank of the old universe —
+    the invariant that makes warm-start analytics possible across
+    snapshots)."""
+    new_actors = (
+        links.select(F.col("a_src").alias("actor"))
+        .unionByName(links.select(F.col("a_dst").alias("actor")))
+        .distinct()
+        .join(amap.select("actor"), "actor", "left_anti")
+    )
+    base_row = amap.agg(F.max("id")).first()[0]
+    base = (base_row + 1) if base_row is not None else 0
+    fresh = dense_ids(new_actors, "actor", num_partitions=num_partitions, out="id")
+    fresh = fresh.select("actor", (F.col("id") + F.lit(base)).alias("id"))
+    return amap.unionByName(fresh)
+
+
+def edge_delta(links: DataFrame, amap: DataFrame) -> DataFrame:
+    """New links -> symmetric weighted delta edge table under ``amap``."""
+    pairs = (
+        links.join(
+            amap.withColumnRenamed("actor", "a_src").withColumnRenamed("id", "src"),
+            "a_src",
+        )
+        .join(
+            amap.withColumnRenamed("actor", "a_dst").withColumnRenamed("id", "dst"),
+            "a_dst",
+        )
+        .select("src", "dst")
+    )
+    sym = pairs.unionByName(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    return sym.groupBy("src", "dst").agg(F.count("*").cast("long").alias("weight"))
+
+
+def merge_edges(old_edges: DataFrame, delta: DataFrame) -> DataFrame:
+    """Merge a delta edge table into the snapshot's edge table (weights add).
+    One unionByName + one groupBy — the per-ingest cost is proportional to
+    the DELTA plus one pass over the old table, not a full re-ETL of every
+    transcript since day one."""
+    return (
+        old_edges.select("src", "dst", "weight")
+        .unionByName(delta.select("src", "dst", "weight"))
+        .groupBy("src", "dst")
+        .agg(F.sum("weight").cast("long").alias("weight"))
+    )

@@ -111,3 +111,69 @@ def test_tool_transitions(spark):
         .first()[0]
     )
     assert sum(r["n"] for r in out) == per_conv
+
+
+def test_incremental_etl_matches_full_rebuild(spark):
+    """Snapshot cadence: ETL 60 convs in one shot vs 40 + a 20-conv delta.
+    The edge multiset must agree ACTOR-wise (ids may differ between the two
+    universes; old ids must be preserved by the incremental path), and
+    warm-start PageRank on the merged graph must reach the full graph's
+    fixpoint."""
+    from kaminpar_spark.graph import GraphFrame
+    from kaminpar_spark.operators.pagerank import pagerank
+    from kaminpar_spark.sources.transcripts import (
+        edge_delta,
+        extend_actor_map,
+        merge_edges,
+        transcript_graph,
+    )
+
+    t_all = synth_transcripts(spark, 60)
+    g_full, amap_full = transcript_graph(t_all, 60)
+
+    t_old = t_all.where(F.substring("conv_id", 6, 8).cast("long") < 40)
+    t_new = t_all.where(F.substring("conv_id", 6, 8).cast("long") >= 40)
+    g_old, amap_old = transcript_graph(t_old, 60)
+
+    new_links = turn_links(t_new, 60)
+    amap2 = extend_actor_map(amap_old, new_links)
+    # old ids preserved exactly
+    assert (
+        amap2.join(amap_old.withColumnRenamed("id", "old_id"), "actor")
+        .where(F.col("id") != F.col("old_id"))
+        .count()
+        == 0
+    )
+    merged = merge_edges(g_old.edges, edge_delta(new_links, amap2))
+
+    def actor_edges(edges, amap):
+        return {
+            (r["sa"], r["da"], r["weight"])
+            for r in edges.join(
+                amap.withColumnRenamed("actor", "sa").withColumnRenamed("id", "src"), "src"
+            )
+            .join(
+                amap.withColumnRenamed("actor", "da").withColumnRenamed("id", "dst"), "dst"
+            )
+            .select("sa", "da", "weight")
+            .collect()
+        }
+
+    assert actor_edges(merged, amap2) == actor_edges(g_full.edges, amap_full)
+
+    # warm-start PR on the merged snapshot reaches the full-graph fixpoint
+    g_merged = GraphFrame.from_edge_pairs(merged, symmetrize=False)
+    prev = pagerank(g_old, tol=1e-10, max_iters=100)
+    warm = pagerank(g_merged, tol=1e-10, max_iters=100, warm_start=prev)
+    full = pagerank(g_full, tol=1e-10, max_iters=100)
+    # compare actor-wise (ids differ between universes)
+    wa = warm.join(amap2, warm["id"] == amap2["id"]).select("actor", "rank")
+    fa = full.join(amap_full, full["id"] == amap_full["id"]).select(
+        "actor", F.col("rank").alias("rank_full")
+    )
+    diff = (
+        wa.join(fa, "actor")
+        .agg(F.max(F.abs(F.col("rank") - F.col("rank_full"))))
+        .first()[0]
+    )
+    assert diff < 1e-6
