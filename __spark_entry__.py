@@ -237,6 +237,22 @@ def _q_walk_contexts(spark, sf_dir):
     return walk_contexts(deterministic_walks(g, starts, walk_len=WALK_LEN), window=WALK_WINDOW)
 
 
+def _q_cooc_stats(spark, sf_dir):
+    """Exact-integer PMI sufficient statistics over the walk-context corpus
+    (n, marginals, total) — the embedding-trainer handoff kept integral so
+    it stays cross-engine exact."""
+    from kaminpar_spark.operators.walks import (
+        cooccurrence_stats,
+        deterministic_walks,
+        walk_contexts,
+    )
+
+    g, _ = _graph(spark, sf_dir)
+    starts = g.nodes.where(F.col("id") % WALK_START_MOD == 0).select("id")
+    ctx = walk_contexts(deterministic_walks(g, starts, walk_len=WALK_LEN), window=WALK_WINDOW)
+    return cooccurrence_stats(ctx)
+
+
 def _q_conductance_mod4(spark, sf_dir):
     """Per-block conductance phi(S) = cut(S)/min(vol(S), 2m-vol(S)) of the
     id%4 partition — one pass over half-edges, hash aggregates only."""
@@ -991,6 +1007,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "char_diversity": _q_char_diversity,
         "random_walks4": _q_random_walks,
         "walk_contexts": _q_walk_contexts,
+        "cooc_stats": _q_cooc_stats,
         "conductance_mod4": _q_conductance_mod4,
         "graph_summary": _q_graph_summary,
         "domain_mix": _q_domain_mix,
@@ -2454,6 +2471,12 @@ FROM deg GROUP BY 1""",
         "char_diversity": _CHAR_DIVERSITY_SQL,
         "random_walks4": _walks_sql(),
         "walk_contexts": _walk_contexts_sql(),
+        "cooc_stats": f"""WITH base AS ({_walk_contexts_sql()}),
+nc AS (SELECT center, CAST(sum(n) AS BIGINT) AS n_center FROM base GROUP BY center),
+nx AS (SELECT context, CAST(sum(n) AS BIGINT) AS n_context FROM base GROUP BY context),
+tt AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM base)
+SELECT b.center, b.context, b.n, nc.n_center, nx.n_context, tt.total
+FROM base b JOIN nc ON b.center = nc.center JOIN nx ON b.context = nx.context, tt""",
         "conductance_mod4": _CONDUCTANCE_SQL,
         "graph_summary": _GRAPH_SUMMARY_SQL,
         "domain_mix": _domain_mix_sql(),

@@ -90,3 +90,21 @@ def walk_contexts(walks: DataFrame, window: int = 2) -> DataFrame:
         .groupBy("center", "context")
         .agg(F.count("*").cast("long").alias("n"))
     )
+
+
+def cooccurrence_stats(contexts: DataFrame) -> DataFrame:
+    """(center, context, n, n_center, n_context, total) — the exact-integer
+    sufficient statistics for PMI / SGNS-style embedding objectives over the
+    walk-context corpus (PMI = log(n*total/(n_center*n_context)) is one
+    per-row float op downstream; keeping the engine output integral keeps it
+    cross-engine exact). Three hash aggregates + two equi-joins, all
+    map-side-combinable."""
+    n_center = contexts.groupBy("center").agg(F.sum("n").alias("n_center"))
+    n_context = contexts.groupBy("context").agg(F.sum("n").alias("n_context"))
+    total = contexts.agg(F.sum("n").alias("total"))
+    return (
+        contexts.join(n_center, "center")
+        .join(n_context, "context")
+        .crossJoin(F.broadcast(total))
+        .select("center", "context", "n", "n_center", "n_context", "total")
+    )

@@ -90,3 +90,29 @@ def test_conductance_single_block_null(spark):
     p = g.nodes.select("id", F.lit(0).cast("int").alias("block"))
     row = block_conductance(g, p).collect()[0]
     assert row["cut_weight"] == 0 and row["conductance"] is None
+
+
+def test_cooccurrence_stats_consistency(spark):
+    from kaminpar_spark.operators.walks import (
+        cooccurrence_stats,
+        deterministic_walks,
+        walk_contexts,
+    )
+
+    g, _, _ = fixtures.erdos_renyi(spark, n=60, p=0.08, seed=13)
+    starts = g.nodes.where(F.col("id") % 7 == 0).select("id")
+    ctx = walk_contexts(deterministic_walks(g, starts, walk_len=4), window=2)
+    out = cooccurrence_stats(ctx).collect()
+    assert out
+    total = out[0]["total"]
+    assert all(r["total"] == total for r in out)
+    assert total == sum(r["n"] for r in out)
+    # marginals are per-center / per-context sums of n
+    from collections import defaultdict
+
+    mc, mx = defaultdict(int), defaultdict(int)
+    for r in out:
+        mc[r["center"]] += r["n"]
+        mx[r["context"]] += r["n"]
+    assert all(r["n_center"] == mc[r["center"]] for r in out)
+    assert all(r["n_context"] == mx[r["context"]] for r in out)
