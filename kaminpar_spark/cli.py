@@ -51,7 +51,7 @@ def load_graph(spark, path: str, symmetrize: bool):
 
 def main(argv=None):
     ap = argparse.ArgumentParser(prog="kaminpar-spark")
-    ap.add_argument("command", choices=["partition", "pagerank", "ppr", "components", "labelprop", "triangles", "kcore", "stats", "bfs", "diameter", "color", "mis", "walks", "match"])
+    ap.add_argument("command", choices=["partition", "pagerank", "ppr", "components", "labelprop", "triangles", "kcore", "stats", "bfs", "diameter", "color", "mis", "walks", "match", "hits"])
     ap.add_argument("--sources", default="0", help="[ppr] comma-separated teleport node ids")
     ap.add_argument("-G", "--graph", required=True)
     ap.add_argument("-k", type=int, default=2)
@@ -229,6 +229,18 @@ def main(argv=None):
         n_pairs = st.where(F.col("mate").isNotNull()).count() // 2
         n_un = st.where(F.col("mate").isNull()).count()
         print(f"RESULT matched_pairs={n_pairs} unmatched={n_un} time={time.time()-t0:.3f}s")
+    elif args.command == "hits":
+        from pyspark.sql import functions as F
+
+        from kaminpar_spark.operators.hits import hits
+
+        # HITS is direction-sensitive: pass --no-symmetrize to analyze the
+        # edge list as given; on a symmetrized graph hub == auth by identity
+        st = hits(g.edges.select("src", "dst", "weight"), iters=args.max_iters)
+        if args.save:
+            st.write.mode("overwrite").parquet(args.save)
+        top = st.orderBy(F.desc("hub"), "id").first()
+        print(f"RESULT top_hub={top['id']} hub={top['hub']} auth={top['auth']} time={time.time()-t0:.3f}s")
     elif args.command == "stats":
         from dataclasses import asdict
 

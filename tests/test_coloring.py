@@ -81,6 +81,7 @@ def test_cli_new_subcommands(spark, tmp_path, capsys):
         ("mis", "mis_size="),
         ("walks", "walk_rows="),
         ("match", "matched_pairs="),
+        ("hits", "top_hub="),
     ]:
         assert cli.main([cmd, "-G", str(edges), "--max-iters", "10"]) == 0
         out = capsys.readouterr().out
