@@ -372,6 +372,40 @@ def _q_cc(spark, sf_dir):
     return connected_components(g, max_iters=CC_STEPS, two_phase=True)
 
 
+def _q_component_sizes(spark, sf_dir):
+    """Component size distribution: (size, n_components) — the giant-component
+    sanity view every link-graph pipeline reads first."""
+    from kaminpar_spark.operators.components import connected_components
+
+    g, _ = _graph(spark, sf_dir)
+    cc = connected_components(g, max_iters=CC_STEPS, two_phase=True)
+    return (
+        cc.groupBy("comp")
+        .agg(F.count("*").alias("size"))
+        .groupBy("size")
+        .agg(F.count("*").alias("n_components"))
+    )
+
+
+def _q_digraph_stats(spark, sf_dir):
+    """Directed turn-graph stats: reciprocity (share of directed edges whose
+    reverse also exists) + edge/node counts — one row, all exact."""
+    from kaminpar_spark.sources.transcripts import synth_transcripts, transcript_digraph
+
+    n = _n_convs(spark, sf_dir)
+    edges, _ = transcript_digraph(synth_transcripts(spark, n), n, stable_ids=True)
+    rev = edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    n_edges = edges.count()
+    n_recip = edges.join(rev, ["src", "dst"], "left_semi").count()
+    return edges.sparkSession.createDataFrame(
+        [(n_edges, n_recip)], "n_edges long, n_reciprocal long"
+    ).select(
+        "n_edges",
+        "n_reciprocal",
+        (F.col("n_reciprocal") / F.col("n_edges")).alias("reciprocity"),
+    )
+
+
 def _q_triangle_count(spark, sf_dir):
     from kaminpar_spark.operators.triangles import triangle_count
 
@@ -991,6 +1025,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ppr5": _q_ppr5,
         "lcc": _q_lcc,
         "connected_components": _q_cc,
+        "component_sizes": _q_component_sizes,
+        "digraph_stats": _q_digraph_stats,
         "triangle_count": _q_triangle_count,
         "lp_step1": _q_lp_step1,
         "lpa_modularity": _q_lpa_modularity,
@@ -2452,6 +2488,17 @@ SELECT CAST(CASE WHEN degree = 0 THEN 0 ELSE floor(log2(degree)) + 1 END AS INT)
 FROM deg GROUP BY 1""",
         "pagerank5": _pagerank_sql(),
         "connected_components": _cc_sql(),
+        "component_sizes": f"""WITH base AS ({_cc_sql()}),
+per AS (SELECT comp, CAST(count(*) AS BIGINT) AS size FROM base GROUP BY comp)
+SELECT size, CAST(count(*) AS BIGINT) AS n_components FROM per GROUP BY size""",
+        "digraph_stats": f"""WITH {_EDGES_CTE},
+dedges AS MATERIALIZED (
+  SELECT src, dst, CAST(count(*) AS BIGINT) AS weight FROM pairs GROUP BY src, dst),
+ne AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM dedges),
+nr AS (SELECT CAST(count(*) AS BIGINT) AS n_reciprocal FROM dedges e
+       WHERE EXISTS (SELECT 1 FROM dedges r WHERE r.src = e.dst AND r.dst = e.src))
+SELECT n_edges, n_reciprocal,
+       CAST(n_reciprocal AS DOUBLE) / n_edges AS reciprocity FROM ne, nr""",
         "triangle_count": _TRIANGLE_SQL,
         "ppr5": _ppr_sql(),
         "lcc": _LCC_SQL,
