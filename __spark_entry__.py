@@ -237,6 +237,16 @@ def _q_walk_contexts(spark, sf_dir):
     return walk_contexts(deterministic_walks(g, starts, walk_len=WALK_LEN), window=WALK_WINDOW)
 
 
+def _q_node2vec(spark, sf_dir):
+    """Deterministic node2vec-style 2nd-order biased walks (p=4, q=2): the
+    return hop is discouraged 4x, leaving the previous neighborhood 2x."""
+    from kaminpar_spark.operators.walks import node2vec_walks
+
+    g, _ = _graph(spark, sf_dir)
+    starts = g.nodes.where(F.col("id") % WALK_START_MOD == 0).select("id")
+    return node2vec_walks(g, starts, walk_len=WALK_LEN)
+
+
 def _q_cooc_stats(spark, sf_dir):
     """Exact-integer PMI sufficient statistics over the walk-context corpus
     (n, marginals, total) — the embedding-trainer handoff kept integral so
@@ -1044,6 +1054,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "random_walks4": _q_random_walks,
         "walk_contexts": _q_walk_contexts,
         "cooc_stats": _q_cooc_stats,
+        "node2vec_walks4": _q_node2vec,
         "conductance_mod4": _q_conductance_mod4,
         "graph_summary": _q_graph_summary,
         "domain_mix": _q_domain_mix,
@@ -1389,6 +1400,47 @@ w{s} AS MATERIALIZED (
 def _walks_sql() -> str:
     ctes, union = _walk_steps_sql()
     return f"WITH {_EDGES_CTE}{ctes}\n{union}"
+
+
+def _n2v_sql() -> str:
+    """Unrolled node2vec steps mirroring operators.walks.node2vec_walks
+    (biased arg-min: hash * class multiplier, ties by dst)."""
+    from kaminpar_spark.functions.hashing import POLY_MOD
+    from kaminpar_spark.operators.walks import (
+        N2V_P,
+        N2V_Q,
+        WALK_A,
+        WALK_B,
+        WALK_C,
+        WALK_D,
+    )
+
+    ctes, prev = "", "w0"
+    sels = [f"SELECT walk_id, 0 AS step, cur AS id FROM w0"]
+    for st in range(1, WALK_LEN + 1):
+        h = (
+            f"(({WALK_A} * c.cur + {WALK_B} * c.walk_id + {WALK_C * st} "
+            f"+ {WALK_D} * e.dst) % {POLY_MOD})"
+        )
+        mult = (
+            f"(CASE WHEN e.dst = c.prev THEN {N2V_P} "
+            f"WHEN EXISTS (SELECT 1 FROM edges r WHERE r.src = c.prev AND r.dst = e.dst) THEN 1 "
+            f"ELSE {N2V_Q} END)"
+        )
+        ctes += f""",
+w{st} AS MATERIALIZED (
+  SELECT walk_id, cur AS prev, d AS cur FROM (
+    SELECT c.walk_id, c.cur, e.dst AS d,
+           row_number() OVER (PARTITION BY c.walk_id
+                              ORDER BY {h} * {mult} ASC, e.dst ASC) AS rn
+    FROM {prev} c JOIN edges e ON e.src = c.cur) t WHERE rn = 1)"""
+        prev = f"w{st}"
+        sels.append(f"SELECT walk_id, {st} AS step, cur AS id FROM w{st}")
+    union = " UNION ALL ".join(sels)
+    return f"""WITH {_EDGES_CTE},
+w0 AS (SELECT id AS walk_id, id AS prev, id AS cur FROM nodes
+       WHERE id % {WALK_START_MOD} = 0){ctes}
+SELECT walk_id, CAST(step AS INT) AS step, id FROM ({union}) u"""
 
 
 def _walk_contexts_sql() -> str:
@@ -2518,6 +2570,7 @@ SELECT n_edges, n_reciprocal,
         "char_diversity": _CHAR_DIVERSITY_SQL,
         "random_walks4": _walks_sql(),
         "walk_contexts": _walk_contexts_sql(),
+        "node2vec_walks4": _n2v_sql(),
         "cooc_stats": f"""WITH base AS ({_walk_contexts_sql()}),
 nc AS (SELECT center, CAST(sum(n) AS BIGINT) AS n_center FROM base GROUP BY center),
 nx AS (SELECT context, CAST(sum(n) AS BIGINT) AS n_context FROM base GROUP BY context),

@@ -108,3 +108,68 @@ def cooccurrence_stats(contexts: DataFrame) -> DataFrame:
         .crossJoin(F.broadcast(total))
         .select("center", "context", "n", "n_center", "n_context", "total")
     )
+
+
+# node2vec bias multipliers scale the hash key (argmin => a LARGER multiplier
+# makes a candidate class LESS likely): P discourages the immediate return
+# hop, Q discourages leaving the previous node's neighborhood (BFS-ish for
+# Q>1, DFS-ish for Q<1 — here integers only, so Q>=1).
+N2V_P, N2V_Q = 4, 2
+
+
+def node2vec_walks(
+    graph: GraphFrame,
+    starts: DataFrame,
+    walk_len: int = 4,
+    p_mult: int = N2V_P,
+    q_mult: int = N2V_Q,
+) -> DataFrame:
+    """(walk_id, step, id) — deterministic 2nd-order (node2vec-style) biased
+    walks: the next hop minimizes hash * bias where bias is p_mult for the
+    return candidate (cand == prev), 1 for candidates adjacent to prev
+    (distance 1), q_mult otherwise (distance 2) — Grover & Leskovec's
+    pi(cand | prev, cur) classes with the same deterministic affine hash as
+    deterministic_walks, so bit-reproducible in the DuckDB oracle.
+
+    Scale shape per step: the frontier join against the edge table (as the
+    1st-order walk) plus ONE extra equi-join on (prev, dst) to classify
+    distance-1 candidates — no windows, hash min-aggregate per walk."""
+    near = graph.edges.select(
+        F.col("src").alias("prev"), F.col("dst").alias("dst"), F.lit(1).alias("near")
+    )
+    cur = starts.select(
+        F.col("id").alias("walk_id"), F.col("id").alias("prev"), F.col("id").alias("cur")
+    )
+    out = [cur.select("walk_id", F.lit(0).alias("step"), F.col("cur").alias("id"))]
+    for s in range(1, walk_len + 1):
+        cand = (
+            cur.join(graph.edges.select("src", "dst"), cur.cur == F.col("src"))
+            .join(near.hint("shuffle_hash"), ["prev", "dst"], "left")
+        )
+        h = (
+            F.lit(WALK_A) * F.col("cur")
+            + F.lit(WALK_B) * F.col("walk_id")
+            + F.lit(WALK_C * s)
+            + F.lit(WALK_D) * F.col("dst")
+        ) % F.lit(POLY_MOD)
+        mult = (
+            F.when(F.col("dst") == F.col("prev"), F.lit(p_mult))
+            .when(F.col("near").isNotNull(), F.lit(1))
+            .otherwise(F.lit(q_mult))
+        )
+        nxt = (
+            cand.groupBy("walk_id")
+            .agg(
+                F.min(
+                    F.struct((h * mult).alias("k"), F.col("dst").alias("d"),
+                             F.col("cur").alias("c"))
+                ).alias("m")
+            )
+            .select("walk_id", F.col("m.c").alias("prev"), F.col("m.d").alias("cur"))
+        )
+        out.append(nxt.select("walk_id", F.lit(s).alias("step"), F.col("cur").alias("id")))
+        cur = nxt
+    res = out[0]
+    for df in out[1:]:
+        res = res.unionByName(df)
+    return res.select("walk_id", F.col("step").cast("int").alias("step"), "id")

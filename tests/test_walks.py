@@ -116,3 +116,37 @@ def test_cooccurrence_stats_consistency(spark):
         mx[r["context"]] += r["n"]
     assert all(r["n_center"] == mc[r["center"]] for r in out)
     assert all(r["n_context"] == mx[r["context"]] for r in out)
+
+
+def test_node2vec_walks_valid_and_deterministic(spark):
+    from kaminpar_spark.operators.walks import node2vec_walks
+
+    g, _, _ = fixtures.erdos_renyi(spark, n=60, p=0.08, seed=17)
+    starts = g.nodes.where(F.col("id") % 11 == 0).select("id")
+    a = sorted(map(tuple, node2vec_walks(g, starts, walk_len=4).collect()))
+    b = sorted(map(tuple, node2vec_walks(g, starts, walk_len=4).collect()))
+    assert a == b
+    # every consecutive (id -> next) hop is an actual edge
+    pos = {}
+    for wid, step, nid in a:
+        pos[(wid, step)] = nid
+    edges = {(r["src"], r["dst"]) for r in g.edges.select("src", "dst").collect()}
+    for (wid, step), nid in pos.items():
+        nxt = pos.get((wid, step + 1))
+        if nxt is not None:
+            assert (nid, nxt) in edges
+
+
+def test_node2vec_return_bias(spark):
+    """On a path graph with a huge return penalty the walk never backtracks."""
+    from kaminpar_spark.graph import GraphFrame
+    from kaminpar_spark.operators.walks import node2vec_walks
+
+    rows = [(i, i + 1, 1) for i in range(6)]
+    e = spark.createDataFrame(rows, "src long, dst long, weight long")
+    g = GraphFrame.from_edge_pairs(e, symmetrize=True)
+    starts = g.nodes.where(F.col("id") == 0).select("id")
+    out = {r["step"]: r["id"] for r in node2vec_walks(
+        g, starts, walk_len=5, p_mult=10**6, q_mult=2
+    ).collect()}
+    assert [out[s] for s in range(6)] == [0, 1, 2, 3, 4, 5]
