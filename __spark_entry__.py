@@ -478,6 +478,57 @@ def _q_embedding_topk(spark, sf_dir):
     return brute_force_topk(emb, queries, k=10)
 
 
+def _q_event_props(spark, sf_dir):
+    """Semi-structured column handling: extract props.k from the JSON string
+    column (JVM get_json_object), aggregate per event type — covers the
+    JSON-function axis of the events table."""
+    ev = _load(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.select("event_type", k.alias("k"), "user_id")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.count_distinct("user_id").alias("n_users"),
+        )
+    )
+
+
+def _q_funnel(spark, sf_dir):
+    """Ordered funnel view -> click -> purchase by first occurrence per user:
+    (n_view, n_view_click, n_full) — the classic event-analytics rollup, pure
+    min-ts aggregates + ordering predicates."""
+    ev = _load(spark, sf_dir, "events")
+    firsts = (
+        ev.where(F.col("event_type").isin("view", "click", "purchase"))
+        .groupBy("user_id")
+        .pivot("event_type", ["view", "click", "purchase"])
+        .agg(F.min("ts"))
+    )
+    return firsts.agg(
+        F.sum(F.when(F.col("view").isNotNull(), 1).otherwise(0)).alias("n_view"),
+        F.sum(
+            F.when(
+                F.col("view").isNotNull()
+                & F.col("click").isNotNull()
+                & (F.col("click") > F.col("view")),
+                1,
+            ).otherwise(0)
+        ).alias("n_view_click"),
+        F.sum(
+            F.when(
+                F.col("view").isNotNull()
+                & F.col("click").isNotNull()
+                & (F.col("click") > F.col("view"))
+                & F.col("purchase").isNotNull()
+                & (F.col("purchase") > F.col("click")),
+                1,
+            ).otherwise(0)
+        ).alias("n_full"),
+    )
+
+
 def _q_windowed_events(spark, sf_dir):
     from kaminpar_spark.streaming.ingest import windowed_event_counts
 
@@ -1076,6 +1127,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": _q_token_counts,
         "text_quality": _q_text_quality,
         "embedding_topk": _q_embedding_topk,
+        "event_props_agg": _q_event_props,
+        "funnel_counts": _q_funnel,
         "windowed_event_counts": _q_windowed_events,
         "sessionized_events": _q_sessionized_events,
         "kcore_peel8": _q_kcore_peel8,
@@ -2609,6 +2662,25 @@ SELECT date_trunc('hour', ts) AS window_start,
        CAST(count(*) AS BIGINT) AS n_events,
        round(sum(value), 6) AS sum_value
 FROM events GROUP BY 1, 2, 3""",
+        "event_props_agg": """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events GROUP BY event_type""",
+        "funnel_counts": """
+WITH firsts AS (
+  SELECT user_id,
+         min(ts) FILTER (WHERE event_type = 'view') AS v,
+         min(ts) FILTER (WHERE event_type = 'click') AS c,
+         min(ts) FILTER (WHERE event_type = 'purchase') AS p
+  FROM events WHERE event_type IN ('view', 'click', 'purchase')
+  GROUP BY user_id)
+SELECT CAST(sum(CASE WHEN v IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+       CAST(sum(CASE WHEN v IS NOT NULL AND c IS NOT NULL AND c > v THEN 1 ELSE 0 END) AS BIGINT) AS n_view_click,
+       CAST(sum(CASE WHEN v IS NOT NULL AND c IS NOT NULL AND c > v
+                      AND p IS NOT NULL AND p > c THEN 1 ELSE 0 END) AS BIGINT) AS n_full
+FROM firsts""",
         "sessionized_events": """
 WITH marked AS (
   SELECT user_id, ts, value,
