@@ -1072,6 +1072,20 @@ def _q_balance_round(spark, sf_dir):
     return balance_round(g, part, cap).select("id", "block")
 
 
+def _q_scc(spark, sf_dir):
+    """Strongly connected components on the DIRECTED turn graph (Multistep
+    trim + forward/backward min-label rounds, operators/scc.py): scc = min
+    node id in the component — the directed complement of
+    connected_components, checked against a DuckDB transitive-closure
+    oracle."""
+    from kaminpar_spark.operators.scc import strongly_connected_components
+    from kaminpar_spark.sources.transcripts import synth_transcripts, transcript_digraph
+
+    n = _n_convs(spark, sf_dir)
+    edges, _ = transcript_digraph(synth_transcripts(spark, n), n, stable_ids=True)
+    return strongly_connected_components(edges)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "transcript_turns": _q_transcript_turns,
@@ -1088,6 +1102,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "connected_components": _q_cc,
         "component_sizes": _q_component_sizes,
         "digraph_stats": _q_digraph_stats,
+        "scc": _q_scc,
         "triangle_count": _q_triangle_count,
         "lp_step1": _q_lp_step1,
         "lpa_modularity": _q_lpa_modularity,
@@ -2604,6 +2619,18 @@ nr AS (SELECT CAST(count(*) AS BIGINT) AS n_reciprocal FROM dedges e
        WHERE EXISTS (SELECT 1 FROM dedges r WHERE r.src = e.dst AND r.dst = e.src))
 SELECT n_edges, n_reciprocal,
        CAST(n_reciprocal AS DOUBLE) / n_edges AS reciprocity FROM ne, nr""",
+        "scc": f"""WITH RECURSIVE {_EDGES_CTE},
+dedges AS MATERIALIZED (SELECT DISTINCT src, dst FROM pairs),
+closure AS (
+  SELECT src AS a, dst AS b FROM dedges
+  UNION
+  SELECT c.a, e.dst AS b FROM closure c JOIN dedges e ON c.b = e.src),
+mutual AS (
+  SELECT c1.a AS v, c1.b AS w
+  FROM closure c1 JOIN closure c2 ON c1.a = c2.b AND c1.b = c2.a)
+SELECT n.id, CAST(least(n.id, coalesce(min(m.w), n.id)) AS BIGINT) AS scc
+FROM nodes n LEFT JOIN mutual m ON n.id = m.v
+GROUP BY n.id""",
         "triangle_count": _TRIANGLE_SQL,
         "ppr5": _ppr_sql(),
         "lcc": _LCC_SQL,
