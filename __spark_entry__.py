@@ -1086,6 +1086,23 @@ def _q_scc(spark, sf_dir):
     return strongly_connected_components(edges)
 
 
+def _q_nbr_mean(spark, sf_dir):
+    """GraphSAGE mean aggregator (operators/gnn.py): per node, the
+    element-wise mean of its neighbors' 64-dim embeddings (features assigned
+    deterministically by id mod |embeddings|). Integer-lattice quantization
+    makes the float means cross-engine exact."""
+    from kaminpar_spark.operators.gnn import neighbor_mean_features
+
+    g, _ = _graph(spark, sf_dir)
+    emb = _load(spark, sf_dir, "embeddings")
+    n_vecs = emb.count()
+    feats = g.nodes.join(
+        F.broadcast(emb),
+        F.pmod(F.col("id"), F.lit(n_vecs)) == F.col("vec_id"),
+    ).select("id", F.col("embedding").alias("feat"))
+    return neighbor_mean_features(g, feats, dim=EMB_DIM)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "transcript_turns": _q_transcript_turns,
@@ -1103,6 +1120,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "component_sizes": _q_component_sizes,
         "digraph_stats": _q_digraph_stats,
         "scc": _q_scc,
+        "nbr_mean_features": _q_nbr_mean,
         "triangle_count": _q_triangle_count,
         "lp_step1": _q_lp_step1,
         "lpa_modularity": _q_lpa_modularity,
@@ -2575,6 +2593,29 @@ SELECT p.id, CAST(coalesce(a.new_block, p.block) AS INT) AS block
 FROM part p LEFT JOIN admitted a ON p.id = a.id"""
 
 
+def _nbr_mean_sql() -> str:
+    """GraphSAGE mean-aggregator twin: same id-mod feature assignment, same
+    floor(feat * 2^20) int64 lattice, sums grouped by (node, pos), ONE double
+    division per component, list re-assembled ordered by pos."""
+    from kaminpar_spark.operators.gnn import QUANT_SCALE
+
+    s = QUANT_SCALE
+    return f"""WITH {_EDGES_CTE},
+feat AS MATERIALIZED (
+  SELECT n.id, e.embedding
+  FROM nodes n JOIN embeddings e
+    ON n.id % (SELECT count(*) FROM embeddings) = e.vec_id),
+q AS MATERIALIZED (
+  SELECT id, p.pos,
+         CAST(floor(CAST(embedding[p.pos + 1] AS DOUBLE) * {s}) AS BIGINT) AS qv
+  FROM feat CROSS JOIN (SELECT unnest(range({EMB_DIM})) AS pos) p),
+gath AS (SELECT e.dst AS id, q.pos, q.qv FROM edges e JOIN q ON e.src = q.id),
+agg AS (SELECT id, pos, sum(qv) AS s, count(*) AS c FROM gath GROUP BY id, pos)
+SELECT id, CAST(max(c) AS BIGINT) AS n_nbrs,
+       list(CAST(s AS DOUBLE) / ({s}.0 * c) ORDER BY pos) AS nbr_mean
+FROM agg GROUP BY id"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "transcript_turns": f"WITH {_TRANSCRIPTS_CTE} "
@@ -2631,6 +2672,7 @@ mutual AS (
 SELECT n.id, CAST(least(n.id, coalesce(min(m.w), n.id)) AS BIGINT) AS scc
 FROM nodes n LEFT JOIN mutual m ON n.id = m.v
 GROUP BY n.id""",
+        "nbr_mean_features": _nbr_mean_sql(),
         "triangle_count": _TRIANGLE_SQL,
         "ppr5": _ppr_sql(),
         "lcc": _LCC_SQL,

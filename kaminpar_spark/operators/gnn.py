@@ -1,0 +1,97 @@
+"""GNN training prep: one-hop neighborhood feature aggregation (GraphSAGE
+mean aggregator) over an embedding column.
+
+What a 100 TB training-data pipeline feeds a GraphSAGE/GCN layer is exactly
+this: for every node, the element-wise mean of its neighbors' feature
+vectors. No reference analog (KaMinPar has no feature plane); the gather is
+the engine's J1 kernel (graph.py:303, salted for hubs), so the shape is ONE
+equi-join + ONE groupBy with map-side partial aggregation — the feature array
+travels the shuffle as a single array column and is reduced by ``dim`` fixed
+JVM sum-aggregates (the minhash 64-min-aggregates pattern), never exploded
+to (id, pos) rows and never touching Python.
+
+Exactness design: float means are order-dependent, so features are first
+quantized to an int64 lattice (floor(feat * 2^20)) — integer sums are exact
+and order-free; ONE IEEE division per output component at the end makes the
+result bit-reproducible across engines (the kmeans_cells integer-centroid
+trick, functions/similarity.py).
+
+Neighbor sampling: GraphSAGE samples a fixed-size neighborhood; pass
+``cap=K`` to apply the engine's deterministic neighbor-scan cap (P4,
+operators/preprocess.py) before aggregating — at 10^12 edges that bounds
+both shuffle volume and hub skew.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from kaminpar_spark.graph import GraphFrame
+
+QUANT_SCALE = 1 << 20
+
+
+def quantize_features(
+    feats: DataFrame, dim: int, feat_col: str = "feat", scale: int = QUANT_SCALE
+) -> DataFrame:
+    """(id, q array<long>): floor(feat[i] * scale) — exact in both engines
+    (float32 -> float64 widening and floor are IEEE-deterministic)."""
+    return feats.select(
+        "id",
+        F.array(
+            *[
+                F.floor(F.col(feat_col)[i].cast("double") * F.lit(float(scale))).cast(
+                    "long"
+                )
+                for i in range(dim)
+            ]
+        ).alias("q"),
+    )
+
+
+def neighbor_mean_features(
+    graph: GraphFrame,
+    feats: DataFrame,
+    dim: int,
+    feat_col: str = "feat",
+    scale: int = QUANT_SCALE,
+    cap: int | None = None,
+) -> DataFrame:
+    """(id, n_nbrs, nbr_mean array<double>) — element-wise mean of the
+    feature vectors of ``id``'s distinct neighbors (GraphSAGE mean
+    aggregator, unweighted). Nodes with no neighbors are absent (nothing to
+    aggregate). ``cap`` samples at most K neighbors per node first
+    (deterministic order key, preprocess.cap_neighbors)."""
+    if cap is not None:
+        # Cap the AGGREGATING side: gather flows src-features to dst, so the
+        # sampled neighborhood is per-dst (P4's cap_neighbors ranks per-src —
+        # the rating-kernel view — which would not bound the aggregation).
+        # Deterministic pseudo-random subset: lowest xxhash64(src, dst), same
+        # trade as P4 (a row_number window; a 10^7-degree hub sorts in one
+        # task — at that scale pre-split hubs or use threshold sampling).
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("dst").orderBy(F.xxhash64("src", "dst"), F.col("src"))
+        e = (
+            graph.edges.select("src", "dst", "weight")
+            .withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= cap)
+            .drop("rn")
+        )
+        graph = GraphFrame(edges=e, nodes=graph.nodes)
+    q = quantize_features(feats, dim, feat_col, scale)
+    gathered = graph.gather(q, ["q"])
+    agg = gathered.groupBy(F.col("dst").alias("id")).agg(
+        F.count("*").alias("n_nbrs"),
+        *[F.sum(F.col("q")[i]).alias(f"s{i}") for i in range(dim)],
+    )
+    return agg.select(
+        "id",
+        "n_nbrs",
+        F.array(
+            *[
+                F.col(f"s{i}") / (F.lit(float(scale)) * F.col("n_nbrs"))
+                for i in range(dim)
+            ]
+        ).alias("nbr_mean"),
+    )
