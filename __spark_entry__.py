@@ -1086,6 +1086,21 @@ def _q_scc(spark, sf_dir):
     return strongly_connected_components(edges)
 
 
+STRESS_HOPS = 8
+
+
+def _q_brandes_stress(spark, sf_dir):
+    """Sampled Brandes forward-backward (operators/centrality.py): exact
+    int64 stress centrality (Shimbel) from the id%1000 source sample,
+    8-hop horizon. The float betweenness column rides the same sweep but is
+    pytest-validated (IEEE sum order), so the oracle checks stress only."""
+    from kaminpar_spark.operators.centrality import brandes_centrality
+
+    g, _ = _graph(spark, sf_dir)
+    srcs = g.nodes.where(F.col("id") % HARMONIC_SRC_MOD == 0).select("id")
+    return brandes_centrality(g, srcs, max_hops=STRESS_HOPS).select("id", "stress")
+
+
 def _q_nbr_mean(spark, sf_dir):
     """GraphSAGE mean aggregator (operators/gnn.py): per node, the
     element-wise mean of its neighbors' 64-dim embeddings (features assigned
@@ -1121,6 +1136,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "digraph_stats": _q_digraph_stats,
         "scc": _q_scc,
         "nbr_mean_features": _q_nbr_mean,
+        "brandes_stress4": _q_brandes_stress,
         "triangle_count": _q_triangle_count,
         "lp_step1": _q_lp_step1,
         "lpa_modularity": _q_lpa_modularity,
@@ -2593,6 +2609,50 @@ SELECT p.id, CAST(coalesce(a.new_block, p.block) AS INT) AS block
 FROM part p LEFT JOIN admitted a ON p.id = a.id"""
 
 
+def _stress_sql() -> str:
+    """Unrolled Brandes: forward sigma levels f0..fH (anti-join keeps first
+    discovery), backward integer g accumulation bH..b0 (DAG edge = dist+1),
+    stress = sum over sources of sigma*g for interior nodes."""
+    H = STRESS_HOPS
+    ctes = f""",
+srcs AS (SELECT id AS s FROM nodes WHERE id % {HARMONIC_SRC_MOD} = 0),
+f0 AS MATERIALIZED (
+  SELECT s, s AS id, CAST(0 AS BIGINT) AS dist, CAST(1 AS BIGINT) AS sigma
+  FROM srcs)"""
+    for h in range(1, H + 1):
+        ctes += f""",
+f{h} AS MATERIALIZED (
+  SELECT * FROM f{h - 1}
+  UNION ALL
+  SELECT c.s, c.id, CAST({h} AS BIGINT) AS dist, c.sigma
+  FROM (
+    SELECT p.s, e.dst AS id, CAST(sum(p.sigma) AS BIGINT) AS sigma
+    FROM f{h - 1} p JOIN edges e ON e.src = p.id
+    WHERE p.dist = {h - 1}
+    GROUP BY p.s, e.dst) c
+  ANTI JOIN f{h - 1} x ON x.s = c.s AND x.id = c.id)"""
+    ctes += f""",
+b{H} AS MATERIALIZED (
+  SELECT s, id, dist, sigma, CAST(0 AS BIGINT) AS g FROM f{H}
+  WHERE dist = {H})"""
+    for lev in range(H - 1, -1, -1):
+        ctes += f""",
+b{lev} AS MATERIALIZED (
+  SELECT * FROM b{lev + 1}
+  UNION ALL
+  SELECT f.s, f.id, f.dist, f.sigma, CAST(coalesce(x.gsum, 0) AS BIGINT) AS g
+  FROM f{H} f LEFT JOIN (
+    SELECT w.s, e.src AS id, sum(1 + w.g) AS gsum
+    FROM b{lev + 1} w JOIN edges e ON e.dst = w.id
+    WHERE w.dist = {lev + 1}
+    GROUP BY w.s, e.src) x ON x.s = f.s AND x.id = f.id
+  WHERE f.dist = {lev})"""
+    return f"""WITH {_EDGES_CTE}{ctes}
+SELECT n.id, CAST(coalesce(sum(a.sigma * a.g), 0) AS BIGINT) AS stress
+FROM nodes n LEFT JOIN (SELECT * FROM b0 WHERE id <> s) a ON n.id = a.id
+GROUP BY n.id"""
+
+
 def _nbr_mean_sql() -> str:
     """GraphSAGE mean-aggregator twin: same id-mod feature assignment, same
     floor(feat * 2^20) int64 lattice, sums grouped by (node, pos), ONE double
@@ -2673,6 +2733,7 @@ SELECT n.id, CAST(least(n.id, coalesce(min(m.w), n.id)) AS BIGINT) AS scc
 FROM nodes n LEFT JOIN mutual m ON n.id = m.v
 GROUP BY n.id""",
         "nbr_mean_features": _nbr_mean_sql(),
+        "brandes_stress4": _stress_sql(),
         "triangle_count": _TRIANGLE_SQL,
         "ppr5": _ppr_sql(),
         "lcc": _LCC_SQL,

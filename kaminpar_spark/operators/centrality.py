@@ -1,0 +1,154 @@
+"""Sampled betweenness / stress centrality — Brandes' forward-backward
+algorithm over shared multi-source BFS supersteps.
+
+Brandes (2001): for each source s, a forward level-synchronous BFS computes
+dist and sigma (= #shortest s->v paths); a backward sweep down the shortest-
+path DAG accumulates per-node dependency. Sources are sampled (the
+Brandes-Pich estimator) — exact betweenness is O(nm) and not a 100 TB
+operation; K sampled sources cost K·diameter supersteps SHARED in one state
+DataFrame keyed (s, id) (the paths.multi_source_distances layout).
+
+Two accumulators ride the same backward sweep:
+- **stress** (Shimbel): g(v) = sum over DAG-successors w of (1 + g(w)) —
+  #DAG paths from v to any t; stress(v) = Σ_s σ_s(v)·g_s(v), v interior.
+  ALL-INTEGER (exact, order-free, cross-engine reproducible) — this is the
+  column the DuckDB oracle checks value-exact.
+- **betweenness** (Brandes δ): δ(v) = Σ_w σ(v)/σ(w)·(1+δ(w)) — IEEE sums
+  whose addition order engines don't share; validated in pytest against a
+  pure-Python Brandes with allclose instead of the hash oracle.
+
+Scale shape per superstep: one frontier equi-join edges + one (s, dst)
+groupBy with map-side partial agg (J1), forward and backward both; the
+backward sweep processes ONE BFS level per superstep (dist is known, so the
+DAG-successor join is an equi-join on (s, id) + a dist equality filter —
+no windows, no collects). sigma/g are int64: they overflow only past ~9e18
+path counts per node per source (log, then switch to DECIMAL(38,0) sums).
+Hop-bounded: exactly ``max_hops`` forward levels in BOTH engines, so
+truncation beyond the horizon is reproducible, not racy.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from kaminpar_spark.graph import GraphFrame
+from kaminpar_spark.plans.lineage import release, truncate
+
+
+def _forward_sssp_dag(
+    graph: GraphFrame, src_df: DataFrame, max_hops: int
+) -> DataFrame:
+    """(s, id, dist, sigma) for all nodes reached within max_hops levels."""
+    state = truncate(
+        src_df.select(
+            F.col("src").alias("s"),
+            F.col("src").alias("id"),
+            F.lit(0).cast("long").alias("dist"),
+            F.lit(1).cast("long").alias("sigma"),
+        )
+    )
+    e = graph.edges.select(F.col("src").alias("id"), "dst")
+    for h in range(1, max_hops + 1):
+        frontier = state.where(F.col("dist") == h - 1)
+        cand = (
+            frontier.join(e.hint("shuffle_hash"), "id")
+            .groupBy("s", F.col("dst").alias("id"))
+            .agg(F.sum("sigma").alias("sigma"))
+        )
+        new = (
+            cand.join(
+                state.select("s", "id").hint("shuffle_hash"),
+                ["s", "id"],
+                "left_anti",
+            )
+            .select("s", "id", F.lit(h).cast("long").alias("dist"), "sigma")
+        )
+        old = state
+        state = truncate(state.unionByName(new))
+        release(old)
+    return state
+
+
+def _backward_accumulate(
+    graph: GraphFrame, fwd: DataFrame, max_hops: int
+) -> DataFrame:
+    """(s, id, dist, sigma, g, delta): g = integer DAG-path count to any
+    target below v; delta = Brandes dependency. One BFS level per step,
+    deepest first."""
+    e = graph.edges.select("src", "dst")
+    acc = truncate(
+        fwd.where(F.col("dist") == max_hops).select(
+            "s",
+            "id",
+            "dist",
+            "sigma",
+            F.lit(0).cast("long").alias("g"),
+            F.lit(0.0).alias("delta"),
+        )
+    )
+    for lev in range(max_hops - 1, -1, -1):
+        below = acc.where(F.col("dist") == lev + 1).select(
+            "s", F.col("id").alias("dst"), "sigma", "g", "delta"
+        )
+        # DAG edge v->w iff edge (v, w) and dist(w) = dist(v)+1; contributions
+        # grouped per (s, v)
+        contrib = (
+            below.join(e.hint("shuffle_hash"), "dst")
+            .groupBy("s", F.col("src").alias("id"))
+            .agg(
+                F.sum(F.lit(1) + F.col("g")).alias("gsum"),
+                F.sum((F.lit(1.0) + F.col("delta")) / F.col("sigma")).alias(
+                    "dsum"
+                ),
+            )
+        )
+        lev_nodes = (
+            fwd.where(F.col("dist") == lev)
+            .join(contrib.hint("shuffle_hash"), ["s", "id"], "left")
+            .select(
+                "s",
+                "id",
+                "dist",
+                "sigma",
+                F.coalesce("gsum", F.lit(0)).cast("long").alias("g"),
+                (F.coalesce("dsum", F.lit(0.0)) * F.col("sigma")).alias("delta"),
+            )
+        )
+        old = acc
+        acc = truncate(acc.unionByName(lev_nodes))
+        release(old)
+    return acc
+
+
+def brandes_centrality(
+    graph: GraphFrame, sources, max_hops: int = 8
+) -> DataFrame:
+    """(id, stress, betweenness) accumulated over the sampled sources; every
+    node present (0 for nodes off all sampled shortest paths). ``stress`` is
+    exact int64; ``betweenness`` is the float Brandes score (source-endpoint
+    excluded, target endpoints excluded per the standard definition)."""
+    spark = graph.nodes.sparkSession
+    if isinstance(sources, DataFrame):
+        src_df = sources.select(F.col("id").alias("src"))
+    else:
+        src_df = spark.createDataFrame([(int(i),) for i in sources], "src long")
+    src_df = truncate(src_df)
+    fwd = _forward_sssp_dag(graph, src_df, max_hops)
+    acc = _backward_accumulate(graph, fwd, max_hops)
+    per_node = (
+        acc.where(F.col("id") != F.col("s"))
+        .groupBy("id")
+        .agg(
+            F.sum(F.col("sigma") * F.col("g")).alias("stress"),
+            F.sum(F.col("delta")).alias("betweenness"),
+        )
+    )
+    return (
+        graph.nodes.select("id")
+        .join(per_node, "id", "left")
+        .select(
+            "id",
+            F.coalesce("stress", F.lit(0)).cast("long").alias("stress"),
+            F.coalesce("betweenness", F.lit(0.0)).alias("betweenness"),
+        )
+    )
