@@ -1087,6 +1087,18 @@ def _q_scc(spark, sf_dir):
 
 
 STRESS_HOPS = 8
+LOUVAIN_ROUNDS = 2
+
+
+def _q_louvain_moves(spark, sf_dir):
+    """Louvain phase-1 (operators/louvain.py): 2 rounds of alternating-parity
+    modularity-gain argmax moves from the singleton state — gains ranked by
+    the exact int64 cross-multiplied form 2m·k_in − k·Σ_tot(c∖{i}), so every
+    move (and the oracle) is integer-deterministic."""
+    from kaminpar_spark.operators.louvain import louvain_level
+
+    g, _ = _graph(spark, sf_dir)
+    return louvain_level(g, g.total_edge_weight(), rounds=LOUVAIN_ROUNDS)
 
 
 def _q_brandes_stress(spark, sf_dir):
@@ -1137,6 +1149,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scc": _q_scc,
         "nbr_mean_features": _q_nbr_mean,
         "brandes_stress4": _q_brandes_stress,
+        "louvain_moves4": _q_louvain_moves,
         "triangle_count": _q_triangle_count,
         "lp_step1": _q_lp_step1,
         "lpa_modularity": _q_lpa_modularity,
@@ -2609,6 +2622,49 @@ SELECT p.id, CAST(coalesce(a.new_block, p.block) AS INT) AS block
 FROM part p LEFT JOIN admitted a ON p.id = a.id"""
 
 
+def _louvain_sql() -> str:
+    """Unrolled louvain_level(rounds=LOUVAIN_ROUNDS) twin: per step t —
+    Σ_tot from the current state, k_in per adjacent community, the candidate
+    union (adjacent ∪ current ∪ own-singleton), the exact-int gain
+    v = m2·k_in − k·(Σ_tot − [c=cur]·k), argmax by (v, stay-pref, min comm),
+    parity-gated move."""
+    steps = LOUVAIN_ROUNDS * 2
+    ctes = """,
+m2t AS (SELECT CAST(sum(weight) AS BIGINT) AS m2 FROM edges),
+comm0 AS MATERIALIZED (SELECT id, id AS comm FROM nodes)"""
+    for t in range(steps):
+        ctes += f""",
+sig{t} AS MATERIALIZED (
+  SELECT c.comm, CAST(sum(d.weighted_degree) AS BIGINT) AS sigma
+  FROM comm{t} c JOIN deg d ON d.id = c.id GROUP BY c.comm),
+kin{t} AS MATERIALIZED (
+  SELECT e.dst AS id, cs.comm, CAST(sum(e.weight) AS BIGINT) AS w_in
+  FROM edges e JOIN comm{t} cs ON cs.id = e.src GROUP BY 1, 2),
+cand{t} AS (
+  SELECT ck.id, ck.comm,
+         coalesce(k.w_in, 0) * (SELECT m2 FROM m2t)
+           - d.weighted_degree * (coalesce(s.sigma, 0)
+               - CASE WHEN ck.comm = cur.comm THEN d.weighted_degree ELSE 0 END) AS v,
+         CASE WHEN ck.comm = cur.comm THEN 1 ELSE 0 END AS c
+  FROM (SELECT id, comm FROM kin{t}
+        UNION SELECT id, comm FROM comm{t}
+        UNION SELECT id, id AS comm FROM comm{t}) ck
+  LEFT JOIN kin{t} k ON k.id = ck.id AND k.comm = ck.comm
+  LEFT JOIN sig{t} s ON s.comm = ck.comm
+  JOIN deg d ON d.id = ck.id
+  JOIN comm{t} cur ON cur.id = ck.id),
+comm{t + 1} AS MATERIALIZED (
+  SELECT b.id,
+         CAST(CASE WHEN b.id % 2 = {t % 2} THEN b.comm ELSE cur.comm END AS BIGINT) AS comm
+  FROM (SELECT id, comm,
+               row_number() OVER (PARTITION BY id ORDER BY v DESC, c DESC, comm ASC) AS rn
+        FROM cand{t}) b
+  JOIN comm{t} cur ON cur.id = b.id
+  WHERE b.rn = 1)"""
+    return f"""WITH {_EDGES_CTE}{ctes}
+SELECT id, comm FROM comm{steps}"""
+
+
 def _stress_sql() -> str:
     """Unrolled Brandes: forward sigma levels f0..fH (anti-join keeps first
     discovery), backward integer g accumulation bH..b0 (DAG edge = dist+1),
@@ -2734,6 +2790,7 @@ FROM nodes n LEFT JOIN mutual m ON n.id = m.v
 GROUP BY n.id""",
         "nbr_mean_features": _nbr_mean_sql(),
         "brandes_stress4": _stress_sql(),
+        "louvain_moves4": _louvain_sql(),
         "triangle_count": _TRIANGLE_SQL,
         "ppr5": _ppr_sql(),
         "lcc": _LCC_SQL,

@@ -1,0 +1,174 @@
+"""Louvain community detection (Blondel et al. 2008) — modularity-gain label
+moves + multilevel contraction, on the engine's existing kernels.
+
+Relation to the rest of the engine: LP clustering (operators/labelprop.py,
+reference kaminpar/coarsening/parallel_label_propagation.h) moves nodes to
+the *heaviest* adjacent label under a size cap; Louvain moves them to the
+adjacent community with the best **modularity gain**. Phase 2 (collapse
+communities into super-nodes) is literally the engine's A1 contraction
+(operators/contraction.py) — Louvain here is a thin quality-objective layer
+over kernels the partitioner already exercises.
+
+Exactness design: the textbook gain ΔQ = k_i,in/m − k_i·Σ_tot/(2m²) is a
+float; choosing a move only needs the ORDER of gains, and for integer edge
+weights  v(c) = 2m·k_i,in(c) − k_i·Σ_tot(c∖{i})  ranks candidates exactly in
+int64 (gains cross-multiplied by the positive constant 2m²; v(own
+singleton) = 0 is the removal baseline). Moves — and therefore the whole
+clustering — are integer-deterministic, so the DuckDB oracle reproduces a
+move step value-exact. Overflow bound: |v| ≤ (2m)² ⇒ safe to 2m ≈ 3e9
+total weight; past that promote the two products to DECIMAL(38,0).
+
+Synchronous-move caveat: simultaneous greedy moves oscillate on symmetric
+structures (two singletons that each want the other's community swap
+forever). A round therefore moves only nodes of one id-parity per step
+(the distributed-Louvain coloring trick, same family as the reference LP's
+two-phase tie-breaking) so each accepted move's gain is real against the
+state it was evaluated on.
+
+Scale shape per superstep: one J1 gather + one (node, comm) groupBy with
+map-side partial agg + one community-scale Σ_tot aggregate + one struct-max
+argmax — the LPA plan plus one small join. Contraction between levels keeps
+each level's graph geometrically smaller; total work is a constant factor
+over one LP clustering pass.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from kaminpar_spark.graph import GraphFrame
+from kaminpar_spark.plans.lineage import release, truncate
+
+
+def louvain_move_step(
+    graph: GraphFrame,
+    comm: DataFrame,
+    m2: int,
+    parity: int | None = None,
+    deg: DataFrame | None = None,
+) -> DataFrame:
+    """One synchronous gain-argmax move step over ``comm`` (id, comm) with
+    ``m2`` = total half-edge weight (2m). Candidates per node: every adjacent
+    community, the current one (tie-preferred), and the own-id singleton
+    (the removal baseline). ``parity`` (0/1) freezes the other half of the
+    nodes. ``deg`` (id, k) overrides the graph's weighted degrees — the
+    multilevel driver passes the ORIGINAL degrees aggregated per super-node
+    (the engine's contraction drops self-loops, so coarse-graph degrees
+    would lose each community's internal mass and overstate merge gains).
+    Returns the new (id, comm)."""
+    if deg is None:
+        deg = graph.degrees().select("id", F.col("weighted_degree").alias("k"))
+    sigma = (
+        comm.join(deg, "id").groupBy("comm").agg(F.sum("k").alias("sigma_tot"))
+    )
+    gathered = graph.gather(comm, ["comm"])
+    kin = gathered.groupBy(F.col("dst").alias("id"), "comm").agg(
+        F.sum("weight").alias("w_in")
+    )
+    cur = comm.select("id", F.col("comm").alias("cur_comm"))
+    cand_keys = (
+        kin.select("id", "comm")
+        .unionByName(comm.select("id", "comm"))
+        .unionByName(comm.select("id", F.col("id").alias("comm")))
+        .distinct()
+    )
+    cand = (
+        cand_keys.join(kin.hint("shuffle_hash"), ["id", "comm"], "left")
+        .join(sigma.hint("shuffle_hash"), "comm", "left")
+        .join(deg.hint("shuffle_hash"), "id")
+        .join(cur.hint("shuffle_hash"), "id")
+    )
+    is_cur = (F.col("comm") == F.col("cur_comm")).cast("long")
+    score = F.coalesce("w_in", F.lit(0)) * F.lit(m2) - F.col("k") * (
+        F.coalesce("sigma_tot", F.lit(0)) - is_cur * F.col("k")
+    )
+    best = (
+        cand.select("id", "comm", "cur_comm", score.alias("v"), is_cur.alias("c"))
+        .groupBy("id", "cur_comm")
+        .agg(
+            F.max(
+                F.struct(F.col("v"), F.col("c"), (-F.col("comm")).alias("neg"))
+            ).alias("b")
+        )
+        .select("id", "cur_comm", (-F.col("b.neg")).alias("new_comm"))
+    )
+    if parity is not None:
+        pick = F.when(
+            F.col("id") % 2 == parity, F.col("new_comm")
+        ).otherwise(F.col("cur_comm"))
+    else:
+        pick = F.col("new_comm")
+    return best.select("id", pick.alias("comm"))
+
+
+def louvain_level(
+    graph: GraphFrame, m2: int, rounds: int = 4, deg: DataFrame | None = None
+) -> DataFrame:
+    """Phase 1 at one level: alternating-parity move steps from the singleton
+    state. Returns (id, comm)."""
+    comm = truncate(graph.nodes.select("id", F.col("id").alias("comm")))
+    for r in range(rounds * 2):
+        new = truncate(louvain_move_step(graph, comm, m2, parity=r % 2, deg=deg))
+        release(comm)
+        comm = new
+    return comm
+
+
+def louvain(
+    graph: GraphFrame, levels: int = 3, rounds: int = 4
+) -> DataFrame:
+    """Multilevel Louvain: phase-1 moves, contract communities (A1), recurse
+    on the coarse graph. The gain arithmetic stays anchored to the ORIGINAL
+    graph: m2 is the original 2m at every level, and each super-node's k is
+    the sum of its members' original weighted degrees (2·internal +
+    external) — the self-loop bookkeeping of textbook phase 2, carried as a
+    degree table instead of self-loop edges (self-loop weight cancels out of
+    every gain comparison once k is right, and the engine's contraction
+    drops self-loops anyway). Returns (id, comm) on the ORIGINAL ids,
+    communities relabeled to their minimum member id."""
+    from kaminpar_spark.operators.contraction import contract
+
+    g = graph
+    m2 = graph.total_edge_weight()
+    if m2 == 0:
+        return graph.nodes.select("id", F.col("id").alias("comm"))
+    k0 = truncate(
+        graph.degrees().select("id", F.col("weighted_degree").alias("k"))
+    )
+    mapping = None  # original id -> current coarse id
+    for _ in range(levels):
+        if mapping is None:
+            deg = k0
+        else:
+            deg = truncate(
+                mapping.join(k0, "id")
+                .groupBy(F.col("c_id").alias("id"))
+                .agg(F.sum("k").alias("k"))
+            )
+        comm = louvain_level(g, m2, rounds=rounds, deg=deg)
+        n_comms = comm.select("comm").distinct().count()
+        n_nodes = g.num_nodes()
+        res = contract(g, comm.select("id", F.col("comm").alias("cluster")))
+        lvl_map = truncate(res.mapping)  # (id, c_id) at this level's ids
+        if mapping is None:
+            mapping = lvl_map
+        else:
+            old = mapping
+            mapping = truncate(
+                mapping.join(
+                    lvl_map.withColumnRenamed("id", "c_prev").withColumnRenamed(
+                        "c_id", "c_next"
+                    ),
+                    mapping.c_id == F.col("c_prev"),
+                )
+                .select("id", F.col("c_next").alias("c_id"))
+            )
+            release(old)
+        g = res.coarse
+        if n_comms >= n_nodes:
+            break  # no merge happened; further levels are no-ops
+    if mapping is None:
+        return graph.nodes.select("id", F.col("id").alias("comm"))
+    # canonical labels: min original member id per community
+    canon = mapping.groupBy("c_id").agg(F.min("id").alias("comm"))
+    return mapping.join(canon, "c_id").select("id", "comm")

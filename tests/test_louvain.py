@@ -1,0 +1,63 @@
+"""Louvain: hand-checked moves, oscillation guard, multilevel quality."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kaminpar_spark.graph import GraphFrame
+from kaminpar_spark.operators.louvain import louvain, louvain_level, louvain_move_step
+from kaminpar_spark.operators.metrics import modularity
+
+
+def _graph(spark, pairs):
+    df = spark.createDataFrame(pairs, "src long, dst long")
+    return GraphFrame.from_edge_pairs(df, symmetrize=True)
+
+
+def _clique(offset, k):
+    return [
+        (offset + a, offset + b) for a in range(k) for b in range(a + 1, k)
+    ]
+
+
+def test_single_edge_pair_merges_without_oscillation(spark):
+    g = _graph(spark, [(0, 1)])
+    comm = louvain_level(g, g.total_edge_weight(), rounds=1)
+    labs = {r["id"]: r["comm"] for r in comm.collect()}
+    assert labs[0] == labs[1]
+
+
+def test_synchronous_step_from_singletons_is_greedy_argmax(spark):
+    # triangle 0-1-2: every node moves to its min-id neighbor's community
+    g = _graph(spark, [(0, 1), (1, 2), (0, 2)])
+    comm = g.nodes.select("id", F.col("id").alias("comm"))
+    new = {r["id"]: r["comm"] for r in
+           louvain_move_step(g, comm, g.total_edge_weight()).collect()}
+    # all k=2, m2=6: v(c) = 6*1 - 2*2 = 2 > 0 for both neighbors; min id wins
+    assert new == {0: 1, 1: 0, 2: 0}
+
+
+def test_two_cliques_bridged_found_exactly(spark):
+    pairs = _clique(0, 4) + _clique(4, 4) + [(3, 4)]
+    g = _graph(spark, pairs)
+    comm = louvain(g, levels=2, rounds=3)
+    labs = {r["id"]: r["comm"] for r in comm.collect()}
+    assert len(set(labs.values())) == 2
+    assert {labs[i] for i in range(4)} == {labs[0]}
+    assert {labs[i] for i in range(4, 8)} == {labs[4]}
+    assert labs[0] != labs[4]
+    q = modularity(g, comm.select("id", F.col("comm").alias("label")))
+    assert q > 0.3
+
+
+def test_multilevel_improves_modularity_on_transcript_graph(spark):
+    from kaminpar_spark.sources.transcripts import synth_transcripts, transcript_graph
+
+    n = 400
+    g, _ = transcript_graph(synth_transcripts(spark, n), n, stable_ids=True)
+    comm = louvain(g, levels=2, rounds=2)
+    q = modularity(g, comm.select("id", F.col("comm").alias("label")))
+    assert q > 0.0
+    # labels cover every node exactly once
+    assert comm.count() == g.num_nodes()
+    assert comm.select("id").distinct().count() == g.num_nodes()
