@@ -1113,6 +1113,23 @@ def _q_brandes_stress(spark, sf_dir):
     return brandes_centrality(g, srcs, max_hops=STRESS_HOPS).select("id", "stress")
 
 
+CONDENSE_MIN_W = 3
+
+
+def _q_condensation(spark, sf_dir):
+    """Condensation DAG layering on the REPEAT-interaction digraph (edge
+    multiplicity >= 3 — the full turn digraph is one giant SCC, structurally
+    true but degenerate): collapse SCCs (min-member label), then longest-path
+    level per component via max-propagation supersteps — level 0 = upstream
+    feeders, max level = terminal influence sinks."""
+    from kaminpar_spark.operators.scc import condensation_levels
+    from kaminpar_spark.sources.transcripts import synth_transcripts, transcript_digraph
+
+    n = _n_convs(spark, sf_dir)
+    edges, _ = transcript_digraph(synth_transcripts(spark, n), n, stable_ids=True)
+    return condensation_levels(edges.where(F.col("weight") >= CONDENSE_MIN_W))
+
+
 def _q_nbr_mean(spark, sf_dir):
     """GraphSAGE mean aggregator (operators/gnn.py): per node, the
     element-wise mean of its neighbors' 64-dim embeddings (features assigned
@@ -1147,6 +1164,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "component_sizes": _q_component_sizes,
         "digraph_stats": _q_digraph_stats,
         "scc": _q_scc,
+        "condensation_levels": _q_condensation,
         "nbr_mean_features": _q_nbr_mean,
         "brandes_stress4": _q_brandes_stress,
         "louvain_moves4": _q_louvain_moves,
@@ -2788,6 +2806,32 @@ mutual AS (
 SELECT n.id, CAST(least(n.id, coalesce(min(m.w), n.id)) AS BIGINT) AS scc
 FROM nodes n LEFT JOIN mutual m ON n.id = m.v
 GROUP BY n.id""",
+        "condensation_levels": f"""WITH RECURSIVE {_EDGES_CTE},
+dedges AS MATERIALIZED (
+  SELECT src, dst FROM pairs GROUP BY src, dst HAVING count(*) >= {CONDENSE_MIN_W}),
+closure AS (
+  SELECT src AS a, dst AS b FROM dedges
+  UNION
+  SELECT c.a, e.dst AS b FROM closure c JOIN dedges e ON c.b = e.src),
+mutual AS (
+  SELECT c1.a AS v, c1.b AS w
+  FROM closure c1 JOIN closure c2 ON c1.a = c2.b AND c1.b = c2.a),
+dnodes AS (SELECT src AS id FROM dedges UNION SELECT dst FROM dedges),
+labels AS MATERIALIZED (
+  SELECT n.id, CAST(least(n.id, coalesce(min(m.w), n.id)) AS BIGINT) AS scc
+  FROM dnodes n LEFT JOIN mutual m ON n.id = m.v GROUP BY n.id),
+dag AS MATERIALIZED (
+  SELECT DISTINCT ls.scc AS src, ld.scc AS dst
+  FROM dedges e JOIN labels ls ON e.src = ls.id JOIN labels ld ON e.dst = ld.id
+  WHERE ls.scc <> ld.scc),
+paths AS (
+  SELECT scc AS v, 0 AS d FROM (SELECT DISTINCT scc FROM labels)
+  UNION
+  SELECT e.dst AS v, p.d + 1 AS d FROM paths p JOIN dag e ON e.src = p.v),
+lev AS (SELECT v, CAST(max(d) AS BIGINT) AS level FROM paths GROUP BY v)
+SELECT l.scc, CAST(count(*) AS BIGINT) AS n_members, lev.level
+FROM labels l JOIN lev ON lev.v = l.scc
+GROUP BY l.scc, lev.level""",
         "nbr_mean_features": _nbr_mean_sql(),
         "brandes_stress4": _stress_sql(),
         "louvain_moves4": _louvain_sql(),

@@ -174,3 +174,77 @@ def strongly_connected_components(
     for part in assigned[1:]:
         out = out.unionByName(part)
     return out
+
+
+def condensation(
+    edges: DataFrame, scc: DataFrame | None = None
+) -> tuple[DataFrame, DataFrame]:
+    """(dag_edges, scc_labels): collapse each SCC to one node (label = min
+    member id) and keep the distinct cross-SCC edges — the condensation DAG,
+    the canonical acyclic view of a directed graph."""
+    if scc is None:
+        scc = strongly_connected_components(edges)
+    ls = scc.select(F.col("id").alias("src"), F.col("scc").alias("c_src"))
+    ld = scc.select(F.col("id").alias("dst"), F.col("scc").alias("c_dst"))
+    dag = (
+        edges.select("src", "dst")
+        .join(ls.hint("shuffle_hash"), "src")
+        .join(ld.hint("shuffle_hash"), "dst")
+        .where(F.col("c_src") != F.col("c_dst"))
+        .select(F.col("c_src").alias("src"), F.col("c_dst").alias("dst"))
+        .distinct()
+    )
+    return dag, scc
+
+
+def condensation_levels(edges: DataFrame, max_iters: int = 100) -> DataFrame:
+    """(scc, n_members, level) — level = LONGEST path from any source of the
+    condensation DAG to the component (topological layering; level 0 =
+    upstream feeders, max level = terminal sinks of the influence flow).
+
+    Max-propagation supersteps on the DAG: lev(v) = max(lev(v), max over
+    in-edges lev(u)+1); on an acyclic relation this is a fixpoint within
+    depth supersteps (guaranteed because condensation is a DAG — the same
+    recurrence on a cyclic graph would diverge). Each superstep is one
+    equi-join + one max groupBy at condensation scale (≪ graph scale)."""
+    dag, scc = condensation(edges)
+    dag = truncate(dag)
+    cnodes = truncate(scc.select(F.col("scc").alias("id")).distinct())
+    state = truncate(cnodes.select("id", F.lit(0).cast("long").alias("lev")))
+    for _ in range(max_iters):
+        upd = (
+            dag.join(
+                state.select(F.col("id").alias("src"), "lev").hint("shuffle_hash"),
+                "src",
+            )
+            .groupBy(F.col("dst").alias("id"))
+            .agg((F.max("lev") + 1).alias("nlev"))
+        )
+        new = truncate(
+            state.select("id", F.col("lev").alias("old_lev"))
+            .join(upd.hint("shuffle_hash"), "id", "left")
+            .select(
+                "id",
+                F.greatest(
+                    F.col("old_lev"), F.coalesce("nlev", F.col("old_lev"))
+                ).alias("lev"),
+                "old_lev",
+            )
+        )
+        moved = new.agg(
+            F.sum((F.col("lev") != F.col("old_lev")).cast("int")).alias("m")
+        ).first()["m"]
+        release(state)
+        state = new
+        if not moved:
+            break
+    else:
+        raise RuntimeError(
+            "condensation_levels: no fixpoint within max_iters — input "
+            "edges are not a DAG after condensation (should be impossible)"
+        )
+    sizes = scc.groupBy("scc").agg(F.count("*").alias("n_members"))
+    return sizes.join(
+        state.select(F.col("id").alias("scc"), F.col("lev").alias("level")),
+        "scc",
+    ).select("scc", "n_members", "level")

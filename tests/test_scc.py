@@ -106,6 +106,19 @@ def test_arithmetic_random_digraph(spark):
     run_and_compare(spark, edges)
 
 
+def test_condensation_levels_longest_path(spark):
+    from kaminpar_spark.operators.scc import condensation_levels
+
+    # SCC {0,1,2} -> SCC {5,6} -> 9, plus a shortcut 2->9: longest path wins
+    edges = [(0, 1), (1, 2), (2, 0), (2, 5), (5, 6), (6, 5), (6, 9), (2, 9)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    out = {
+        r["scc"]: (r["n_members"], r["level"])
+        for r in condensation_levels(df).collect()
+    }
+    assert out == {0: (3, 0), 5: (2, 1), 9: (1, 2)}
+
+
 def test_transcript_digraph_matches_tarjan(spark):
     from kaminpar_spark.sources.transcripts import (
         synth_transcripts,
