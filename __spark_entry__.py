@@ -1130,6 +1130,19 @@ def _q_condensation(spark, sf_dir):
     return condensation_levels(edges.where(F.col("weight") >= CONDENSE_MIN_W))
 
 
+KATZ_HOPS = 3
+KATZ_INV_BETA = 4
+
+
+def _q_katz(spark, sf_dir):
+    """Truncated Katz index, 3 hops, β=1/4 on the exact integer lattice
+    (score × 4³) — weighted walk counts through 3 gather-sum supersteps."""
+    from kaminpar_spark.operators.centrality import katz_centrality
+
+    g, _ = _graph(spark, sf_dir)
+    return katz_centrality(g, hops=KATZ_HOPS, inv_beta=KATZ_INV_BETA)
+
+
 def _q_nbr_mean(spark, sf_dir):
     """GraphSAGE mean aggregator (operators/gnn.py): per node, the
     element-wise mean of its neighbors' 64-dim embeddings (features assigned
@@ -1168,6 +1181,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nbr_mean_features": _q_nbr_mean,
         "brandes_stress4": _q_brandes_stress,
         "louvain_moves4": _q_louvain_moves,
+        "katz3": _q_katz,
         "triangle_count": _q_triangle_count,
         "lp_step1": _q_lp_step1,
         "lpa_modularity": _q_lpa_modularity,
@@ -2640,6 +2654,28 @@ SELECT p.id, CAST(coalesce(a.new_block, p.block) AS INT) AS block
 FROM part p LEFT JOIN admitted a ON p.id = a.id"""
 
 
+def _katz_sql() -> str:
+    """Unrolled weighted-walk chains k1..kK; katz = Σ inv_beta^(K-k)·walks_k."""
+    K, ib = KATZ_HOPS, KATZ_INV_BETA
+    ctes = """,
+k1 AS MATERIALIZED (
+  SELECT e.dst AS id, CAST(sum(e.weight) AS BIGINT) AS w FROM edges e GROUP BY 1)"""
+    for k in range(2, K + 1):
+        ctes += f""",
+k{k} AS MATERIALIZED (
+  SELECT e.dst AS id, CAST(sum(e.weight * p.w) AS BIGINT) AS w
+  FROM edges e JOIN k{k - 1} p ON p.id = e.src GROUP BY 1)"""
+    terms = " + ".join(
+        f"coalesce(k{k}.w, 0) * {ib ** (K - k)}" for k in range(1, K + 1)
+    )
+    joins = "".join(
+        f"\nLEFT JOIN k{k} ON k{k}.id = n.id" for k in range(1, K + 1)
+    )
+    return f"""WITH {_EDGES_CTE}{ctes}
+SELECT n.id, CAST({terms} AS BIGINT) AS katz
+FROM nodes n{joins}"""
+
+
 def _louvain_sql() -> str:
     """Unrolled louvain_level(rounds=LOUVAIN_ROUNDS) twin: per step t —
     Σ_tot from the current state, k_in per adjacent community, the candidate
@@ -2835,6 +2871,7 @@ GROUP BY l.scc, lev.level""",
         "nbr_mean_features": _nbr_mean_sql(),
         "brandes_stress4": _stress_sql(),
         "louvain_moves4": _louvain_sql(),
+        "katz3": _katz_sql(),
         "triangle_count": _TRIANGLE_SQL,
         "ppr5": _ppr_sql(),
         "lcc": _LCC_SQL,

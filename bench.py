@@ -126,6 +126,15 @@ def main():
         queries["butterflies"] = round(time.time() - t0, 3)
         _phase("butterflies done")
 
+        # ---- Louvain phase-1 (modularity-gain moves, 2 rounds = 4
+        # alternating-parity supersteps over the prepared graph) ----
+        from kaminpar_spark.operators.louvain import louvain_level
+
+        t0 = time.time()
+        louvain_level(gp, gp.total_edge_weight(), rounds=2).count()
+        queries["louvain_moves"] = round(time.time() - t0, 3)
+        _phase("louvain done")
+
         # ---- LLM-data-pipeline lines: MinHash+LSH dedup and LSH ANN at this
         # SF (JVM-only sketch kernels; documents/embeddings parquet) ----
         from pyspark.sql import functions as F2

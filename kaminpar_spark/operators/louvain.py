@@ -106,6 +106,12 @@ def louvain_level(
 ) -> DataFrame:
     """Phase 1 at one level: alternating-parity move steps from the singleton
     state. Returns (id, comm)."""
+    if deg is None:
+        # hoist: degrees are loop-invariant (recomputing the degree agg per
+        # step measured 2.8 s/superstep vs 1.9 at sf0.1)
+        deg = truncate(
+            graph.degrees().select("id", F.col("weighted_degree").alias("k"))
+        )
     comm = truncate(graph.nodes.select("id", F.col("id").alias("comm")))
     for r in range(rounds * 2):
         new = truncate(louvain_move_step(graph, comm, m2, parity=r % 2, deg=deg))

@@ -76,6 +76,22 @@ def run_and_compare(spark, pairs, sources, max_hops=8):
         assert math.isclose(got[v][1], want[v][1], rel_tol=1e-9, abs_tol=1e-9)
 
 
+def test_katz_hand_values(spark):
+    from kaminpar_spark.operators.centrality import katz_centrality
+
+    # path 0-1-2: walks_1 = (1,2,1), walks_2 = (2,2,2)
+    # katz(K=2, inv_beta=4) = 4*walks_1 + walks_2 = (6,10,6)
+    df = spark.createDataFrame(
+        [(0, 1), (1, 0), (1, 2), (2, 1)], "src long, dst long"
+    )
+    g = GraphFrame.from_edge_pairs(df, symmetrize=False)
+    got = {
+        r["id"]: r["katz"]
+        for r in katz_centrality(g, hops=2, inv_beta=4).collect()
+    }
+    assert got == {0: 6, 1: 10, 2: 6}
+
+
 def test_path_graph_middle_dominates(spark):
     # path 0-1-2-3-4, all sources: stress/bc peak at node 2
     pairs = [(i, i + 1) for i in range(4)]
