@@ -1132,6 +1132,25 @@ def _q_condensation(spark, sf_dir):
 
 KATZ_HOPS = 3
 KATZ_INV_BETA = 4
+TEMPORAL_ROUNDS = 6
+
+
+def _q_temporal_reach(spark, sf_dir):
+    """Temporal earliest-arrival (operators/temporal.py): time-respecting
+    reachability from actor id 0 over the timestamped turn digraph — an edge
+    (u,v,t) is usable only if u was reached by t. 6 relaxation rounds in
+    lockstep with the unrolled oracle."""
+    from kaminpar_spark.operators.temporal import earliest_arrival
+    from kaminpar_spark.sources.transcripts import (
+        synth_transcripts,
+        transcript_temporal_edges,
+    )
+
+    n = _n_convs(spark, sf_dir)
+    tedges, _ = transcript_temporal_edges(
+        synth_transcripts(spark, n), n, stable_ids=True
+    )
+    return earliest_arrival(tedges, [0], rounds=TEMPORAL_ROUNDS)
 
 
 def _q_katz(spark, sf_dir):
@@ -1182,6 +1201,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "brandes_stress4": _q_brandes_stress,
         "louvain_moves4": _q_louvain_moves,
         "katz3": _q_katz,
+        "temporal_reach6": _q_temporal_reach,
         "triangle_count": _q_triangle_count,
         "lp_step1": _q_lp_step1,
         "lpa_modularity": _q_lpa_modularity,
@@ -1281,7 +1301,7 @@ _EDGES_CTE = (
     _TRANSCRIPTS_CTE
     + """,
 actor_turns AS MATERIALIZED (
-  SELECT conv_id, turn_idx,
+  SELECT conv_id, turn_idx, CAST(epoch(ts) AS BIGINT) AS ts_s,
     CASE WHEN role = 'user' THEN 'user_' || CAST(c % greatest(1, (SELECT count(*) // 4 FROM orders)) AS VARCHAR)
          WHEN role = 'assistant' THEN 'agent_' || CAST(c % 7 AS VARCHAR)
          ELSE tool END AS actor
@@ -2654,6 +2674,37 @@ SELECT p.id, CAST(coalesce(a.new_block, p.block) AS INT) AS block
 FROM part p LEFT JOIN admitted a ON p.id = a.id"""
 
 
+def _temporal_sql() -> str:
+    """Unrolled earliest-arrival relaxation over distinct (src, dst, ts)
+    triples; the time-respecting filter is e.ts >= u.arr."""
+    ctes = """,
+tlinks AS MATERIALIZED (
+  SELECT lag(actor) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS a_src,
+         actor AS a_dst, ts_s
+  FROM actor_turns
+  QUALIFY a_src IS NOT NULL AND a_src <> actor),
+tedges AS MATERIALIZED (
+  SELECT DISTINCT ns.id AS src, nd.id AS dst, l.ts_s AS ts
+  FROM tlinks l JOIN nodes ns ON l.a_src = ns.actor
+                JOIN nodes nd ON l.a_dst = nd.actor),
+a0 AS (SELECT id, CASE WHEN id = 0 THEN CAST(0 AS BIGINT) END AS arr FROM nodes)"""
+    for r in range(1, TEMPORAL_ROUNDS + 1):
+        ctes += f""",
+a{r} AS MATERIALIZED (
+  SELECT s.id,
+         CASE WHEN s.arr IS NULL THEN m.na
+              WHEN m.na IS NULL THEN s.arr
+              ELSE least(s.arr, m.na) END AS arr
+  FROM a{r - 1} s LEFT JOIN (
+    SELECT e.dst AS id, min(e.ts) AS na
+    FROM tedges e JOIN a{r - 1} u ON u.id = e.src
+    WHERE u.arr IS NOT NULL AND e.ts >= u.arr
+    GROUP BY e.dst) m ON m.id = s.id)"""
+    return f"""WITH {_EDGES_CTE}{ctes}
+SELECT id, CAST(arr AS BIGINT) AS arrival
+FROM a{TEMPORAL_ROUNDS} WHERE arr IS NOT NULL"""
+
+
 def _katz_sql() -> str:
     """Unrolled weighted-walk chains k1..kK; katz = Σ inv_beta^(K-k)·walks_k."""
     K, ib = KATZ_HOPS, KATZ_INV_BETA
@@ -2872,6 +2923,7 @@ GROUP BY l.scc, lev.level""",
         "brandes_stress4": _stress_sql(),
         "louvain_moves4": _louvain_sql(),
         "katz3": _katz_sql(),
+        "temporal_reach6": _temporal_sql(),
         "triangle_count": _TRIANGLE_SQL,
         "ppr5": _ppr_sql(),
         "lcc": _LCC_SQL,

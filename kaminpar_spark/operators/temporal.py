@@ -1,0 +1,75 @@
+"""Temporal graph reachability: earliest-arrival paths over timestamped
+edges.
+
+Transcripts are a TEMPORAL graph — an edge (u, v, t) is traversable only at
+time t — and time-respecting reachability (arrive at u no later than t, then
+cross) is the honest "influence" question for conversation flows: static
+reachability overcounts (it happily routes information backwards in time).
+Earliest-arrival is the temporal-graph primitive (Wu et al., VLDB'14:
+single-pass algorithms for temporal paths); no reference analog (KaMinPar's
+graphs are static).
+
+Recurrence: arr(v) = min over edges (u, v, t) with t >= arr(u) of t, seeded
+arr(s) = -inf (represented as 0 epoch — every edge leaving the source is
+usable). arr only decreases and is bounded below, and each superstep is one
+equi-join state->edges + a ts-window filter + one min groupBy (the J1
+shape with an extra predicate). Fixed ``rounds`` in lockstep with the
+unrolled SQL oracle keeps truncation reproducible; converged early rounds
+are no-ops (monotone fixpoint).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from kaminpar_spark.plans.lineage import release, truncate
+
+
+def earliest_arrival(
+    tedges: DataFrame, sources, rounds: int = 6
+) -> DataFrame:
+    """(id, arrival) — earliest time-respecting arrival (epoch seconds) from
+    any source within ``rounds`` temporal hops; sources report 0; unreached
+    nodes are absent. ``tedges``: (src, dst, ts)."""
+    spark = tedges.sparkSession
+    if isinstance(sources, DataFrame):
+        src_df = sources.select(F.col("id"))
+    else:
+        src_df = spark.createDataFrame([(int(i),) for i in sources], "id long")
+    nodes = truncate(
+        tedges.select(F.col("src").alias("id"))
+        .unionByName(tedges.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    state = truncate(
+        nodes.join(src_df.withColumn("z", F.lit(0)), "id", "left").select(
+            "id", F.when(F.col("z").isNotNull(), F.lit(0)).cast("long").alias("arr")
+        )
+    )
+    for _ in range(rounds):
+        reached = state.where(F.col("arr").isNotNull()).select(
+            F.col("id").alias("src"), "arr"
+        )
+        cand = (
+            tedges.join(reached.hint("shuffle_hash"), "src")
+            .where(F.col("ts") >= F.col("arr"))
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.min("ts").alias("na"))
+        )
+        new = truncate(
+            state.select("id", F.col("arr").alias("old_arr"))
+            .join(cand.hint("shuffle_hash"), "id", "left")
+            .select(
+                "id",
+                F.when(
+                    F.col("old_arr").isNull(), F.col("na")
+                )
+                .otherwise(F.least("old_arr", F.coalesce("na", "old_arr")))
+                .alias("arr"),
+            )
+        )
+        release(state)
+        state = new
+    return state.where(F.col("arr").isNotNull()).select(
+        "id", F.col("arr").alias("arrival")
+    )

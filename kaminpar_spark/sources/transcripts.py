@@ -100,6 +100,52 @@ def turn_links(transcripts: DataFrame, n_convs: int) -> DataFrame:
     )
 
 
+def temporal_turn_links(transcripts: DataFrame, n_convs: int) -> DataFrame:
+    """(a_src, a_dst, ts) — turn_links keeping the interaction TIME (epoch
+    seconds of the LATER turn: the moment the link became traversable).
+    Input to temporal reachability (operators/temporal.py)."""
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    t = transcripts.withColumn("actor", actor_column(n_convs))
+    return (
+        t.withColumn("prev_actor", F.lag("actor").over(w))
+        .where(F.col("prev_actor").isNotNull() & (F.col("prev_actor") != F.col("actor")))
+        .select(
+            F.col("prev_actor").alias("a_src"),
+            F.col("actor").alias("a_dst"),
+            F.unix_timestamp("ts").alias("ts"),
+        )
+    )
+
+
+def transcript_temporal_edges(
+    transcripts: DataFrame,
+    n_convs: int,
+    stable_ids: bool = False,
+    num_partitions: int | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Temporal ETL: (edges (src, dst, ts), actor_map) — the directed turn
+    graph with per-edge timestamps (distinct triples), same dense-id scheme
+    as transcript_digraph."""
+    links = temporal_turn_links(transcripts, n_convs)
+    actors = links.select(F.col("a_src").alias("actor")).unionByName(
+        links.select(F.col("a_dst").alias("actor"))
+    )
+    if stable_ids:
+        amap = dense_ids_by_order(actors, "actor", out="id")
+    else:
+        amap = dense_ids(actors, "actor", num_partitions=num_partitions, out="id")
+    from kaminpar_spark.plans.lineage import truncate
+
+    amap = truncate(amap)
+    edges = (
+        links.join(amap.withColumnRenamed("actor", "a_src").withColumnRenamed("id", "src"), "a_src")
+        .join(amap.withColumnRenamed("actor", "a_dst").withColumnRenamed("id", "dst"), "a_dst")
+        .select("src", "dst", "ts")
+        .distinct()
+    )
+    return edges, amap
+
+
 def conv_actor_incidence(transcripts: DataFrame, n_convs: int) -> DataFrame:
     """(conv_id, actor) — the distinct bipartite incidence underlying the
     projected link graph (input to operators.bipartite)."""
