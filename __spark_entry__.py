@@ -1162,6 +1162,20 @@ def _q_katz(spark, sf_dir):
     return katz_centrality(g, hops=KATZ_HOPS, inv_beta=KATZ_INV_BETA)
 
 
+CSR_BLOCKS = 4
+
+
+def _q_csr_blocks(spark, sf_dir):
+    """Hash-partitioned CSR adjacency blocks (plans/csr_blocks.py): per
+    block the src-sorted offset/index/weight arrays — the north star's
+    'src-sorted edge blocks with per-partition offset arrays', value-exact
+    down to every array element."""
+    from kaminpar_spark.plans.csr_blocks import to_csr_blocks
+
+    g, _ = _graph(spark, sf_dir)
+    return to_csr_blocks(g, num_blocks=CSR_BLOCKS)
+
+
 def _q_nbr_mean(spark, sf_dir):
     """GraphSAGE mean aggregator (operators/gnn.py): per node, the
     element-wise mean of its neighbors' 64-dim embeddings (features assigned
@@ -1202,6 +1216,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "louvain_moves4": _q_louvain_moves,
         "katz3": _q_katz,
         "temporal_reach6": _q_temporal_reach,
+        "csr_blocks4": _q_csr_blocks,
         "triangle_count": _q_triangle_count,
         "lp_step1": _q_lp_step1,
         "lpa_modularity": _q_lpa_modularity,
@@ -2924,6 +2939,24 @@ GROUP BY l.scc, lev.level""",
         "louvain_moves4": _louvain_sql(),
         "katz3": _katz_sql(),
         "temporal_reach6": _temporal_sql(),
+        "csr_blocks4": f"""WITH {_EDGES_CTE},
+be AS (SELECT CAST(src % {CSR_BLOCKS} AS INT) AS block, src, dst, weight FROM edges),
+run AS (
+  SELECT block, src, c,
+         CAST(sum(c) OVER (PARTITION BY block ORDER BY src) AS BIGINT) AS cum
+  FROM (SELECT block, src, count(*) AS c FROM be GROUP BY block, src)),
+parts AS (
+  SELECT block,
+         list(src ORDER BY src) AS ids,
+         list_prepend(CAST(0 AS BIGINT), list(cum ORDER BY src)) AS indptr
+  FROM run GROUP BY block),
+idx AS (
+  SELECT block,
+         list(dst ORDER BY src, dst) AS indices,
+         list(weight ORDER BY src, dst) AS eweights
+  FROM be GROUP BY block)
+SELECT p.block, p.ids, p.indptr, i.indices, i.eweights
+FROM parts p JOIN idx i ON p.block = i.block""",
         "triangle_count": _TRIANGLE_SQL,
         "ppr5": _ppr_sql(),
         "lcc": _LCC_SQL,
