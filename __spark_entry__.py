@@ -323,6 +323,17 @@ def _q_adjacency_jaccard(spark, sf_dir):
     return aj.orderBy(F.desc("jaccard"), "u", "w").limit(JACCARD_TOPK)
 
 
+def _q_resource_alloc(spark, sf_dir):
+    """Top link-prediction candidates by Resource-Allocation index
+    (Σ 1/deg(center) over common neighbors, exact on the ×2^20 integer
+    lattice; deterministic (ra, u, w) ordering)."""
+    from kaminpar_spark.operators.linkpred import resource_allocation
+
+    g, _ = _graph(spark, sf_dir)
+    ra = resource_allocation(g, min_common=JACCARD_MIN_COMMON)
+    return ra.orderBy(F.desc("ra"), "u", "w").limit(JACCARD_TOPK)
+
+
 def _q_assortativity(spark, sf_dir):
     """Degree assortativity: Pearson r of endpoint degrees over half-edges.
     Exact-integer moment sums (decimal(38,0)) + one IEEE expression — the
@@ -1221,6 +1232,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lp_step1": _q_lp_step1,
         "lpa_modularity": _q_lpa_modularity,
         "adjacency_jaccard": _q_adjacency_jaccard,
+        "resource_alloc": _q_resource_alloc,
         "assortativity": _q_assortativity,
         "truss_edges5": _q_truss_edges,
         "harmonic4": _q_harmonic,
@@ -1792,6 +1804,18 @@ SELECT u, w, common,
        round(CAST(common AS DOUBLE) / (du.degree + dw.degree - common), 4) AS jaccard
 FROM wed JOIN deg du ON wed.u = du.id JOIN deg dw ON wed.w = dw.id
 ORDER BY jaccard DESC, u, w LIMIT {JACCARD_TOPK}"""
+
+
+_RA_SQL = f"""WITH {_EDGES_CTE},
+wed AS MATERIALIZED (
+  SELECT l.dst AS u, r.dst AS w,
+         CAST(count(*) AS BIGINT) AS common,
+         CAST(sum({1 << 20} // dc.degree) AS BIGINT) AS ra
+  FROM edges l JOIN edges r ON l.src = r.src AND l.dst < r.dst
+  JOIN deg dc ON dc.id = l.src
+  GROUP BY l.dst, r.dst HAVING count(*) >= {JACCARD_MIN_COMMON})
+SELECT u, w, common, ra FROM wed
+ORDER BY ra DESC, u, w LIMIT {JACCARD_TOPK}"""
 
 
 _LPA_MODULARITY_SQL = f"""WITH {_EDGES_CTE},
@@ -2963,6 +2987,7 @@ FROM parts p JOIN idx i ON p.block = i.block""",
         "lp_step1": _LP1_SQL,
         "lpa_modularity": _LPA_MODULARITY_SQL,
         "adjacency_jaccard": _ADJ_JACCARD_SQL,
+        "resource_alloc": _RA_SQL,
         "assortativity": _ASSORT_SQL,
         "truss_edges5": f"WITH {_EDGES_CTE}"
         + _TRUSS_SQL_TEMPLATE.format(min_support=TRUSS_K - 2),

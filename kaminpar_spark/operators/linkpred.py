@@ -43,6 +43,48 @@ def common_neighbors(
     )
 
 
+RA_SCALE = 1 << 20
+
+
+def resource_allocation(
+    graph: GraphFrame,
+    min_common: int = 1,
+    max_num_neighbors: int | None = None,
+    scale: int = RA_SCALE,
+) -> DataFrame:
+    """(u, w, common, ra) — Resource-Allocation index Σ_{v∈N(u)∩N(w)}
+    1/deg(v) (Zhou/Lü/Zhang 2009), the strongest of the classic local
+    link-prediction scores (Adamic-Adar with 1/deg instead of 1/log deg —
+    and unlike AA it needs no transcendental). Exactness: each wedge
+    contributes the INTEGER floor(scale/deg(v)); the sum is order-free int64,
+    so scores are cross-engine reproducible (ra ≈ true index × 2^20).
+
+    Same wedge-join shape and hub caveats as common_neighbors; the per-center
+    term rides the wedge row, so RA costs ONE extra broadcast-sized join on
+    the center."""
+    edges = graph.edges
+    if max_num_neighbors is not None:
+        from kaminpar_spark.operators.preprocess import cap_neighbors
+
+        edges = cap_neighbors(graph, max_num_neighbors).edges
+    deg = graph.degrees().select(
+        F.col("id").alias("v"),
+        (F.lit(scale) / F.col("degree")).cast("long").alias("term"),
+    )
+    left = edges.select(F.col("src").alias("v"), F.col("dst").alias("u"))
+    right = edges.select(F.col("src").alias("v"), F.col("dst").alias("w"))
+    wedges = (
+        left.join(right, "v")
+        .where(F.col("u") < F.col("w"))
+        .join(deg.hint("shuffle_hash"), "v")
+    )
+    return (
+        wedges.groupBy("u", "w")
+        .agg(F.count("*").alias("common"), F.sum("term").alias("ra"))
+        .where(F.col("common") >= min_common)
+    )
+
+
 def adjacency_jaccard(
     graph: GraphFrame,
     min_common: int = 1,

@@ -129,3 +129,19 @@ def test_transcript_digraph_matches_tarjan(spark):
     dedges, _ = transcript_digraph(synth_transcripts(spark, n), n, stable_ids=True)
     pairs = [(r["src"], r["dst"]) for r in dedges.select("src", "dst").collect()]
     run_and_compare(spark, pairs)
+
+
+def test_resource_allocation_star_values(spark):
+    from kaminpar_spark.graph import GraphFrame
+    from kaminpar_spark.operators.linkpred import RA_SCALE, resource_allocation
+
+    # star centered at 1 with leaves 0,2,3: all leaf pairs share only the
+    # center (deg 3) => ra = floor(RA_SCALE/3)
+    pairs = spark.createDataFrame([(1, 0), (1, 2), (1, 3)], "src long, dst long")
+    g = GraphFrame.from_edge_pairs(pairs, symmetrize=True)
+    got = {
+        (r["u"], r["w"]): (r["common"], r["ra"])
+        for r in resource_allocation(g).collect()
+    }
+    want = (1, RA_SCALE // 3)
+    assert got == {(0, 2): want, (0, 3): want, (2, 3): want}
