@@ -1173,6 +1173,20 @@ def _q_katz(spark, sf_dir):
     return katz_centrality(g, hops=KATZ_HOPS, inv_beta=KATZ_INV_BETA)
 
 
+ATTR_HORIZON = "30 minutes"
+
+
+def _q_attributed_purchases(spark, sf_dir):
+    """Attribution interval join (streaming/ingest.attribution_pairs, the
+    stream-stream join primitive run in batch mode): per purchase, count and
+    earliest ts of same-user views in the preceding 30 minutes."""
+    from kaminpar_spark.streaming.ingest import attributed_purchase_stats
+
+    return attributed_purchase_stats(
+        _load(spark, sf_dir, "events"), horizon=ATTR_HORIZON
+    )
+
+
 CSR_BLOCKS = 4
 
 
@@ -1228,6 +1242,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "katz3": _q_katz,
         "temporal_reach6": _q_temporal_reach,
         "csr_blocks4": _q_csr_blocks,
+        "attributed_purchases": _q_attributed_purchases,
         "triangle_count": _q_triangle_count,
         "lp_step1": _q_lp_step1,
         "lpa_modularity": _q_lpa_modularity,
@@ -2963,6 +2978,16 @@ GROUP BY l.scc, lev.level""",
         "louvain_moves4": _louvain_sql(),
         "katz3": _katz_sql(),
         "temporal_reach6": _temporal_sql(),
+        "attributed_purchases": """
+WITH v AS (SELECT event_id AS view_id, ts AS view_ts, user_id FROM events WHERE event_type = 'view'),
+p AS (SELECT event_id AS purchase_id, ts AS purchase_ts, user_id FROM events WHERE event_type = 'purchase')
+SELECT p.purchase_id, p.user_id,
+       CAST(count(*) AS BIGINT) AS n_views,
+       min(v.view_ts) AS first_view_ts
+FROM p JOIN v ON v.user_id = p.user_id
+ AND v.view_ts <= p.purchase_ts
+ AND v.view_ts >= p.purchase_ts - INTERVAL 30 MINUTE
+GROUP BY p.purchase_id, p.user_id""",
         "csr_blocks4": f"""WITH {_EDGES_CTE},
 be AS (SELECT CAST(src % {CSR_BLOCKS} AS INT) AS block, src, dst, weight FROM edges),
 run AS (

@@ -127,3 +127,68 @@ def sessionize_events(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
             "sum_value",
         )
     )
+
+
+def attribution_pairs(
+    views: DataFrame,
+    purchases: DataFrame,
+    horizon: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream INTERVAL join (the attribution primitive): each purchase
+    matched to every view by the same user in the preceding ``horizon``.
+
+    Streaming inputs get a watermark on BOTH sides plus the event-time range
+    condition — exactly what Structured Streaming needs to bound the join
+    state store (views older than purchase-watermark - horizon are dropped);
+    on batch inputs the same plan is a plain range join. Returns one row per
+    (view, purchase) pair — aggregate downstream."""
+    v, p = views, purchases
+    if v.isStreaming:
+        v = v.withWatermark("ts", watermark)
+    if p.isStreaming:
+        p = p.withWatermark("ts", watermark)
+    # distinct column names per side: both inputs usually derive from the
+    # same events relation, and unqualified refs trip the self-join check
+    v = v.select(
+        F.col("user_id").alias("v_user"),
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("view_ts"),
+    )
+    p = p.select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    return v.join(
+        p,
+        [
+            F.col("v_user") == F.col("p_user"),
+            F.col("view_ts") <= F.col("purchase_ts"),
+            F.col("view_ts")
+            >= F.col("purchase_ts") - F.expr(f"INTERVAL {horizon}"),
+        ],
+    ).select(
+        F.col("p_user").alias("user_id"),
+        "view_id",
+        "view_ts",
+        "purchase_id",
+        "purchase_ts",
+        "purchase_value",
+    )
+
+
+def attributed_purchase_stats(events: DataFrame, horizon: str = "30 minutes") -> DataFrame:
+    """(purchase_id, user_id, n_views, first_view_ts) — per purchase, the
+    count and earliest ts of same-user views in the preceding horizon
+    (attribution_pairs + one groupBy)."""
+    pairs = attribution_pairs(
+        events.where(F.col("event_type") == "view"),
+        events.where(F.col("event_type") == "purchase"),
+        horizon=horizon,
+    )
+    return pairs.groupBy("purchase_id", "user_id").agg(
+        F.count("*").alias("n_views"),
+        F.min("view_ts").alias("first_view_ts"),
+    )
