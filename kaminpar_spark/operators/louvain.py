@@ -29,7 +29,11 @@ Scale shape per superstep: one J1 gather + one (node, comm) groupBy with
 map-side partial agg + one community-scale Σ_tot aggregate + one struct-max
 argmax — the LPA plan plus one small join. Contraction between levels keeps
 each level's graph geometrically smaller; total work is a constant factor
-over one LP clustering pass.
+over one LP clustering pass. Skew note: once a giant community forms, the
+candidate→Σ_tot equi-join concentrates that community's candidate rows on
+one reducer — the same heavy-label shape LPA has; at cluster scale leave AQE
+on (library default) so its skew-join split handles it, exactly like the
+LPA/balance paths.
 """
 
 from __future__ import annotations

@@ -16,6 +16,15 @@ equi-join state->edges + a ts-window filter + one min groupBy (the J1
 shape with an extra predicate). Fixed ``rounds`` in lockstep with the
 unrolled SQL oracle keeps truncation reproducible; converged early rounds
 are no-ops (monotone fixpoint).
+
+Hub note: the relaxation joins raw (src, dst, ts) edges on src, so a
+10^7-out-degree hub lands its edges on one reducer — the static kernels
+solve this with the salted prepared layout (graph.py:204); here the same
+salting applies unchanged if needed (explode the reached side over the
+hub's salts) because the join is still a per-src gather. Left unsalted by
+default: temporal edge tables carry a ts per interaction, so multiplicity
+lives in ROWS (not a weight column) and per-(src,salt) partitions stay
+balanced under the same hash layout.
 """
 
 from __future__ import annotations
