@@ -323,14 +323,22 @@ def _q_adjacency_jaccard(spark, sf_dir):
     return aj.orderBy(F.desc("jaccard"), "u", "w").limit(JACCARD_TOPK)
 
 
+RA_CAP = 64
+
+
 def _q_resource_alloc(spark, sf_dir):
     """Top link-prediction candidates by Resource-Allocation index
     (Σ 1/deg(center) over common neighbors, exact on the ×2^20 integer
-    lattice; deterministic (ra, u, w) ordering)."""
+    lattice; deterministic (ra, u, w) ordering). Centers scan at most
+    RA_CAP neighbors (arithmetic-mixer cap, oracle-reproducible) — the
+    uncapped wedge join is quadratic in hub degree and stalls at sf0.1."""
     from kaminpar_spark.operators.linkpred import resource_allocation
 
     g, _ = _graph(spark, sf_dir)
-    ra = resource_allocation(g, min_common=JACCARD_MIN_COMMON)
+    key = (F.col("dst") * F.lit(_CAP_MIX_MULT)) % F.lit(_CAP_MIX_MOD)
+    ra = resource_allocation(
+        g, min_common=JACCARD_MIN_COMMON, max_num_neighbors=RA_CAP, order_key=key
+    )
     return ra.orderBy(F.desc("ra"), "u", "w").limit(JACCARD_TOPK)
 
 
@@ -1822,11 +1830,17 @@ ORDER BY jaccard DESC, u, w LIMIT {JACCARD_TOPK}"""
 
 
 _RA_SQL = f"""WITH {_EDGES_CTE},
+cape AS MATERIALIZED (
+  SELECT src, dst FROM (
+    SELECT src, dst,
+           row_number() OVER (PARTITION BY src
+                              ORDER BY (dst * {_CAP_MIX_MULT}) % {_CAP_MIX_MOD}, dst) AS rn
+    FROM edges) WHERE rn <= {RA_CAP}),
 wed AS MATERIALIZED (
   SELECT l.dst AS u, r.dst AS w,
          CAST(count(*) AS BIGINT) AS common,
          CAST(sum({1 << 20} // dc.degree) AS BIGINT) AS ra
-  FROM edges l JOIN edges r ON l.src = r.src AND l.dst < r.dst
+  FROM cape l JOIN cape r ON l.src = r.src AND l.dst < r.dst
   JOIN deg dc ON dc.id = l.src
   GROUP BY l.dst, r.dst HAVING count(*) >= {JACCARD_MIN_COMMON})
 SELECT u, w, common, ra FROM wed

@@ -51,6 +51,7 @@ def resource_allocation(
     min_common: int = 1,
     max_num_neighbors: int | None = None,
     scale: int = RA_SCALE,
+    order_key=None,
 ) -> DataFrame:
     """(u, w, common, ra) — Resource-Allocation index Σ_{v∈N(u)∩N(w)}
     1/deg(v) (Zhou/Lü/Zhang 2009), the strongest of the classic local
@@ -59,14 +60,18 @@ def resource_allocation(
     contributes the INTEGER floor(scale/deg(v)); the sum is order-free int64,
     so scores are cross-engine reproducible (ra ≈ true index × 2^20).
 
-    Same wedge-join shape and hub caveats as common_neighbors; the per-center
-    term rides the wedge row, so RA costs ONE extra broadcast-sized join on
-    the center."""
+    Same wedge-join shape and hub caveats as common_neighbors — a center v
+    emits C(deg(v), 2) wedges, so UNCAPPED hubs are quadratic (a 40k-degree
+    agent actor alone is ~8e8 wedges); pass ``max_num_neighbors`` at any
+    real scale. ``order_key`` overrides the cap's pseudo-random ranking
+    column (arithmetic mixer for cross-engine oracle parity, xxhash64
+    default). The 1/deg(v) term always uses the FULL degree (the resource is
+    split across all of v's neighbors even when the scan is capped)."""
     edges = graph.edges
     if max_num_neighbors is not None:
         from kaminpar_spark.operators.preprocess import cap_neighbors
 
-        edges = cap_neighbors(graph, max_num_neighbors).edges
+        edges = cap_neighbors(graph, max_num_neighbors, order_key=order_key).edges
     deg = graph.degrees().select(
         F.col("id").alias("v"),
         (F.lit(scale) / F.col("degree")).cast("long").alias("term"),
