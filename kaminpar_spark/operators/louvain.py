@@ -63,11 +63,18 @@ def louvain_move_step(
     if deg is None:
         deg = graph.degrees().select("id", F.col("weighted_degree").alias("k"))
     sigma = (
-        comm.join(deg, "id").groupBy("comm").agg(F.sum("k").alias("sigma_tot"))
+        comm.join(deg.hint("shuffle_hash"), "id")
+        .groupBy("comm")
+        .agg(F.sum("k").alias("sigma_tot"))
     )
     gathered = graph.gather(comm, ["comm"])
-    kin = gathered.groupBy(F.col("dst").alias("id"), "comm").agg(
-        F.sum("weight").alias("w_in")
+    # materialize kin ONCE: it feeds both the candidate-key union and the
+    # value join — unmaterialized, Catalyst plans the m-scale gather subtree
+    # twice per superstep (seen in .explain; the caller releases the blocks)
+    kin = truncate(
+        gathered.groupBy(F.col("dst").alias("id"), "comm").agg(
+            F.sum("weight").alias("w_in")
+        )
     )
     cur = comm.select("id", F.col("comm").alias("cur_comm"))
     cand_keys = (
@@ -116,10 +123,17 @@ def louvain_level(
         deg = truncate(
             graph.degrees().select("id", F.col("weighted_degree").alias("k"))
         )
+    from kaminpar_spark.plans.lineage import persistent_rdd_ids, release_ids
+
+    spark = graph.nodes.sparkSession
     comm = truncate(graph.nodes.select("id", F.col("id").alias("comm")))
     for r in range(rounds * 2):
+        pre = persistent_rdd_ids(spark)
         new = truncate(louvain_move_step(graph, comm, m2, parity=r % 2, deg=deg))
+        created = persistent_rdd_ids(spark) - pre
         release(comm)
+        # drop the step's internal kin checkpoint, keep only the new state
+        release_ids(spark, created - getattr(new, "_kaminpar_chk_ids", set()))
         comm = new
     return comm
 
