@@ -72,7 +72,7 @@ def _min_reach_labels(
         # ancestor is an ancestor), so lab[lab] is a valid shortcut
         labels = new.select(F.col("id").alias("lid"), F.col("lab").alias("llab"))
         return (
-            new.join(labels, new.lab == labels.lid, "left")
+            new.join(labels.hint("shuffle_hash"), new.lab == labels.lid, "left")
             .select(
                 "id",
                 F.least(F.col("lab"), F.coalesce("llab", "lab")).alias("lab"),
