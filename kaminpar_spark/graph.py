@@ -321,7 +321,10 @@ class GraphFrame:
             return self.edges.join(
                 s, (self.edges.src == s.id) & (self.edges.salt == s.salt), "inner"
             ).select("src", "dst", "weight", *value_cols)
-        s = state.select("id", *value_cols)
+        # Unprepared path: same hint rationale — truncated leaves carry
+        # defaultSizeInBytes stats, so the unhinted planner sort-merge-joins
+        # and SORTS the m-scale edge side even for a one-shot gather.
+        s = state.select("id", *value_cols).hint("shuffle_hash")
         return self.edges.join(s, self.edges.src == s.id, "inner").select(
             "src", "dst", "weight", *value_cols
         )
