@@ -31,15 +31,19 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from kaminpar_spark.plans.lineage import release, truncate
+from kaminpar_spark.plans.lineage import truncate
 
 
 def earliest_arrival(
-    tedges: DataFrame, sources, rounds: int = 6
+    tedges: DataFrame, sources, rounds: int = 6, runner=None,
+    name: str = "earliest_arrival",
 ) -> DataFrame:
     """(id, arrival) — earliest time-respecting arrival (epoch seconds) from
     any source within ``rounds`` temporal hops; sources report 0; unreached
-    nodes are absent. ``tedges``: (src, dst, ts)."""
+    nodes are absent. ``tedges``: (src, dst, ts). ``runner``
+    (plans.superstep.SuperstepRunner) snapshots each relaxation round with
+    improved-count metrics, resumable mid-iteration; early convergence is
+    safe (the fixpoint is monotone — extra rounds are identity)."""
     spark = tedges.sparkSession
     if isinstance(sources, DataFrame):
         src_df = sources.select(F.col("id"))
@@ -50,13 +54,14 @@ def earliest_arrival(
         .unionByName(tedges.select(F.col("dst").alias("id")))
         .distinct()
     )
-    state = truncate(
-        nodes.join(src_df.withColumn("z", F.lit(0)), "id", "left").select(
-            "id", F.when(F.col("z").isNotNull(), F.lit(0)).cast("long").alias("arr")
-        )
+    state = nodes.join(src_df.withColumn("z", F.lit(0)), "id", "left").select(
+        "id",
+        F.when(F.col("z").isNotNull(), F.lit(0)).cast("long").alias("arr"),
+        F.when(F.col("z").isNotNull(), F.lit(0)).cast("long").alias("old_arr"),
     )
-    for _ in range(rounds):
-        reached = state.where(F.col("arr").isNotNull()).select(
+
+    def step(s: DataFrame, i: int) -> DataFrame:
+        reached = s.where(F.col("arr").isNotNull()).select(
             F.col("id").alias("src"), "arr"
         )
         cand = (
@@ -65,20 +70,35 @@ def earliest_arrival(
             .groupBy(F.col("dst").alias("id"))
             .agg(F.min("ts").alias("na"))
         )
-        new = truncate(
-            state.select("id", F.col("arr").alias("old_arr"))
+        return (
+            s.select("id", F.col("arr").alias("old_arr"))
             .join(cand.hint("shuffle_hash"), "id", "left")
             .select(
                 "id",
-                F.when(
-                    F.col("old_arr").isNull(), F.col("na")
-                )
+                F.when(F.col("old_arr").isNull(), F.col("na"))
                 .otherwise(F.least("old_arr", F.coalesce("na", "old_arr")))
                 .alias("arr"),
+                "old_arr",
             )
         )
-        release(state)
-        state = new
-    return state.where(F.col("arr").isNotNull()).select(
+
+    def metrics(new: DataFrame) -> dict:
+        improved = new.agg(
+            F.sum(
+                (~F.col("arr").eqNullSafe(F.col("old_arr"))).cast("int")
+            ).alias("mv")
+        ).first()["mv"]
+        return {"improved": int(improved or 0)}
+
+    def converged(m: dict) -> bool:
+        return m["improved"] == 0
+
+    from kaminpar_spark.plans.superstep import run_in_memory
+
+    if runner is not None:
+        final = runner.run(name, state, step, metrics, converged, rounds)
+    else:
+        final = run_in_memory(state, step, metrics, converged, rounds)
+    return final.where(F.col("arr").isNotNull()).select(
         "id", F.col("arr").alias("arrival")
     )
