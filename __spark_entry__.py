@@ -1152,6 +1152,16 @@ def _q_condensation(spark, sf_dir):
 KATZ_HOPS = 3
 KATZ_INV_BETA = 4
 TEMPORAL_ROUNDS = 6
+EIG_ITERS = 3
+
+
+def _q_eigenvector(spark, sf_dir):
+    """Eigenvector centrality, 3 power-iteration rounds with exact floor-div
+    max rescale (the HITS lattice trick on the symmetric adjacency)."""
+    from kaminpar_spark.operators.centrality import eigenvector_centrality
+
+    g, _ = _graph(spark, sf_dir)
+    return eigenvector_centrality(g, iters=EIG_ITERS)
 
 
 def _q_temporal_reach(spark, sf_dir):
@@ -1249,6 +1259,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "louvain_moves4": _q_louvain_moves,
         "katz3": _q_katz,
         "temporal_reach6": _q_temporal_reach,
+        "eigenvector3": _q_eigenvector,
         "csr_blocks4": _q_csr_blocks,
         "attributed_purchases": _q_attributed_purchases,
         "triangle_count": _q_triangle_count,
@@ -2742,6 +2753,27 @@ SELECT p.id, CAST(coalesce(a.new_block, p.block) AS INT) AS block
 FROM part p LEFT JOIN admitted a ON p.id = a.id"""
 
 
+def _eig_sql() -> str:
+    """Unrolled power-iteration rounds on the symmetric weighted edges with
+    the floor-div max rescale (operators/centrality.eigenvector_centrality)."""
+    from kaminpar_spark.operators.centrality import EIG_SCALE
+
+    steps, prev = "", "x0"
+    for r in range(1, EIG_ITERS + 1):
+        steps += f""",
+xr{r} AS MATERIALIZED (
+  SELECT e.dst AS id, sum(e.weight * x.s) AS raw
+  FROM edges e JOIN {prev} x ON e.src = x.id GROUP BY e.dst),
+x{r} AS MATERIALIZED (
+  SELECT n.id,
+         CAST(coalesce(xr.raw * {EIG_SCALE} // (SELECT max(raw) FROM xr{r}), 0) AS BIGINT) AS s
+  FROM nodes n LEFT JOIN xr{r} xr ON n.id = xr.id)"""
+        prev = f"x{r}"
+    return f"""WITH {_EDGES_CTE},
+x0 AS (SELECT id, CAST({EIG_SCALE} AS BIGINT) AS s FROM nodes){steps}
+SELECT id, s AS eig FROM x{EIG_ITERS}"""
+
+
 def _temporal_sql() -> str:
     """Unrolled earliest-arrival relaxation over distinct (src, dst, ts)
     triples; the time-respecting filter is e.ts >= u.arr."""
@@ -2992,6 +3024,7 @@ GROUP BY l.scc, lev.level""",
         "louvain_moves4": _louvain_sql(),
         "katz3": _katz_sql(),
         "temporal_reach6": _temporal_sql(),
+        "eigenvector3": _eig_sql(),
         "attributed_purchases": """
 WITH v AS (SELECT event_id AS view_id, ts AS view_ts, user_id FROM events WHERE event_type = 'view'),
 p AS (SELECT event_id AS purchase_id, ts AS purchase_ts, user_id FROM events WHERE event_type = 'purchase')

@@ -120,6 +120,41 @@ def _backward_accumulate(
     return acc
 
 
+EIG_SCALE = 1_000_000
+
+
+def eigenvector_centrality(
+    graph: GraphFrame, iters: int = 3, scale: int = EIG_SCALE
+) -> DataFrame:
+    """(id, eig) — power iteration on the weighted adjacency, rescaled each
+    round by the round MAX via integer floor-division onto [0, scale] (the
+    HITS exactness trick, operators/hits.py: max-of-int64 and floor-div are
+    order-independent, so every score is cross-engine bit-exact; power
+    iteration is normalization-invariant so max-rescale converges to the
+    same principal direction as the L2 textbook form). int64 bound:
+    per-round sums ≤ max weighted degree × scale.
+
+    Scale shape per round: one J1 gather + sum groupBy with map-side partial
+    agg, one 1-row max, one map-only rescale."""
+    nodes = graph.nodes.select("id")
+    x = nodes.select("id", F.lit(scale).cast("long").alias("s"))
+    for _ in range(iters):
+        gathered = graph.gather(x, ["s"])
+        raw = gathered.groupBy(F.col("dst").alias("id")).agg(
+            F.sum(F.col("weight") * F.col("s")).alias("raw")
+        )
+        m = raw.agg(F.max("raw").alias("m"))
+        scaled = raw.crossJoin(F.broadcast(m)).select(
+            "id", F.expr(f"raw * {scale}L div m").alias("s")
+        )
+        x = truncate(
+            nodes.join(scaled.hint("shuffle_hash"), "id", "left").select(
+                "id", F.coalesce(F.col("s"), F.lit(0)).cast("long").alias("s")
+            )
+        )
+    return x.select("id", F.col("s").alias("eig"))
+
+
 def katz_centrality(
     graph: GraphFrame, hops: int = 3, inv_beta: int = 4
 ) -> DataFrame:

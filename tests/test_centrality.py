@@ -117,3 +117,17 @@ def test_hop_truncation_is_shared(spark):
     # long path, horizon 3: both sides truncate identically
     pairs = [(i, i + 1) for i in range(12)]
     run_and_compare(spark, pairs, sources=[0], max_hops=3)
+
+
+def test_eigenvector_star_center_dominates(spark):
+    from kaminpar_spark.operators.centrality import EIG_SCALE, eigenvector_centrality
+
+    # star: center must end at the max lattice value, leaves strictly below
+    pairs = spark.createDataFrame(
+        [(9, i) for i in range(4)], "src long, dst long"
+    )
+    g = GraphFrame.from_edge_pairs(pairs, symmetrize=True)
+    got = {r["id"]: r["eig"] for r in eigenvector_centrality(g, iters=3).collect()}
+    assert got[9] == EIG_SCALE
+    assert all(0 < got[i] < EIG_SCALE for i in range(4))
+    assert len({got[i] for i in range(4)}) == 1  # symmetric leaves tie
