@@ -1155,6 +1155,41 @@ TEMPORAL_ROUNDS = 6
 EIG_ITERS = 3
 
 
+CC_PROFILE_THRESH = [1, 2, 3, 4]
+
+
+def _q_cc_profile(spark, sf_dir):
+    """Percolation profile: connected components of the subgraph with edge
+    weight >= w for each threshold — (min_weight, n_components,
+    largest_size); nodes with no qualifying edge count as singletons. Shows
+    how the interaction graph fragments as weak ties are dropped."""
+    from kaminpar_spark.graph import GraphFrame
+    from kaminpar_spark.operators.components import connected_components
+
+    g, _ = _graph(spark, sf_dir)
+    out = None
+    for w in CC_PROFILE_THRESH:
+        sub = GraphFrame(
+            edges=g.edges.where(F.col("weight") >= w), nodes=g.nodes
+        )
+        cc = connected_components(sub, max_iters=CC_STEPS)
+        agg = (
+            cc.groupBy("comp")
+            .agg(F.count("*").alias("sz"))
+            .agg(
+                F.count("*").alias("n_components"),
+                F.max("sz").alias("largest_size"),
+            )
+            .select(
+                F.lit(w).cast("long").alias("min_weight"),
+                F.col("n_components").cast("long").alias("n_components"),
+                F.col("largest_size").cast("long").alias("largest_size"),
+            )
+        )
+        out = agg if out is None else out.unionByName(agg)
+    return out
+
+
 def _q_eigenvector(spark, sf_dir):
     """Eigenvector centrality, 3 power-iteration rounds with exact floor-div
     max rescale (the HITS lattice trick on the symmetric adjacency)."""
@@ -1260,6 +1295,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "katz3": _q_katz,
         "temporal_reach6": _q_temporal_reach,
         "eigenvector3": _q_eigenvector,
+        "cc_profile4": _q_cc_profile,
         "csr_blocks4": _q_csr_blocks,
         "attributed_purchases": _q_attributed_purchases,
         "triangle_count": _q_triangle_count,
@@ -2753,6 +2789,35 @@ SELECT p.id, CAST(coalesce(a.new_block, p.block) AS INT) AS block
 FROM part p LEFT JOIN admitted a ON p.id = a.id"""
 
 
+def _cc_profile_sql() -> str:
+    """Per-threshold unrolled CC chains (the _cc_sql kernel over weight>=w
+    edges), aggregated to (min_weight, n_components, largest_size)."""
+    blocks, finals = "", []
+    for w in CC_PROFILE_THRESH:
+        blocks += f""",
+t{w}e AS MATERIALIZED (SELECT src, dst FROM edges WHERE weight >= {w}),
+t{w}c0 AS (SELECT id, id AS comp FROM nodes)"""
+        prev = f"t{w}c0"
+        for i in range(1, CC_STEPS + 1):
+            blocks += f""",
+t{w}c{i}a AS MATERIALIZED (
+  SELECT n.id, least(n.comp, coalesce(m.mn, n.comp)) AS comp
+  FROM {prev} n LEFT JOIN (
+    SELECT e.dst AS id, min(c.comp) AS mn
+    FROM t{w}e e JOIN {prev} c ON e.src = c.id GROUP BY e.dst) m
+  ON n.id = m.id),
+t{w}c{i} AS MATERIALIZED (
+  SELECT a.id, coalesce(b.comp, a.comp) AS comp
+  FROM t{w}c{i}a a LEFT JOIN t{w}c{i}a b ON a.comp = b.id)"""
+            prev = f"t{w}c{i}"
+        finals.append(f"""SELECT CAST({w} AS BIGINT) AS min_weight,
+  CAST(count(DISTINCT comp) AS BIGINT) AS n_components,
+  CAST((SELECT max(cnt) FROM (SELECT count(*) AS cnt FROM {prev} GROUP BY comp)) AS BIGINT) AS largest_size
+FROM {prev}""")
+    union = "\nUNION ALL\n".join(finals)
+    return f"WITH {_EDGES_CTE}{blocks}\n{union}"
+
+
 def _eig_sql() -> str:
     """Unrolled power-iteration rounds on the symmetric weighted edges with
     the floor-div max rescale (operators/centrality.eigenvector_centrality)."""
@@ -3025,6 +3090,7 @@ GROUP BY l.scc, lev.level""",
         "katz3": _katz_sql(),
         "temporal_reach6": _temporal_sql(),
         "eigenvector3": _eig_sql(),
+        "cc_profile4": _cc_profile_sql(),
         "attributed_purchases": """
 WITH v AS (SELECT event_id AS view_id, ts AS view_ts, user_id FROM events WHERE event_type = 'view'),
 p AS (SELECT event_id AS purchase_id, ts AS purchase_ts, user_id FROM events WHERE event_type = 'purchase')
