@@ -1190,6 +1190,55 @@ def _q_cc_profile(spark, sf_dir):
     return out
 
 
+RESPONSE_DELTA_S = 600
+
+
+def _q_role_mix(spark, sf_dir):
+    """Interaction mix matrix: total edge weight between actor CLASSES
+    (user/agent/tool, from the actor-key prefix) on the directed turn graph
+    — who talks to whom, structurally."""
+    from kaminpar_spark.sources.transcripts import synth_transcripts, turn_links
+
+    n = _n_convs(spark, sf_dir)
+    links = turn_links(synth_transcripts(spark, n), n)
+    cls = lambda c: F.split(F.col(c), "_").getItem(0)
+    return (
+        links.groupBy(
+            cls("a_src").alias("src_class"), cls("a_dst").alias("dst_class")
+        )
+        .agg(F.count("*").cast("long").alias("n_links"))
+    )
+
+
+def _q_response_latency(spark, sf_dir):
+    """Temporal repeat-contact motif: for each directed interaction event
+    (u,v,t), the EARLIEST repeat of the SAME directed pair within 10
+    minutes; per pair the repeat count and exact latency sums —
+    re-engagement cadence on the timestamped digraph. (The synthetic role
+    cycle user->agent->tool never reverses a pair, so the reverse-response
+    variant is structurally empty; repeats carry the temporal signal.)"""
+    from kaminpar_spark.sources.transcripts import (
+        synth_transcripts,
+        transcript_temporal_edges,
+    )
+
+    n = _n_convs(spark, sf_dir)
+    te, _ = transcript_temporal_edges(synth_transcripts(spark, n), n, stable_ids=True)
+    fwd = te.select("src", "dst", F.col("ts").alias("t"))
+    rev = te.select("src", "dst", F.col("ts").alias("t2"))
+    ev = (
+        fwd.join(rev, ["src", "dst"])
+        .where((F.col("t2") > F.col("t")) & (F.col("t2") <= F.col("t") + RESPONSE_DELTA_S))
+        .groupBy("src", "dst", "t")
+        .agg(F.min(F.col("t2") - F.col("t")).alias("lat"))
+    )
+    return ev.groupBy("src", "dst").agg(
+        F.count("*").cast("long").alias("n_repeats"),
+        F.sum("lat").cast("long").alias("total_latency_s"),
+        F.min("lat").cast("long").alias("min_latency_s"),
+    )
+
+
 def _q_eigenvector(spark, sf_dir):
     """Eigenvector centrality, 3 power-iteration rounds with exact floor-div
     max rescale (the HITS lattice trick on the symmetric adjacency)."""
@@ -1296,6 +1345,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temporal_reach6": _q_temporal_reach,
         "eigenvector3": _q_eigenvector,
         "cc_profile4": _q_cc_profile,
+        "role_mix": _q_role_mix,
+        "repeat_contacts": _q_response_latency,
         "csr_blocks4": _q_csr_blocks,
         "attributed_purchases": _q_attributed_purchases,
         "triangle_count": _q_triangle_count,
@@ -3090,6 +3141,30 @@ GROUP BY l.scc, lev.level""",
         "katz3": _katz_sql(),
         "temporal_reach6": _temporal_sql(),
         "eigenvector3": _eig_sql(),
+        "role_mix": f"""WITH {_EDGES_CTE}
+SELECT split_part(l.a_src, '_', 1) AS src_class,
+       split_part(l.a_dst, '_', 1) AS dst_class,
+       CAST(count(*) AS BIGINT) AS n_links
+FROM links l GROUP BY 1, 2""",
+        "repeat_contacts": f"""WITH {_EDGES_CTE},
+tlinks AS MATERIALIZED (
+  SELECT lag(actor) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS a_src,
+         actor AS a_dst, ts_s
+  FROM actor_turns
+  QUALIFY a_src IS NOT NULL AND a_src <> actor),
+tedges AS MATERIALIZED (
+  SELECT DISTINCT ns.id AS src, nd.id AS dst, l.ts_s AS ts
+  FROM tlinks l JOIN nodes ns ON l.a_src = ns.actor
+                JOIN nodes nd ON l.a_dst = nd.actor),
+ev AS (
+  SELECT f.src, f.dst, f.ts AS t, min(r.ts - f.ts) AS lat
+  FROM tedges f JOIN tedges r ON r.src = f.src AND r.dst = f.dst
+  WHERE r.ts > f.ts AND r.ts <= f.ts + {RESPONSE_DELTA_S}
+  GROUP BY f.src, f.dst, f.ts)
+SELECT src, dst, CAST(count(*) AS BIGINT) AS n_repeats,
+       CAST(sum(lat) AS BIGINT) AS total_latency_s,
+       CAST(min(lat) AS BIGINT) AS min_latency_s
+FROM ev GROUP BY src, dst""",
         "cc_profile4": _cc_profile_sql(),
         "attributed_purchases": """
 WITH v AS (SELECT event_id AS view_id, ts AS view_ts, user_id FROM events WHERE event_type = 'view'),
