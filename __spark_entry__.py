@@ -583,6 +583,29 @@ def _q_kcore_peel8(spark, sf_dir):
     return edges.select(F.col("src").alias("id")).distinct()
 
 
+SCORE_S = 19
+
+
+def _q_score_peel8(spark, sf_dir):
+    """Weighted s-core: KCORE_ROUNDS peel rounds removing nodes with
+    WEIGHTED degree < SCORE_S (the strength-core of weighted-network
+    analysis; same fixed-round oracle-lockstep form as kcore_peel8, kernel
+    operators/kcore.k_core_members(weighted=True))."""
+    from kaminpar_spark.plans.lineage import truncate
+
+    g, _ = _graph(spark, sf_dir)
+    edges = g.edges
+    for _ in range(KCORE_ROUNDS):
+        deg = edges.groupBy("src").agg(F.sum("weight").alias("d"))
+        victims = deg.where(F.col("d") < SCORE_S).select("src")
+        edges = truncate(
+            edges.join(victims, "src", "left_anti")
+            .join(victims.withColumnRenamed("src", "dst"), "dst", "left_anti")
+            .select("src", "dst", "weight")
+        )
+    return edges.select(F.col("src").alias("id")).distinct()
+
+
 LP_CAP = 8
 
 
@@ -1394,6 +1417,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "windowed_event_counts": _q_windowed_events,
         "sessionized_events": _q_sessionized_events,
         "kcore_peel8": _q_kcore_peel8,
+        "score_peel8": _q_score_peel8,
         "lp_capped_step": _q_lp_capped_step,
         "contraction_edges": _q_contraction_edges,
         "contraction_nodes": _q_contraction_nodes,
@@ -2038,6 +2062,22 @@ best AS (
     FROM sc) t WHERE rn = 1)
 SELECT n.id, CAST(coalesce(b.label, n.id) AS BIGINT) AS label
 FROM nodes n LEFT JOIN best b ON n.id = b.id"""
+
+
+def _score_sql() -> str:
+    steps = ""
+    prev = "se0"
+    for i in range(1, KCORE_ROUNDS + 1):
+        steps += f""",
+sv{i} AS MATERIALIZED (
+  SELECT src FROM (SELECT src, sum(weight) AS c FROM {prev} GROUP BY src) WHERE c < {SCORE_S}),
+se{i} AS MATERIALIZED (
+  SELECT * FROM {prev}
+  WHERE src NOT IN (SELECT src FROM sv{i}) AND dst NOT IN (SELECT src FROM sv{i}))"""
+        prev = f"se{i}"
+    return f"""WITH {_EDGES_CTE},
+se0 AS (SELECT src, dst, weight FROM edges){steps}
+SELECT DISTINCT src AS id FROM {prev}"""
 
 
 def _kcore_sql() -> str:
@@ -3290,6 +3330,7 @@ SELECT user_id, min(ts) AS session_start,
        round(sum(value), 6) AS sum_value
 FROM sess GROUP BY user_id, session_id""",
         "kcore_peel8": _kcore_sql(),
+        "score_peel8": _score_sql(),
         "lp_capped_step": _LP_CAPPED_SQL,
         "contraction_edges": _CONTRACTION_EDGES_SQL,
         "contraction_nodes": _CONTRACTION_NODES_SQL,
