@@ -1262,6 +1262,45 @@ def _q_response_latency(spark, sf_dir):
     )
 
 
+def _q_louvain_modularity(spark, sf_dir):
+    """Exact-rational modularity of the louvain_moves4 labels:
+    Q·(2m)² = A·2m − B is an int64 for integer weights (A = internal
+    half-edge weight, B = Σ tot²) — community quality itself is value-exact,
+    not just allclose; the double is ONE IEEE division of exact ints."""
+    from kaminpar_spark.operators.louvain import louvain_level
+
+    g, _ = _graph(spark, sf_dir)
+    m2 = g.total_edge_weight()
+    labels = louvain_level(g, m2, rounds=LOUVAIN_ROUNDS)
+    ls = labels.select(F.col("id").alias("src"), F.col("comm").alias("c_src"))
+    ld = labels.select(F.col("id").alias("dst"), F.col("comm").alias("c_dst"))
+    a_df = (
+        g.edges.join(ls.hint("shuffle_hash"), "src")
+        .join(ld.hint("shuffle_hash"), "dst")
+        .where(F.col("c_src") == F.col("c_dst"))
+        .agg(F.coalesce(F.sum("weight"), F.lit(0)).alias("a"))
+    )
+    tot = (
+        g.degrees()
+        .join(labels.hint("shuffle_hash"), "id")
+        .groupBy("comm")
+        .agg(F.sum("weighted_degree").alias("t"))
+    )
+    b_df = tot.agg(
+        F.sum(F.col("t") * F.col("t")).alias("b"),
+        F.count("*").alias("n_comms"),
+    )
+    return a_df.crossJoin(b_df).select(
+        F.col("n_comms").cast("long").alias("n_comms"),
+        (F.col("a") * F.lit(m2) - F.col("b")).cast("long").alias("q_num"),
+        F.lit(m2 * m2).cast("long").alias("q_den"),
+        (
+            (F.col("a") * F.lit(m2) - F.col("b")).cast("double")
+            / F.lit(float(m2 * m2))
+        ).alias("modularity"),
+    )
+
+
 def _q_eigenvector(spark, sf_dir):
     """Eigenvector centrality, 3 power-iteration rounds with exact floor-div
     max rescale (the HITS lattice trick on the symmetric adjacency)."""
@@ -1364,6 +1403,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nbr_mean_features": _q_nbr_mean,
         "brandes_stress4": _q_brandes_stress,
         "louvain_moves4": _q_louvain_moves,
+        "louvain_modularity": _q_louvain_modularity,
         "katz3": _q_katz,
         "temporal_reach6": _q_temporal_reach,
         "eigenvector3": _q_eigenvector,
@@ -2983,7 +3023,7 @@ SELECT n.id, CAST({terms} AS BIGINT) AS katz
 FROM nodes n{joins}"""
 
 
-def _louvain_sql() -> str:
+def _louvain_ctes() -> tuple[str, str]:
     """Unrolled louvain_level(rounds=LOUVAIN_ROUNDS) twin: per step t —
     Σ_tot from the current state, k_in per adjacent community, the candidate
     union (adjacent ∪ current ∪ own-singleton), the exact-int gain
@@ -3022,8 +3062,36 @@ comm{t + 1} AS MATERIALIZED (
         FROM cand{t}) b
   JOIN comm{t} cur ON cur.id = b.id
   WHERE b.rn = 1)"""
+    return ctes, f"comm{steps}"
+
+
+def _louvain_sql() -> str:
+    ctes, final = _louvain_ctes()
     return f"""WITH {_EDGES_CTE}{ctes}
-SELECT id, comm FROM comm{steps}"""
+SELECT id, comm FROM {final}"""
+
+
+def _louvain_modularity_sql() -> str:
+    """Exact-rational modularity of the 4-step Louvain labels:
+    Q = (A·2m − B) / (2m)² with A = Σ_c w_in(c), B = Σ_c tot(c)² — all
+    int64, so community QUALITY itself is hash-checked, plus the one-IEEE-
+    division double."""
+    ctes, final = _louvain_ctes()
+    return f"""WITH {_EDGES_CTE}{ctes},
+lm2 AS (SELECT CAST(sum(weight) AS BIGINT) AS m2 FROM edges),
+lintl AS (
+  SELECT CAST(coalesce(sum(e.weight), 0) AS BIGINT) AS a
+  FROM edges e JOIN {final} l1 ON e.src = l1.id JOIN {final} l2 ON e.dst = l2.id
+  WHERE l1.comm = l2.comm),
+ltot AS (
+  SELECT CAST(sum(t * t) AS BIGINT) AS b, CAST(count(*) AS BIGINT) AS n_comms
+  FROM (SELECT l.comm, CAST(sum(d.weighted_degree) AS BIGINT) AS t
+        FROM deg d JOIN {final} l ON d.id = l.id GROUP BY l.comm))
+SELECT ltot.n_comms,
+       CAST(lintl.a * lm2.m2 - ltot.b AS BIGINT) AS q_num,
+       CAST(lm2.m2 * lm2.m2 AS BIGINT) AS q_den,
+       CAST(lintl.a * lm2.m2 - ltot.b AS DOUBLE) / CAST(lm2.m2 * lm2.m2 AS DOUBLE) AS modularity
+FROM lintl, ltot, lm2"""
 
 
 def _stress_sql() -> str:
@@ -3178,6 +3246,7 @@ GROUP BY l.scc, lev.level""",
         "nbr_mean_features": _nbr_mean_sql(),
         "brandes_stress4": _stress_sql(),
         "louvain_moves4": _louvain_sql(),
+        "louvain_modularity": _louvain_modularity_sql(),
         "katz3": _katz_sql(),
         "temporal_reach6": _temporal_sql(),
         "eigenvector3": _eig_sql(),
