@@ -1301,6 +1301,24 @@ def _q_louvain_modularity(spark, sf_dir):
     )
 
 
+def _q_event_rollup(spark, sf_dir):
+    """ROLLUP aggregate: event counts + value sums by (event_type, hour) with
+    subtotal and grand-total rows (grouping_id disambiguates NULL markers) —
+    the OLAP grouping-sets surface over the events table."""
+    ev = _load(spark, sf_dir, "events").select(
+        "event_type", F.hour("ts").cast("long").alias("hour"), "value"
+    )
+    return (
+        ev.rollup("event_type", "hour")
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.count("*").cast("long").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .select("event_type", "hour", "gid", "n_events", "sum_value")
+    )
+
+
 def _q_eigenvector(spark, sf_dir):
     """Eigenvector centrality, 3 power-iteration rounds with exact floor-div
     max rescale (the HITS lattice trick on the symmetric adjacency)."""
@@ -1412,6 +1430,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repeat_contacts": _q_response_latency,
         "csr_blocks4": _q_csr_blocks,
         "attributed_purchases": _q_attributed_purchases,
+        "event_rollup": _q_event_rollup,
         "triangle_count": _q_triangle_count,
         "lp_step1": _q_lp_step1,
         "lpa_modularity": _q_lpa_modularity,
@@ -3249,6 +3268,12 @@ GROUP BY l.scc, lev.level""",
         "louvain_modularity": _louvain_modularity_sql(),
         "katz3": _katz_sql(),
         "temporal_reach6": _temporal_sql(),
+        "event_rollup": """
+SELECT event_type, CAST(hour(ts) AS BIGINT) AS hour,
+       CAST(GROUPING(event_type) * 2 + GROUPING(hour(ts)) AS BIGINT) AS gid,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 6) AS sum_value
+FROM events GROUP BY ROLLUP(event_type, hour(ts))""",
         "eigenvector3": _eig_sql(),
         "role_mix": f"""WITH {_EDGES_CTE}
 SELECT split_part(l.a_src, '_', 1) AS src_class,
