@@ -1319,6 +1319,31 @@ def _q_event_rollup(spark, sf_dir):
     )
 
 
+def _q_actor_churn(spark, sf_dir):
+    """Snapshot-diff analytics (FULL OUTER surface): actors present in the
+    first half of conversations vs the second, counted per actor class and
+    presence status — the drift/churn check an incremental pipeline runs
+    between snapshots."""
+    from kaminpar_spark.sources.transcripts import actor_column, synth_transcripts
+
+    n = _n_convs(spark, sf_dir)
+    t = synth_transcripts(spark, n)
+    c = F.substring("conv_id", 6, 8).cast("long")
+    t = t.withColumn("actor", actor_column(n)).withColumn("half", (c >= n // 2))
+    a = t.where(~F.col("half")).select("actor").distinct()
+    b = t.where(F.col("half")).select(F.col("actor").alias("actor_b")).distinct()
+    j = a.join(b, a.actor == b.actor_b, "full_outer")
+    status = (
+        F.when(F.col("actor").isNotNull() & F.col("actor_b").isNotNull(), "both")
+        .when(F.col("actor").isNotNull(), "only_first")
+        .otherwise("only_second")
+    )
+    cls = F.split(F.coalesce("actor", "actor_b"), "_").getItem(0)
+    return j.groupBy(
+        status.alias("status"), cls.alias("actor_class")
+    ).agg(F.count("*").cast("long").alias("n_actors"))
+
+
 def _q_eigenvector(spark, sf_dir):
     """Eigenvector centrality, 3 power-iteration rounds with exact floor-div
     max rescale (the HITS lattice trick on the symmetric adjacency)."""
@@ -1431,6 +1456,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "csr_blocks4": _q_csr_blocks,
         "attributed_purchases": _q_attributed_purchases,
         "event_rollup": _q_event_rollup,
+        "actor_churn": _q_actor_churn,
         "triangle_count": _q_triangle_count,
         "lp_step1": _q_lp_step1,
         "lpa_modularity": _q_lpa_modularity,
@@ -3268,6 +3294,21 @@ GROUP BY l.scc, lev.level""",
         "louvain_modularity": _louvain_modularity_sql(),
         "katz3": _katz_sql(),
         "temporal_reach6": _temporal_sql(),
+        "actor_churn": f"""WITH {_TRANSCRIPTS_CTE},
+at2 AS (
+  SELECT CASE WHEN role = 'user' THEN 'user_' || CAST(c % greatest(1, (SELECT count(*) // 4 FROM orders)) AS VARCHAR)
+              WHEN role = 'assistant' THEN 'agent_' || CAST(c % 7 AS VARCHAR)
+              ELSE tool END AS actor,
+         c >= (SELECT count(*) FROM orders) // 2 AS half
+  FROM transcripts),
+a AS (SELECT DISTINCT actor FROM at2 WHERE NOT half),
+b AS (SELECT DISTINCT actor AS actor_b FROM at2 WHERE half),
+j AS (SELECT a.actor, b.actor_b FROM a FULL OUTER JOIN b ON a.actor = b.actor_b)
+SELECT CASE WHEN actor IS NOT NULL AND actor_b IS NOT NULL THEN 'both'
+            WHEN actor IS NOT NULL THEN 'only_first' ELSE 'only_second' END AS status,
+       split_part(coalesce(actor, actor_b), '_', 1) AS actor_class,
+       CAST(count(*) AS BIGINT) AS n_actors
+FROM j GROUP BY 1, 2""",
         "event_rollup": """
 SELECT event_type, CAST(hour(ts) AS BIGINT) AS hour,
        CAST(GROUPING(event_type) * 2 + GROUPING(hour(ts)) AS BIGINT) AS gid,
