@@ -1425,6 +1425,38 @@ def _q_nbr_mean(spark, sf_dir):
     return neighbor_mean_features(g, feats, dim=EMB_DIM)
 
 
+MSF_ROUNDS = 2
+MSF_UNION_STEPS = 2
+
+
+def _q_msf_bounded(spark, sf_dir):
+    """Boruvka minimum spanning forest (operators/mst.py), bounded
+    deterministic form: 2 rounds x 2 union steps, lexicographic (weight,a,b)
+    tie-break makes the picked forest unique — the oracle unrolls the exact
+    same supersteps. Full library form (run-to-convergence) is covered by
+    pytest (tests/test_mst.py vs Kruskal)."""
+    from kaminpar_spark.operators.mst import boruvka_msf
+
+    g, _ = _graph(spark, sf_dir)
+    msf, _comp = boruvka_msf(g, rounds=MSF_ROUNDS, union_steps=MSF_UNION_STEPS)
+    return msf
+
+
+ANF_ROUNDS = 3
+ANF_STREAMS = 4
+
+
+def _q_anf_ranks(spark, sf_dir):
+    """ANF / Flajolet-Martin neighborhood sketch (operators/anf.py): per-node
+    64-bit OR-masks after 3 supersteps + exact lowest-zero ranks — the
+    integer sufficient statistics of the radius-3 ball-size estimate,
+    hash-checked bit for bit."""
+    from kaminpar_spark.operators.anf import anf_masks, anf_ranks
+
+    g, _ = _graph(spark, sf_dir)
+    return anf_ranks(anf_masks(g, rounds=ANF_ROUNDS, streams=ANF_STREAMS), ANF_STREAMS)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "transcript_turns": _q_transcript_turns,
@@ -1530,6 +1562,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "balance_round_skew": _q_balance_round,
         "capped_neighbors": _q_capped_neighbors,
         "degree_permutation": _q_degree_permutation,
+        "msf_bounded": _q_msf_bounded,
+        "anf_ranks3": _q_anf_ranks,
     }
 
 
@@ -3206,6 +3240,104 @@ SELECT id, CAST(max(c) AS BIGINT) AS n_nbrs,
 FROM agg GROUP BY id"""
 
 
+def _msf_sql() -> str:
+    """Unrolled Boruvka mirror of _q_msf_bounded: per round, per-component
+    lexicographic-min cross edge (row_number over (weight, a, b) == the
+    engine's min-struct), canonicalized pair dedup, then MSF_UNION_STEPS
+    hash-to-min + pointer-doubling label merges."""
+    s = """,
+mc0 AS MATERIALIZED (SELECT id, id AS comp FROM nodes)"""
+    prev_comp = "mc0"
+    outs = []
+    for r in range(1, MSF_ROUNDS + 1):
+        s += f""",
+x{r} AS (
+  SELECT e.src, e.dst, e.weight, cs.comp AS ca0, cd.comp AS cb0
+  FROM edges e JOIN {prev_comp} cs ON e.src = cs.id
+               JOIN {prev_comp} cd ON e.dst = cd.id
+  WHERE cs.comp <> cd.comp),
+p{r} AS (
+  SELECT least(src, dst) AS a, greatest(src, dst) AS b, weight,
+         least(ca0, cb0) AS ca, greatest(ca0, cb0) AS cb
+  FROM (SELECT *, row_number() OVER (
+          PARTITION BY ca0
+          ORDER BY weight, least(src, dst), greatest(src, dst)) AS rn
+        FROM x{r})
+  WHERE rn = 1),
+sel{r} AS MATERIALIZED (
+  SELECT a, b, weight, min(ca) AS ca, max(cb) AS cb
+  FROM p{r} GROUP BY a, b, weight),
+pr{r} AS (SELECT ca AS u, cb AS v FROM sel{r}
+          UNION ALL SELECT cb AS u, ca AS v FROM sel{r}),
+st{r}_0 AS (SELECT DISTINCT comp, comp AS label FROM {prev_comp})"""
+        prev_st = f"st{r}_0"
+        for k in range(1, MSF_UNION_STEPS + 1):
+            s += f""",
+st{r}_{k}a AS (
+  SELECT t.comp, least(t.label, coalesce(m.nmin, t.label)) AS label
+  FROM {prev_st} t LEFT JOIN (
+    SELECT p.u AS comp, min(t2.label) AS nmin
+    FROM pr{r} p JOIN {prev_st} t2 ON p.v = t2.comp GROUP BY p.u) m
+  ON t.comp = m.comp),
+st{r}_{k} AS MATERIALIZED (
+  SELECT a.comp, coalesce(b.label, a.label) AS label
+  FROM st{r}_{k}a a LEFT JOIN st{r}_{k}a b ON a.label = b.comp)"""
+            prev_st = f"st{r}_{k}"
+        s += f""",
+mc{r} AS MATERIALIZED (
+  SELECT c.id, coalesce(l.label, c.comp) AS comp
+  FROM {prev_comp} c LEFT JOIN {prev_st} l ON c.comp = l.comp)"""
+        prev_comp = f"mc{r}"
+        outs.append(
+            f"SELECT a, b, weight, CAST({r} AS INT) AS round FROM sel{r}"
+        )
+    return f"WITH {_EDGES_CTE}{s}\n" + "\nUNION ALL ".join(outs)
+
+
+# must mirror kaminpar_spark.operators.anf.ANF_A / ANF_B
+_ANF_A = (10007, 10093, 10159, 10247)
+_ANF_B = (7, 11, 13, 17)
+
+
+def _anf_sql() -> str:
+    """Unrolled ANF mirror of _q_anf_ranks: FM geometric init bit
+    (h & -h over the affine residue), ANF_ROUNDS bit_or supersteps,
+    lowest-zero ranks via bit_count(((~m) & (m+1)) - 1)."""
+    K, R = ANF_STREAMS, ANF_ROUNDS
+    init = ",\n       ".join(
+        f"((({_ANF_A[i]}*id + {_ANF_B[i]}) % 2147483647) + 1)"
+        f" & (-((({_ANF_A[i]}*id + {_ANF_B[i]}) % 2147483647) + 1)) AS m{i}"
+        for i in range(K)
+    )
+    s = f""",
+af0 AS MATERIALIZED (SELECT id, {init} FROM nodes)"""
+    prev = "af0"
+    for r in range(1, R + 1):
+        ors = ",\n         ".join(
+            f"s.m{i} | coalesce(n.m{i}, 0) AS m{i}" for i in range(K)
+        )
+        aggs = ", ".join(f"bit_or(c.m{i}) AS m{i}" for i in range(K))
+        s += f""",
+af{r} AS MATERIALIZED (
+  SELECT s.id, {ors}
+  FROM {prev} s LEFT JOIN (
+    SELECT e.dst AS id, {aggs}
+    FROM edges e JOIN {prev} c ON e.src = c.id GROUP BY e.dst) n
+  ON s.id = n.id)"""
+        prev = f"af{r}"
+    ranks = ",\n       ".join(
+        f"CAST(bit_count(((~m{i}) & (m{i}+1)) - 1) AS BIGINT) AS r_m{i}"
+        for i in range(K)
+    )
+    rsum = " + ".join(f"bit_count(((~m{i}) & (m{i}+1)) - 1)" for i in range(K))
+    cols = ", ".join(f"m{i}" for i in range(K))
+    return f"""WITH {_EDGES_CTE}{s}
+SELECT id, {cols},
+       {ranks},
+       CAST({rsum} AS BIGINT) AS r_sum
+FROM {prev}"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "transcript_turns": f"WITH {_TRANSCRIPTS_CTE} "
@@ -3504,4 +3636,6 @@ FROM documents""",
         "balance_round_skew": _BALANCE_ROUND_SQL,
         "capped_neighbors": _CAPPED_NEIGHBORS_SQL,
         "degree_permutation": _DEGREE_PERM_SQL,
+        "msf_bounded": _msf_sql(),
+        "anf_ranks3": _anf_sql(),
     }

@@ -1,0 +1,132 @@
+"""ANF — approximate neighborhood function via Flajolet-Martin bitmasks.
+
+The classic web-scale reachability sketch (Palmer/Gibbons/Faloutsos, ANF,
+KDD'02; the HyperBall/HyperANF lineage): give every node K one-hot bitmasks
+whose set bit is geometrically distributed, then one superstep ORs each
+node's masks with its neighbors' — after t supersteps node v's mask is the
+OR over its radius-t ball, and the position of the lowest UNSET bit estimates
+the ball's cardinality (E[r] ~ log2(0.77351 * n)). This turns "how many nodes
+are within t hops of v" — exact computation is a t-fold self-join, hopeless
+at 10^12 turns — into t supersteps of a 64-bit ``bit_or`` hash aggregate:
+constant state per node, map-side combinable, no per-row Python.
+
+Everything is deterministic and integer-valued so the DuckDB oracle
+hash-checks the masks and rank sums bit for bit: the stream hashes are the
+engine's affine mixers mod the Mersenne prime (functions.hashing.POLY_MOD),
+the geometric bit is ``h & -h`` (lowest set bit of a uniform residue), the
+lowest-zero rank is ``bit_count(((~m) & (m+1)) - 1)``.
+
+Scale notes: state is K int64 columns per node (K=4 default → 32 bytes);
+the superstep reuses the salted persisted edge layout via GraphFrame.gather,
+and ``bit_or`` partial-aggregates map-side, so hubs cost one combiner each.
+The float estimate (2^mean_r / 0.77351) is derived OUTSIDE the hashed
+columns — callers get exact ints plus a clearly-separated IEEE estimate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from kaminpar_spark.functions.hashing import POLY_MOD
+from kaminpar_spark.graph import GraphFrame
+from kaminpar_spark.plans.lineage import release, truncate
+
+# Per-stream affine mixers (primes, same family as operators.walks): each
+# term < 2^45, ANSI-safe in int64 without intermediate pmod.
+ANF_A = (10007, 10093, 10159, 10247, 10273, 10321, 10369, 10459)
+ANF_B = (7, 11, 13, 17, 19, 23, 29, 31)
+PHI = 0.77351  # Flajolet-Martin bias correction
+
+
+def _mask_cols(k: int) -> list[str]:
+    return [f"m{i}" for i in range(k)]
+
+
+def init_masks(nodes: DataFrame, streams: int = 4) -> DataFrame:
+    """(id, m0..m{K-1}): one geometric one-hot bit per stream. h is a uniform
+    residue in [1, POLY_MOD]; ``h & -h`` isolates its lowest set bit, which is
+    at position j with probability ~2^-(j+1) — the FM geometric bit."""
+    assert streams <= len(ANF_A), streams
+    out = nodes.select("id")
+    for i in range(streams):
+        h = (F.lit(ANF_A[i]) * F.col("id") + F.lit(ANF_B[i])) % F.lit(POLY_MOD) + F.lit(1)
+        out = out.withColumn(f"m{i}", h.bitwiseAND(-h).cast("long"))
+    return out
+
+
+def anf_round(graph: GraphFrame, state: DataFrame, streams: int = 4) -> DataFrame:
+    """One OR-superstep: m' = m | bit_or(neighbor masks)."""
+    cols = _mask_cols(streams)
+    gathered = graph.gather(state, cols)
+    neigh = (
+        gathered.select(F.col("dst").alias("id"), *cols)
+        .groupBy("id")
+        .agg(*[F.bit_or(c).alias(f"n_{c}") for c in cols])
+    )
+    return state.join(neigh.hint("shuffle_hash"), "id", "left").select(
+        "id",
+        *[
+            F.col(c).bitwiseOR(F.coalesce(f"n_{c}", F.lit(0))).alias(c)
+            for c in cols
+        ],
+    )
+
+
+def anf_masks(
+    graph: GraphFrame, rounds: int = 3, streams: int = 4
+) -> DataFrame:
+    """Masks after ``rounds`` OR-supersteps (deterministic unrolled form —
+    mirrors the oracle; state is truncated per round so planning stays flat)."""
+    state = truncate(init_masks(graph.nodes, streams))
+    for _ in range(rounds):
+        new = truncate(anf_round(graph, state, streams))
+        release(state)
+        state = new
+    return state
+
+
+def anf_ranks(masks: DataFrame, streams: int = 4) -> DataFrame:
+    """Adds per-stream lowest-zero ranks r0.. and their exact int sum
+    ``r_sum`` (the hash-checkable sufficient statistic of the FM estimate)."""
+    out = masks
+    for c in _mask_cols(streams):
+        m = F.col(c)
+        lowest_zero = F.bitwise_not(m).bitwiseAND(m + F.lit(1))
+        out = out.withColumn(f"r_{c}", F.bit_count(lowest_zero - F.lit(1)).cast("long"))
+    r_sum = None
+    for c in _mask_cols(streams):
+        term = F.col(f"r_{c}")
+        r_sum = term if r_sum is None else r_sum + term
+    return out.withColumn("r_sum", r_sum)
+
+
+def ball_estimates(graph: GraphFrame, rounds: int = 3, streams: int = 4) -> DataFrame:
+    """(id, r_sum, est): per-node radius-``rounds`` ball-size estimate
+    2^(r_sum/K)/phi. ``est`` is IEEE float and intentionally NOT part of any
+    oracle hash; ``r_sum`` is the exact statistic."""
+    ranks = anf_ranks(anf_masks(graph, rounds, streams), streams)
+    est = F.pow(F.lit(2.0), F.col("r_sum") / F.lit(float(streams))) / F.lit(PHI)
+    return ranks.select("id", "r_sum", est.alias("est"))
+
+
+def neighborhood_function(
+    graph: GraphFrame, max_t: int = 4, streams: int = 4
+) -> list[tuple[int, float]]:
+    """Global N(t) = sum over nodes of estimated |ball(v, t)| for t=0..max_t —
+    the classic ANF curve (effective-diameter readout). Driver-side list of
+    (t, estimate); one agg per t over the running mask state."""
+    state = truncate(init_masks(graph.nodes, streams))
+    out: list[tuple[int, float]] = []
+
+    def read(s: DataFrame) -> float:
+        ranks = anf_ranks(s, streams)
+        est = F.pow(F.lit(2.0), F.col("r_sum") / F.lit(float(streams))) / F.lit(PHI)
+        return float(ranks.agg(F.sum(est).alias("nf")).first()["nf"])
+
+    out.append((0, read(state)))
+    for t in range(1, max_t + 1):
+        new = truncate(anf_round(graph, state, streams))
+        release(state)
+        state = new
+        out.append((t, read(state)))
+    return out
