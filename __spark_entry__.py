@@ -1457,6 +1457,21 @@ def _q_anf_ranks(spark, sf_dir):
     return anf_ranks(anf_masks(g, rounds=ANF_ROUNDS, streams=ANF_STREAMS), ANF_STREAMS)
 
 
+TRUSS_K = 4
+TRUSS_ROUNDS = 2
+
+
+def _q_ktruss(spark, sf_dir):
+    """k-truss peel (operators/truss.py), bounded deterministic form: 2 peel
+    rounds at k=4 — surviving canonical edges with the final round's triangle
+    support. Fixpoint form is covered by pytest (tests/test_truss.py vs a
+    pure-Python peel)."""
+    from kaminpar_spark.operators.truss import k_truss
+
+    g, _ = _graph(spark, sf_dir)
+    return k_truss(g, TRUSS_K, rounds=TRUSS_ROUNDS)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "transcript_turns": _q_transcript_turns,
@@ -1564,6 +1579,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "degree_permutation": _q_degree_permutation,
         "msf_bounded": _q_msf_bounded,
         "anf_ranks3": _q_anf_ranks,
+        "ktruss4_round2": _q_ktruss,
     }
 
 
@@ -3338,6 +3354,42 @@ SELECT id, {cols},
 FROM {prev}"""
 
 
+def _ktruss_sql() -> str:
+    """Unrolled k-truss mirror of _q_ktruss: per round, degree-ordered
+    orientation, wedge + closing-edge triangle enumeration, per-edge support
+    credit, peel at support >= k-2."""
+    s = """,
+t0 AS MATERIALIZED (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM edges WHERE src <> dst)"""
+    for r in range(1, TRUSS_ROUNDS + 1):
+        p = r - 1
+        s += f""",
+adj{r} AS (SELECT a AS u, b AS v FROM t{p} UNION ALL SELECT b AS u, a AS v FROM t{p}),
+dg{r} AS (SELECT u, count(*) AS d FROM adj{r} GROUP BY u),
+ori{r} AS MATERIALIZED (
+  SELECT e.u, e.v
+  FROM adj{r} e JOIN dg{r} du ON e.u = du.u JOIN dg{r} dv ON e.v = dv.u
+  WHERE (du.d < dv.d) OR (du.d = dv.d AND e.u < e.v)),
+tri{r} AS (
+  SELECT w1.u, w1.v, w2.v AS w
+  FROM ori{r} w1 JOIN ori{r} w2 ON w1.v = w2.u
+                 JOIN ori{r} c ON c.u = w1.u AND c.v = w2.v),
+sides{r} AS (
+  SELECT least(u, v) AS a, greatest(u, v) AS b FROM tri{r}
+  UNION ALL SELECT least(v, w), greatest(v, w) FROM tri{r}
+  UNION ALL SELECT least(u, w), greatest(u, w) FROM tri{r}),
+sup{r} AS MATERIALIZED (
+  SELECT t.a, t.b, CAST(coalesce(s.c, 0) AS BIGINT) AS support
+  FROM t{p} t LEFT JOIN (
+    SELECT a, b, count(*) AS c FROM sides{r} GROUP BY a, b) s
+  ON t.a = s.a AND t.b = s.b),
+t{r} AS MATERIALIZED (
+  SELECT a, b FROM sup{r} WHERE support >= {TRUSS_K - 2})"""
+    return f"""WITH {_EDGES_CTE}{s}
+SELECT a, b, support FROM sup{TRUSS_ROUNDS} WHERE support >= {TRUSS_K - 2}"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "transcript_turns": f"WITH {_TRANSCRIPTS_CTE} "
@@ -3638,4 +3690,5 @@ FROM documents""",
         "degree_permutation": _DEGREE_PERM_SQL,
         "msf_bounded": _msf_sql(),
         "anf_ranks3": _anf_sql(),
+        "ktruss4_round2": _ktruss_sql(),
     }
