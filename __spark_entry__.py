@@ -1457,6 +1457,16 @@ def _q_anf_ranks(spark, sf_dir):
     return anf_ranks(anf_masks(g, rounds=ANF_ROUNDS, streams=ANF_STREAMS), ANF_STREAMS)
 
 
+def _q_hop_plot(spark, sf_dir):
+    """ANF hop plot (operators/anf.py): global exact-integer rank sums after
+    t = 0..3 OR-supersteps — the effective-diameter readout as a
+    hash-checkable DataFrame."""
+    from kaminpar_spark.operators.anf import hop_plot
+
+    g, _ = _graph(spark, sf_dir)
+    return hop_plot(g, max_t=ANF_ROUNDS, streams=ANF_STREAMS)
+
+
 TRUSS_K = 4
 TRUSS_ROUNDS = 2
 
@@ -1579,6 +1589,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "degree_permutation": _q_degree_permutation,
         "msf_bounded": _q_msf_bounded,
         "anf_ranks3": _q_anf_ranks,
+        "hop_plot3": _q_hop_plot,
         "ktruss4_round2": _q_ktruss,
     }
 
@@ -3315,10 +3326,10 @@ _ANF_A = (10007, 10093, 10159, 10247)
 _ANF_B = (7, 11, 13, 17)
 
 
-def _anf_sql() -> str:
-    """Unrolled ANF mirror of _q_anf_ranks: FM geometric init bit
-    (h & -h over the affine residue), ANF_ROUNDS bit_or supersteps,
-    lowest-zero ranks via bit_count(((~m) & (m+1)) - 1)."""
+def _anf_chain() -> str:
+    """CTE chain af0..af{ANF_ROUNDS}: FM geometric init bit (h & -h over the
+    affine residue) + bit_or supersteps. Shared by the anf_ranks3 and
+    hop_plot3 oracles."""
     K, R = ANF_STREAMS, ANF_ROUNDS
     init = ",\n       ".join(
         f"((({_ANF_A[i]}*id + {_ANF_B[i]}) % 2147483647) + 1)"
@@ -3341,17 +3352,42 @@ af{r} AS MATERIALIZED (
     FROM edges e JOIN {prev} c ON e.src = c.id GROUP BY e.dst) n
   ON s.id = n.id)"""
         prev = f"af{r}"
+    return s
+
+
+def _anf_rank_exprs() -> str:
+    """Per-mask lowest-zero rank: bit_count(((~m) & (m+1)) - 1)."""
+    return " + ".join(
+        f"bit_count(((~m{i}) & (m{i}+1)) - 1)" for i in range(ANF_STREAMS)
+    )
+
+
+def _anf_sql() -> str:
+    """Unrolled ANF mirror of _q_anf_ranks (masks + ranks after the final
+    superstep)."""
+    K = ANF_STREAMS
     ranks = ",\n       ".join(
         f"CAST(bit_count(((~m{i}) & (m{i}+1)) - 1) AS BIGINT) AS r_m{i}"
         for i in range(K)
     )
-    rsum = " + ".join(f"bit_count(((~m{i}) & (m{i}+1)) - 1)" for i in range(K))
     cols = ", ".join(f"m{i}" for i in range(K))
-    return f"""WITH {_EDGES_CTE}{s}
+    return f"""WITH {_EDGES_CTE}{_anf_chain()}
 SELECT id, {cols},
        {ranks},
-       CAST({rsum} AS BIGINT) AS r_sum
-FROM {prev}"""
+       CAST({_anf_rank_exprs()} AS BIGINT) AS r_sum
+FROM af{ANF_ROUNDS}"""
+
+
+def _hop_plot_sql() -> str:
+    """Unrolled mirror of _q_hop_plot: global rank sums at every level of
+    the same ANF chain."""
+    rsum = _anf_rank_exprs()
+    levels = [
+        f"SELECT CAST({t} AS INT) AS t,"
+        f" CAST(sum({rsum}) AS BIGINT) AS total_r FROM af{t}"
+        for t in range(ANF_ROUNDS + 1)
+    ]
+    return f"WITH {_EDGES_CTE}{_anf_chain()}\n" + "\nUNION ALL ".join(levels)
 
 
 def _ktruss_sql() -> str:
@@ -3690,5 +3726,6 @@ FROM documents""",
         "degree_permutation": _DEGREE_PERM_SQL,
         "msf_bounded": _msf_sql(),
         "anf_ranks3": _anf_sql(),
+        "hop_plot3": _hop_plot_sql(),
         "ktruss4_round2": _ktruss_sql(),
     }

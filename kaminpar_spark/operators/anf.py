@@ -109,6 +109,33 @@ def ball_estimates(graph: GraphFrame, rounds: int = 3, streams: int = 4) -> Data
     return ranks.select("id", "r_sum", est.alias("est"))
 
 
+def hop_plot(graph: GraphFrame, max_t: int = 3, streams: int = 4) -> DataFrame:
+    """(t, total_r): global sum of per-node lowest-zero rank sums after t
+    OR-supersteps, t = 0..max_t — the exact-integer sufficient statistic of
+    the ANF hop-plot N(t) (the float estimate is sum-of-2^(r/K)/phi, derived
+    by callers; keeping the readout integral makes it hash-checkable).
+
+    States for all t stay persisted until the result is consumed (the union
+    references every level); node-scale x (max_t+1), fine at any max_t this
+    readout makes sense for."""
+    state = truncate(init_masks(graph.nodes, streams))
+    parts: list[DataFrame] = []
+    for t in range(max_t + 1):
+        if t > 0:
+            state = truncate(anf_round(graph, state, streams))
+        ranks = anf_ranks(state, streams)
+        parts.append(
+            ranks.agg(F.sum("r_sum").alias("total_r")).select(
+                F.lit(t).cast("int").alias("t"),
+                F.col("total_r").cast("long").alias("total_r"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.union(p)
+    return out
+
+
 def neighborhood_function(
     graph: GraphFrame, max_t: int = 4, streams: int = 4
 ) -> list[tuple[int, float]]:

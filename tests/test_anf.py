@@ -11,6 +11,7 @@ from kaminpar_spark.operators.anf import (
     anf_masks,
     anf_ranks,
     ball_estimates,
+    hop_plot,
     init_masks,
     neighborhood_function,
 )
@@ -56,6 +57,19 @@ def test_neighborhood_function_monotone(spark):
     nf = neighborhood_function(g, max_t=3, streams=4)
     vals = [v for _, v in nf]
     assert all(b >= a * 0.999 for a, b in zip(vals, vals[1:]))
+
+
+def test_hop_plot_matches_per_level_ranks(spark):
+    g, _, _ = fixtures.erdos_renyi(spark, n=80, p=0.05, seed=13)
+    got = {r["t"]: r["total_r"] for r in hop_plot(g, max_t=2).collect()}
+    for t in (0, 1, 2):
+        want = (
+            anf_ranks(anf_masks(g, rounds=t))
+            .agg(F.sum("r_sum").alias("s"))
+            .first()["s"]
+        )
+        assert got[t] == want, t
+    assert got[0] <= got[1] <= got[2]  # balls only grow
 
 
 def test_init_masks_are_powers_of_two(spark):
