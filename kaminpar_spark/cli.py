@@ -51,7 +51,7 @@ def load_graph(spark, path: str, symmetrize: bool):
 
 def main(argv=None):
     ap = argparse.ArgumentParser(prog="kaminpar-spark")
-    ap.add_argument("command", choices=["partition", "pagerank", "ppr", "components", "labelprop", "triangles", "kcore", "stats", "bfs", "diameter", "color", "mis", "walks", "match", "hits"])
+    ap.add_argument("command", choices=["partition", "pagerank", "ppr", "components", "labelprop", "triangles", "kcore", "stats", "bfs", "diameter", "color", "mis", "walks", "match", "hits", "msf", "truss", "anf"])
     ap.add_argument("--sources", default="0", help="[ppr] comma-separated teleport node ids")
     ap.add_argument("-G", "--graph", required=True)
     ap.add_argument("-k", type=int, default=2)
@@ -241,6 +241,29 @@ def main(argv=None):
             st.write.mode("overwrite").parquet(args.save)
         top = st.orderBy(F.desc("hub"), "id").first()
         print(f"RESULT top_hub={top['id']} hub={top['hub']} auth={top['auth']} time={time.time()-t0:.3f}s")
+    elif args.command == "msf":
+        from kaminpar_spark.operators.mst import boruvka_msf, msf_total_weight
+
+        msf, _comp = boruvka_msf(g, max_rounds=args.max_iters)
+        if args.save:
+            msf.write.mode("overwrite").parquet(args.save)
+        w = msf_total_weight(msf)
+        print(f"RESULT msf_edges={msf.count()} total_weight={w} time={time.time()-t0:.3f}s")
+    elif args.command == "truss":
+        from kaminpar_spark.operators.truss import k_truss
+
+        # -k doubles as the truss order (default 2 = the full edge set)
+        tk = max(args.k, 3)
+        edges = k_truss(g, tk, max_rounds=args.max_iters)
+        if args.save:
+            edges.write.mode("overwrite").parquet(args.save)
+        print(f"RESULT k={tk} truss_edges={edges.count()} time={time.time()-t0:.3f}s")
+    elif args.command == "anf":
+        from kaminpar_spark.operators.anf import hop_plot
+
+        rows = hop_plot(g, max_t=min(args.max_iters, 8)).collect()
+        plot = [(r["t"], r["total_r"]) for r in sorted(rows, key=lambda r: r["t"])]
+        print(f"RESULT hop_plot={plot} time={time.time()-t0:.3f}s")
     elif args.command == "stats":
         from dataclasses import asdict
 

@@ -82,6 +82,9 @@ def test_cli_new_subcommands(spark, tmp_path, capsys):
         ("walks", "walk_rows="),
         ("match", "matched_pairs="),
         ("hits", "top_hub="),
+        ("msf", "total_weight="),
+        ("truss", "truss_edges="),
+        ("anf", "hop_plot="),
     ]:
         assert cli.main([cmd, "-G", str(edges), "--max-iters", "10"]) == 0
         out = capsys.readouterr().out
