@@ -19,6 +19,10 @@ lowest-zero rank is ``bit_count(((~m) & (m+1)) - 1)``.
 Scale notes: state is K int64 columns per node (K=4 default → 32 bytes);
 the superstep reuses the salted persisted edge layout via GraphFrame.gather,
 and ``bit_or`` partial-aggregates map-side, so hubs cost one combiner each.
+Estimator range: the geometric bit comes from a 31-bit residue, so ranks cap
+at 31 and ball sizes are estimable up to ~2^31 (~2·10^9) nodes per stream —
+ample for actor-graph balls; for node sets beyond that, swap the affine
+mixer for a 61-bit modulus (same code shape, masks stay one int64).
 The float estimate (2^mean_r / 0.77351) is derived OUTSIDE the hashed
 columns — callers get exact ints plus a clearly-separated IEEE estimate.
 """
@@ -73,16 +77,51 @@ def anf_round(graph: GraphFrame, state: DataFrame, streams: int = 4) -> DataFram
 
 
 def anf_masks(
-    graph: GraphFrame, rounds: int = 3, streams: int = 4
+    graph: GraphFrame,
+    rounds: int = 3,
+    streams: int = 4,
+    runner=None,
+    name: str = "anf_masks",
 ) -> DataFrame:
     """Masks after ``rounds`` OR-supersteps (deterministic unrolled form —
-    mirrors the oracle; state is truncated per round so planning stays flat)."""
-    state = truncate(init_masks(graph.nodes, streams))
-    for _ in range(rounds):
-        new = truncate(anf_round(graph, state, streams))
-        release(state)
-        state = new
-    return state
+    mirrors the oracle; state is truncated per round so planning stays flat).
+
+    ``runner`` (plans.superstep.SuperstepRunner) makes every superstep a
+    durable snapshot with a changed-mask convergence metric, resumable
+    mid-iteration. Early exit at changed == 0 is parity-safe: a fixpoint
+    mask set is invariant under further OR-rounds, so the bounded oracle
+    sees identical values."""
+    cols = _mask_cols(streams)
+
+    def step(s: DataFrame, i: int) -> DataFrame:
+        cur = s.select("id", *cols)
+        new = anf_round(graph, cur, streams)
+        if runner is None:
+            return new
+        prev = cur.select("id", *[F.col(c).alias(f"p{c}") for c in cols])
+        return new.join(prev.hint("shuffle_hash"), "id")
+
+    def metrics(new: DataFrame) -> dict:
+        if runner is None:
+            return {}
+        changed = None
+        for c in cols:
+            t = (F.col(c) != F.col(f"p{c}")).cast("int")
+            changed = t if changed is None else F.greatest(changed, t)
+        ch = new.agg(F.sum(changed).alias("ch")).first()["ch"]
+        return {"changed": int(ch or 0)}
+
+    def converged(m: dict) -> bool:
+        return runner is not None and m.get("changed") == 0
+
+    from kaminpar_spark.plans.superstep import run_in_memory
+
+    init = init_masks(graph.nodes, streams)
+    if runner is not None:
+        final = runner.run(name, init, step, metrics, converged, rounds)
+    else:
+        final = run_in_memory(init, step, metrics, converged, rounds)
+    return final.select("id", *cols)
 
 
 def anf_ranks(masks: DataFrame, streams: int = 4) -> DataFrame:

@@ -5,6 +5,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from kaminpar_spark.operators.anf import anf_masks
 from kaminpar_spark.operators.louvain import louvain_level
 from kaminpar_spark.operators.temporal import earliest_arrival
 from kaminpar_spark.plans.superstep import SuperstepRunner
@@ -30,6 +31,23 @@ def test_louvain_level_resumes_with_parity(spark, tmp_path):
     got = sorted(map(tuple, got_df.collect()))
     assert got == want
     assert [r["step"] for r in runner.completed_steps("lv")] == [0, 1, 2, 3]
+
+
+def test_anf_masks_resume_matches_in_memory(spark, tmp_path):
+    n = 200
+    g, _ = transcript_graph(synth_transcripts(spark, n), n, stable_ids=True)
+    want = sorted(map(tuple, anf_masks(g, rounds=3).collect()))
+    runner = SuperstepRunner(spark, str(tmp_path))
+    # interrupted run: 1 of 3 supersteps
+    anf_masks(g, rounds=1, runner=runner, name="anf")
+    assert [r["step"] for r in runner.completed_steps("anf")] == [0]
+    got = sorted(
+        map(tuple, anf_masks(g, rounds=3, runner=runner, name="anf").collect())
+    )
+    assert got == want
+    recs = runner.completed_steps("anf")
+    assert [r["step"] for r in recs] == [0, 1, 2]  # no step replays
+    assert all("changed" in r["metrics"] for r in recs)
 
 
 def test_earliest_arrival_resumes_and_converges(spark, tmp_path):
