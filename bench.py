@@ -169,6 +169,31 @@ def main():
         queries["lsh_ann_multiprobe"] = round(time.time() - t0, 3)
         _phase("lsh ann multiprobe done")
 
+        # ---- Boruvka MSF (bounded 2x2 — the driver-query shape) ----
+        from kaminpar_spark.operators.mst import boruvka_msf
+
+        t0 = time.time()
+        msf, _ = boruvka_msf(gp, rounds=2, union_steps=2)
+        msf.count()
+        queries["msf_bounded"] = round(time.time() - t0, 3)
+        _phase("msf done")
+
+        # ---- ANF sketch (3 bit_or supersteps + ranks) ----
+        from kaminpar_spark.operators.anf import anf_masks, anf_ranks
+
+        t0 = time.time()
+        anf_ranks(anf_masks(gp, rounds=3)).count()
+        queries["anf_ranks"] = round(time.time() - t0, 3)
+        _phase("anf done")
+
+        # ---- k-truss (2 peel rounds at k=4) ----
+        from kaminpar_spark.operators.truss import k_truss
+
+        t0 = time.time()
+        k_truss(gp, 4, rounds=2).count()
+        queries["ktruss_r2"] = round(time.time() - t0, 3)
+        _phase("ktruss done")
+
     supersteps = pr_iters + lpa_iters
     kernel_sec = pr_sec + lpa_sec
     eps_per_superstep = m * supersteps / kernel_sec if kernel_sec > 0 else 0.0
