@@ -1467,6 +1467,21 @@ def _q_hop_plot(spark, sf_dir):
     return hop_plot(g, max_t=ANF_ROUNDS, streams=ANF_STREAMS)
 
 
+BACKBONE_K = 2
+
+
+def _q_backbone(spark, sf_dir):
+    """Weight-backbone sparsifier (operators/sparsify.py): bounded MSF ∪
+    per-node strongest-2 edges — the connectivity-preserving pre-analytics
+    thinning, deterministic end to end."""
+    from kaminpar_spark.operators.sparsify import weight_backbone
+
+    g, _ = _graph(spark, sf_dir)
+    return weight_backbone(
+        g, k=BACKBONE_K, msf_rounds=MSF_ROUNDS, union_steps=MSF_UNION_STEPS
+    )
+
+
 TRUSS_K = 4
 TRUSS_ROUNDS = 2
 
@@ -1591,6 +1606,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anf_ranks3": _q_anf_ranks,
         "hop_plot3": _q_hop_plot,
         "ktruss4_round2": _q_ktruss,
+        "backbone2": _q_backbone,
     }
 
 
@@ -3267,11 +3283,12 @@ SELECT id, CAST(max(c) AS BIGINT) AS n_nbrs,
 FROM agg GROUP BY id"""
 
 
-def _msf_sql() -> str:
-    """Unrolled Boruvka mirror of _q_msf_bounded: per round, per-component
-    lexicographic-min cross edge (row_number over (weight, a, b) == the
-    engine's min-struct), canonicalized pair dedup, then MSF_UNION_STEPS
-    hash-to-min + pointer-doubling label merges."""
+def _msf_chain() -> tuple[str, list[str]]:
+    """Unrolled Boruvka CTE chain (shared by the msf_bounded and backbone2
+    oracles): per round, per-component lexicographic-min cross edge
+    (row_number over (weight, a, b) == the engine's min-struct),
+    canonicalized pair dedup, then MSF_UNION_STEPS hash-to-min +
+    pointer-doubling label merges. Returns (ctes, [sel1, sel2, ...])."""
     s = """,
 mc0 AS MATERIALIZED (SELECT id, id AS comp FROM nodes)"""
     prev_comp = "mc0"
@@ -3315,10 +3332,36 @@ mc{r} AS MATERIALIZED (
   SELECT c.id, coalesce(l.label, c.comp) AS comp
   FROM {prev_comp} c LEFT JOIN {prev_st} l ON c.comp = l.comp)"""
         prev_comp = f"mc{r}"
-        outs.append(
-            f"SELECT a, b, weight, CAST({r} AS INT) AS round FROM sel{r}"
-        )
-    return f"WITH {_EDGES_CTE}{s}\n" + "\nUNION ALL ".join(outs)
+        outs.append(f"sel{r}")
+    return s, outs
+
+
+def _msf_sql() -> str:
+    """Unrolled Boruvka mirror of _q_msf_bounded."""
+    ctes, sels = _msf_chain()
+    outs = [
+        f"SELECT a, b, weight, CAST({i} AS INT) AS round FROM {sel}"
+        for i, sel in enumerate(sels, start=1)
+    ]
+    return f"WITH {_EDGES_CTE}{ctes}\n" + "\nUNION ALL ".join(outs)
+
+
+def _backbone_sql() -> str:
+    """Mirror of _q_backbone: bounded-MSF sel rounds ∪ per-node top-k by
+    (weight DESC, dst) — row_number rn<=k is set-equal to the engine's k
+    argmax/anti-join passes under the same total order."""
+    ctes, sels = _msf_chain()
+    parts = [f"SELECT a, b, weight FROM {sel}" for sel in sels]
+    parts.append("SELECT a, b, weight FROM tk")
+    union = "\n  UNION ALL ".join(parts)
+    return f"""WITH {_EDGES_CTE}{ctes},
+tk AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b, weight
+  FROM (SELECT src, dst, weight, row_number() OVER (
+          PARTITION BY src ORDER BY weight DESC, dst) AS rn FROM edges) x
+  WHERE rn <= {BACKBONE_K})
+SELECT DISTINCT a, b, weight FROM (
+  {union})"""
 
 
 # must mirror kaminpar_spark.operators.anf.ANF_A / ANF_B
@@ -3728,4 +3771,5 @@ FROM documents""",
         "anf_ranks3": _anf_sql(),
         "hop_plot3": _hop_plot_sql(),
         "ktruss4_round2": _ktruss_sql(),
+        "backbone2": _backbone_sql(),
     }
