@@ -1482,8 +1482,8 @@ def _q_backbone(spark, sf_dir):
     )
 
 
-TRUSS_K = 4
-TRUSS_ROUNDS = 2
+KTRUSS_K = 4
+KTRUSS_ROUNDS = 2
 
 
 def _q_ktruss(spark, sf_dir):
@@ -1494,7 +1494,7 @@ def _q_ktruss(spark, sf_dir):
     from kaminpar_spark.operators.truss import k_truss
 
     g, _ = _graph(spark, sf_dir)
-    return k_truss(g, TRUSS_K, rounds=TRUSS_ROUNDS)
+    return k_truss(g, KTRUSS_K, rounds=KTRUSS_ROUNDS)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -3441,7 +3441,7 @@ def _ktruss_sql() -> str:
 t0 AS MATERIALIZED (
   SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
   FROM edges WHERE src <> dst)"""
-    for r in range(1, TRUSS_ROUNDS + 1):
+    for r in range(1, KTRUSS_ROUNDS + 1):
         p = r - 1
         s += f""",
 adj{r} AS (SELECT a AS u, b AS v FROM t{p} UNION ALL SELECT b AS u, a AS v FROM t{p}),
@@ -3464,9 +3464,9 @@ sup{r} AS MATERIALIZED (
     SELECT a, b, count(*) AS c FROM sides{r} GROUP BY a, b) s
   ON t.a = s.a AND t.b = s.b),
 t{r} AS MATERIALIZED (
-  SELECT a, b FROM sup{r} WHERE support >= {TRUSS_K - 2})"""
+  SELECT a, b FROM sup{r} WHERE support >= {KTRUSS_K - 2})"""
     return f"""WITH {_EDGES_CTE}{s}
-SELECT a, b, support FROM sup{TRUSS_ROUNDS} WHERE support >= {TRUSS_K - 2}"""
+SELECT a, b, support FROM sup{KTRUSS_ROUNDS} WHERE support >= {KTRUSS_K - 2}"""
 
 
 def oracle_sql() -> dict[str, str]:
