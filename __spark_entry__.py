@@ -1467,6 +1467,25 @@ def _q_hop_plot(spark, sf_dir):
     return hop_plot(g, max_t=ANF_ROUNDS, streams=ANF_STREAMS)
 
 
+PR_DIR_ITERS = 4
+
+
+def _q_pagerank_directed(spark, sf_dir):
+    """Directed PageRank over the turn digraph (who RECEIVES attention under
+    actual turn direction). Unlike pagerank5's symmetric graph this has
+    dangling actors (never initiate -> out-degree 0), so the oracle checks
+    the dangling-mass redistribution path end to end."""
+    from kaminpar_spark.graph import GraphFrame
+    from kaminpar_spark.operators.pagerank import pagerank
+    from kaminpar_spark.sources.transcripts import synth_transcripts, transcript_digraph
+
+    n = _n_convs(spark, sf_dir)
+    edges, _ = transcript_digraph(synth_transcripts(spark, n), n, stable_ids=True)
+    g = GraphFrame.from_edge_pairs(edges, symmetrize=False)
+    pr = pagerank(g, tol=0.0, max_iters=PR_DIR_ITERS)
+    return pr.select("id", F.round("rank", 6).alias("rank"))
+
+
 BACKBONE_K = 2
 
 
@@ -1607,6 +1626,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hop_plot3": _q_hop_plot,
         "ktruss4_round2": _q_ktruss,
         "backbone2": _q_backbone,
+        "pagerank_directed4": _q_pagerank_directed,
     }
 
 
@@ -3433,6 +3453,39 @@ def _hop_plot_sql() -> str:
     return f"WITH {_EDGES_CTE}{_anf_chain()}\n" + "\nUNION ALL ".join(levels)
 
 
+def _pagerank_directed_sql() -> str:
+    """Unrolled directed-PR mirror of _q_pagerank_directed: per superstep,
+    dangling mass (out-degree-0 ranks) redistributed uniformly, in-sums over
+    the directed dedges, rank' = (1-d)/n + d*dm/n + d*in_sum."""
+    prev = "dr0"
+    steps = ""
+    for i in range(1, PR_DIR_ITERS + 1):
+        steps += f""",
+dm{i} AS (SELECT coalesce(sum(r.rank), 0) AS dm
+          FROM {prev} r JOIN odeg d ON r.id = d.id WHERE d.odeg = 0),
+dr{i} AS MATERIALIZED (
+  SELECT nd.id,
+         (0.15 / (SELECT n FROM nn))
+         + 0.85 * (SELECT dm FROM dm{i}) / (SELECT n FROM nn)
+         + 0.85 * coalesce(s.x, 0) AS rank
+  FROM nodes nd LEFT JOIN (
+    SELECT e.dst AS id, sum(r.rank / d.odeg) AS x
+    FROM dedges e JOIN {prev} r ON e.src = r.id JOIN odeg d ON e.src = d.id
+    GROUP BY e.dst) s
+  ON nd.id = s.id)"""
+        prev = f"dr{i}"
+    return f"""WITH {_EDGES_CTE},
+dedges AS MATERIALIZED (
+  SELECT src, dst, CAST(count(*) AS BIGINT) AS weight FROM pairs GROUP BY src, dst),
+odeg AS MATERIALIZED (
+  SELECT n.id, CAST(coalesce(o.d, 0) AS DOUBLE) AS odeg
+  FROM nodes n LEFT JOIN (
+    SELECT src AS id, count(*) AS d FROM dedges GROUP BY src) o ON n.id = o.id),
+nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+dr0 AS (SELECT id, 1.0 / (SELECT n FROM nn) AS rank FROM nodes){steps}
+SELECT id, round(rank, 6) AS rank FROM {prev}"""
+
+
 def _ktruss_sql() -> str:
     """Unrolled k-truss mirror of _q_ktruss: per round, degree-ordered
     orientation, wedge + closing-edge triangle enumeration, per-edge support
@@ -3772,4 +3825,5 @@ FROM documents""",
         "hop_plot3": _hop_plot_sql(),
         "ktruss4_round2": _ktruss_sql(),
         "backbone2": _backbone_sql(),
+        "pagerank_directed4": _pagerank_directed_sql(),
     }
