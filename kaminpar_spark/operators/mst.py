@@ -49,15 +49,36 @@ from kaminpar_spark.plans.lineage import release, truncate
 
 
 def cross_min_edges(graph: GraphFrame, comp: DataFrame) -> DataFrame:
-    """Per-component lexicographic-min cross edge.
+    """Per-component lexicographic-min cross edge (library entry point over a
+    GraphFrame; the Boruvka loop uses _cross_and_pick to also keep the
+    shrinking crossed-edge set)."""
+    picked, _ = _cross_and_pick(
+        graph.edges.select("src", "dst", "weight"), comp
+    )
+    return picked
 
-    Returns distinct (a, b, weight, ca, cb): canonical endpoints
+
+def _cross_and_pick(
+    edges: DataFrame, comp: DataFrame
+) -> tuple[DataFrame, DataFrame]:
+    """(picked, crossed): per-component lexicographic-min cross edge, plus
+    the crossed-edge set itself (comp_src != comp_dst under CURRENT labels).
+
+    ``picked`` is distinct (a, b, weight, ca, cb): canonical endpoints
     (a = least, b = greatest), edge weight, and the two component labels the
-    edge bridges. Deterministic: min over struct(weight, a, b)."""
+    edge bridges. Deterministic: min over struct(weight, a, b).
+
+    ``crossed`` (src, dst, weight, comp_src, comp_dst) is MATERIALIZED
+    (truncate) and is a superset of every future round's candidate set — an
+    edge inside a component can never cross again — so the Boruvka driver
+    feeds it forward and each round scans a geometrically shrinking table
+    instead of the full m-scale input. Materializing it here also means the
+    per-component argmin reads the checkpointed rows instead of re-evaluating
+    the two m-scale label joins a second time."""
     cs = comp.select(F.col("id").alias("src"), F.col("comp").alias("comp_src"))
     cd = comp.select(F.col("id").alias("dst"), F.col("comp").alias("comp_dst"))
-    e = (
-        graph.edges.select("src", "dst", "weight")
+    e = truncate(
+        edges.select("src", "dst", "weight")
         .join(cs.hint("shuffle_hash"), "src")
         .join(cd.hint("shuffle_hash"), "dst")
         .where(F.col("comp_src") != F.col("comp_dst"))
@@ -89,7 +110,7 @@ def cross_min_edges(graph: GraphFrame, comp: DataFrame) -> DataFrame:
     # and cb swapped); canonicalize the component pair BEFORE deduping so the
     # merge edge survives (min over both columns independently would collapse
     # it into a self-loop and the union would never fire).
-    return (
+    out = (
         picked.select(
             "a",
             "b",
@@ -100,6 +121,7 @@ def cross_min_edges(graph: GraphFrame, comp: DataFrame) -> DataFrame:
         .groupBy("a", "b", "weight")
         .agg(F.min("ca").alias("ca"), F.max("cb").alias("cb"))
     )
+    return out, e
 
 
 def _merge_labels(
@@ -167,10 +189,16 @@ def _merge_labels(
 
 
 def boruvka_round(
-    graph: GraphFrame, comp: DataFrame, union_steps: int | None = None
-) -> tuple[DataFrame, DataFrame]:
-    """One Boruvka superstep: (selected forest edges, updated comp labels)."""
-    sel = cross_min_edges(graph, comp)
+    edges: DataFrame, comp: DataFrame, union_steps: int | None = None
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """One Boruvka superstep over the current candidate edge set:
+    (selected forest edges — materialized, updated comp labels, crossed
+    candidate edges for the next round — materialized)."""
+    sel, crossed = _cross_and_pick(edges, comp)
+    # materialize the pick before the label union: every union step's
+    # materialization re-reads it, and truncated it costs one scan instead of
+    # re-running the per-component argmin aggregate each time
+    sel = truncate(sel)
     comps = comp.select("comp").distinct()
     labels = _merge_labels(comps, sel, union_steps)
     new_comp = (
@@ -182,7 +210,7 @@ def boruvka_round(
         )
         .select("id", F.coalesce("label", "c0").alias("comp"))
     )
-    return sel.select("a", "b", "weight"), new_comp
+    return sel.select("a", "b", "weight"), new_comp, crossed
 
 
 def boruvka_msf(
@@ -203,18 +231,23 @@ def boruvka_msf(
     comp = truncate(
         graph.nodes.select("id", F.col("id").alias("comp"))
     )
+    edges = truncate(graph.edges.select("src", "dst", "weight"))
     out: list[DataFrame] = []
     n_rounds = rounds if rounds is not None else max_rounds
     for r in range(1, n_rounds + 1):
-        sel, new_comp = boruvka_round(graph, comp, union_steps)
-        sel = truncate(sel)
+        sel, new_comp, crossed = boruvka_round(edges, comp, union_steps)
         if rounds is None and sel.limit(1).count() == 0:
             release(sel)
             break
         out.append(sel.withColumn("round", F.lit(r).cast("int")))
         new_comp = truncate(new_comp)
+        # feed the (already materialized) crossed set forward: an
+        # intra-component edge can never cross again, so round r+1 scans only
+        # round r's cross edges (geometric decay) instead of the full m-scale
+        # input
         release(comp)
-        comp = new_comp
+        release(edges)
+        comp, edges = new_comp, crossed
     spark = graph.edges.sparkSession
     if not out:
         empty = spark.createDataFrame(
