@@ -3357,13 +3357,18 @@ mc{r} AS MATERIALIZED (
 
 
 def _msf_sql() -> str:
-    """Unrolled Boruvka mirror of _q_msf_bounded."""
+    """Unrolled Boruvka mirror of _q_msf_bounded (incl. the cross-round
+    first-pick dedup: a partially-merged round may re-pick an edge)."""
     ctes, sels = _msf_chain()
     outs = [
-        f"SELECT a, b, weight, CAST({i} AS INT) AS round FROM {sel}"
+        f"SELECT a, b, weight, {i} AS r FROM {sel}"
         for i, sel in enumerate(sels, start=1)
     ]
-    return f"WITH {_EDGES_CTE}{ctes}\n" + "\nUNION ALL ".join(outs)
+    union = "\n  UNION ALL ".join(outs)
+    return f"""WITH {_EDGES_CTE}{ctes}
+SELECT a, b, weight, CAST(min(r) AS INT) AS round FROM (
+  {union})
+GROUP BY a, b, weight"""
 
 
 def _backbone_sql() -> str:

@@ -34,10 +34,15 @@ only the per-round selected forest (<= one edge per component). The label
 table is truncated (plans.lineage) every round so planning cost stays flat.
 
 ``union_steps`` bounds the per-round label-union iterations: ``None`` runs
-hash-to-min to convergence (library semantics — true Boruvka); a fixed int
-gives the deterministic bounded unroll the DuckDB correctness oracle mirrors
-step for step (pointer doubling covers forest depth 2**steps, far beyond any
-real per-round merge forest).
+hash-to-min to convergence (library semantics — true Boruvka, always a
+forest); a fixed int gives the deterministic bounded unroll the DuckDB
+correctness oracle mirrors step for step. Caveat at scale: pointer doubling
+covers merge-chain depth 2**steps, so with millions of components and a
+small ``union_steps`` a round may end with partially-merged labels — later
+rounds can then select edges inside an already-connected tree (cycles
+possible; duplicate picks are removed by the cross-round dedup in
+``boruvka_msf``). The bounded form is an oracle-parity kernel; use the
+converged default for the true MSF.
 """
 
 from __future__ import annotations
@@ -254,10 +259,19 @@ def boruvka_msf(
             [], "a long, b long, weight long, round int"
         )
         return empty, comp
-    edges = out[0]
+    forest = out[0]
     for df in out[1:]:
-        edges = edges.union(df)
-    return edges, comp
+        forest = forest.union(df)
+    # Dedup across rounds (keep the first pick): with a small ``union_steps``
+    # a long merge chain may not converge inside one round, so a later round
+    # can re-pick an edge whose endpoints already share a tree — at 9M
+    # components the depth-4 coverage of 2 doubling steps is exceeded and
+    # duplicates appear. Converged mode never produces them (the groupBy is
+    # then a data no-op at forest scale).
+    forest = forest.groupBy("a", "b", "weight").agg(
+        F.min("round").alias("round")
+    )
+    return forest, comp
 
 
 def msf_total_weight(msf_edges: DataFrame) -> int:
