@@ -1516,6 +1516,93 @@ def _q_ktruss(spark, sf_dir):
     return k_truss(g, KTRUSS_K, rounds=KTRUSS_ROUNDS)
 
 
+
+# ---- round-3 session additions: structure metrics, exact balls, weighted
+# dedup, bipartiteness, latency quantiles ----
+def _q_transitivity(spark, sf_dir):
+    """Global clustering coefficient: exact int64 (3T, wedges) + one rounded
+    IEEE ratio (operators/triangles.global_transitivity)."""
+    from kaminpar_spark.operators.triangles import global_transitivity
+
+    g, _ = _graph(spark, sf_dir)
+    return global_transitivity(g)
+
+
+def _q_rectangles(spark, sf_dir):
+    """Non-induced 4-cycle (rectangle) count via the codegree identity
+    C4 = (1/2) sum C(codeg, 2) — the general-graph sibling of the bipartite
+    butterfly count. Uncapped at oracle scale; max_num_neighbors is the
+    documented hub cap on real corpora."""
+    from kaminpar_spark.operators.triangles import rectangle_count
+
+    g, _ = _graph(spark, sf_dir)
+    return rectangle_count(g)
+
+
+TWO_HOP_SRC_MOD = 50
+
+
+def _q_two_hop_reach(spark, sf_dir):
+    """EXACT 2-hop ball sizes for sampled sources (id % 50 == 0) via the
+    shared multi-source BFS — the ground-truth twin of the ANF estimate."""
+    from kaminpar_spark.operators.paths import khop_ball_sizes
+
+    g, _ = _graph(spark, sf_dir)
+    seeds = g.nodes.where(F.col("id") % TWO_HOP_SRC_MOD == 0).select("id")
+    return khop_ball_sizes(g, seeds, hops=2)
+
+
+def _q_anf_rank_hist(spark, sf_dir):
+    """Exact ANF rank histogram (t, r_sum, cnt): the COMPLETE integer
+    sufficient statistic of the neighborhood-function curve — effective
+    diameter is a driver-side fold over this tiny table
+    (operators/anf.effective_diameter)."""
+    from kaminpar_spark.operators.anf import rank_histogram
+
+    g, _ = _graph(spark, sf_dir)
+    return rank_histogram(g, max_t=ANF_ROUNDS, streams=ANF_STREAMS)
+
+
+WJ_THRESH = 0.3
+
+
+def _q_weighted_jaccard(spark, sf_dir):
+    """EXACT weighted (multiset / Ruzicka) shingle Jaccard — catches
+    templated boilerplate that set Jaccard under-reports. w_inter/w_union
+    are exact int64; the ratio is one IEEE division."""
+    from kaminpar_spark.functions.dedup import weighted_jaccard_pairs
+
+    docs = _load(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
+    return weighted_jaccard_pairs(docs, threshold=WJ_THRESH)
+
+
+BIPARTITE_HOPS = 12
+
+
+def _q_bipartite_check(spark, sf_dir):
+    """Per-component odd-cycle detection: BFS-parity 2-coloring from each
+    component's min-id root, conflict-edge count per component; hop-bounded
+    with a NULL verdict for unreached nodes (never a wrong one)."""
+    from kaminpar_spark.operators.components import bipartite_check
+
+    g, _ = _graph(spark, sf_dir)
+    return bipartite_check(g, max_hops=BIPARTITE_HOPS)
+
+
+def _q_response_latency(spark, sf_dir):
+    """Per-agent EXACT p50/p90 user->assistant response latency via the
+    hub-safe histogram-cumsum quantile (window over DISTINCT gap values,
+    never over an actor's turn count)."""
+    from kaminpar_spark.sources.transcripts import (
+        response_latency_quantiles,
+        synth_transcripts,
+    )
+
+    n = _n_convs(spark, sf_dir)
+    return response_latency_quantiles(synth_transcripts(spark, n), n)
+
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "transcript_turns": _q_transcript_turns,
@@ -1549,6 +1636,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_rollup": _q_event_rollup,
         "actor_churn": _q_actor_churn,
         "triangle_count": _q_triangle_count,
+        "transitivity": _q_transitivity,
+        "rectangles": _q_rectangles,
+        "two_hop_reach": _q_two_hop_reach,
+        "anf_rank_hist3": _q_anf_rank_hist,
+        "weighted_jaccard": _q_weighted_jaccard,
+        "bipartite_check12": _q_bipartite_check,
+        "response_latency": _q_response_latency,
         "lp_step1": _q_lp_step1,
         "lpa_modularity": _q_lpa_modularity,
         "adjacency_jaccard": _q_adjacency_jaccard,
@@ -3527,6 +3621,154 @@ t{r} AS MATERIALIZED (
 SELECT a, b, support FROM sup{KTRUSS_ROUNDS} WHERE support >= {KTRUSS_K - 2}"""
 
 
+
+# ---- round-3 session-addition oracles ----
+_TRANSITIVITY_SQL = f"""WITH {_EDGES_CTE},
+oe AS MATERIALIZED (
+  SELECT e.src, e.dst
+  FROM edges e JOIN deg a ON e.src = a.id JOIN deg b ON e.dst = b.id
+  WHERE (a.degree < b.degree) OR (a.degree = b.degree AND e.src < e.dst)),
+t AS (SELECT count(*) AS tri FROM oe e1 JOIN oe e2 ON e1.dst = e2.src
+      JOIN oe e3 ON e3.src = e1.src AND e3.dst = e2.dst),
+w AS (SELECT sum(degree * (degree - 1) // 2) AS wedges FROM deg)
+SELECT CAST(3 * t.tri AS BIGINT) AS closed_wedges,
+       CAST(w.wedges AS BIGINT) AS wedges,
+       round(CAST(3 * t.tri AS DOUBLE) / w.wedges, 6) AS transitivity
+FROM t, w"""
+
+_RECTANGLES_SQL = f"""WITH {_EDGES_CTE},
+cn AS (SELECT l.dst AS u, r.dst AS w, count(*) AS c
+       FROM edges l JOIN edges r ON l.src = r.src AND l.dst < r.dst
+       GROUP BY 1, 2 HAVING count(*) >= 2),
+s AS (SELECT count(*) AS codeg_pairs, sum(c * (c - 1) // 2) AS diag_pairs FROM cn)
+SELECT CAST(codeg_pairs AS BIGINT) AS codeg_pairs,
+       CAST(diag_pairs AS BIGINT) AS diag_pairs,
+       CAST(diag_pairs // 2 AS BIGINT) AS rectangles
+FROM s"""
+
+_TWO_HOP_SQL = f"""WITH {_EDGES_CTE},
+seeds AS (SELECT id AS src FROM nodes WHERE id % {TWO_HOP_SRC_MOD} = 0),
+one AS (SELECT s.src, e.dst AS id FROM seeds s JOIN edges e ON e.src = s.src),
+two AS (SELECT o.src, e.dst AS id FROM one o JOIN edges e ON e.src = o.id),
+ball AS (SELECT src, id FROM one UNION SELECT src, id FROM two
+         UNION SELECT src, src AS id FROM seeds)
+SELECT src, CAST(count(*) AS BIGINT) AS ball_size FROM ball GROUP BY src"""
+
+
+def _anf_rank_hist_sql() -> str:
+    """Per-level GROUP BY r_sum over the shared unrolled ANF chain."""
+    rsum = _anf_rank_exprs()
+    levels = [
+        f"SELECT CAST({t} AS INT) AS t, CAST({rsum} AS BIGINT) AS r_sum,"
+        f" CAST(count(*) AS BIGINT) AS cnt FROM af{t} GROUP BY 2"
+        for t in range(ANF_ROUNDS + 1)
+    ]
+    return f"WITH {_EDGES_CTE}{_anf_chain()}\n" + "\nUNION ALL ".join(levels)
+
+
+_WEIGHTED_JACCARD_SQL = f"""
+WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents WHERE doc_id < 300),
+idx AS (SELECT doc_id, w, unnest(range(greatest(len(w) - 2, 1))) AS i FROM d),
+sh AS (
+  SELECT doc_id, array_to_string(array_slice(w, i + 1, i + 3), ' ') AS gram
+  FROM idx WHERE array_to_string(array_slice(w, i + 1, i + 3), ' ') <> ''),
+cnt AS (SELECT doc_id, gram, count(*) AS c FROM sh GROUP BY 1, 2),
+tot AS (SELECT doc_id, sum(c) AS tot FROM cnt GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, sum(least(a.c, b.c)) AS w_inter
+  FROM cnt a JOIN cnt b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT i.id_a, i.id_b,
+       CAST(i.w_inter AS BIGINT) AS w_inter,
+       CAST(ta.tot + tb.tot - i.w_inter AS BIGINT) AS w_union,
+       CAST(i.w_inter AS DOUBLE) / (ta.tot + tb.tot - i.w_inter) AS w_jaccard
+FROM inter i JOIN tot ta ON i.id_a = ta.doc_id JOIN tot tb ON i.id_b = tb.doc_id
+WHERE CAST(i.w_inter AS DOUBLE) / (ta.tot + tb.tot - i.w_inter) >= {WJ_THRESH}"""
+
+
+def _bipartite_sql() -> str:
+    """CC chain (same as _cc_sql) -> min-id roots -> one SHARED unrolled BFS
+    from all roots (disjoint components) -> parity colors -> per-component
+    conflict-edge count, NULL verdict when any endpoint is unreached."""
+    prev = "c0"
+    steps = ""
+    for i in range(1, CC_STEPS + 1):
+        steps += f""",
+c{i}a AS MATERIALIZED (
+  SELECT n.id, least(n.comp, coalesce(m.mn, n.comp)) AS comp
+  FROM {prev} n LEFT JOIN (
+    SELECT e.dst AS id, min(c.comp) AS mn
+    FROM edges e JOIN {prev} c ON e.src = c.id GROUP BY e.dst) m
+  ON n.id = m.id),
+c{i} AS MATERIALIZED (
+  SELECT a.id, coalesce(b.comp, a.comp) AS comp
+  FROM c{i}a a LEFT JOIN c{i}a b ON a.comp = b.id)"""
+        prev = f"c{i}"
+    bprev = "b0"
+    bf = ""
+    for i in range(1, BIPARTITE_HOPS + 1):
+        bf += f""",
+b{i} AS MATERIALIZED (
+  SELECT a.id,
+         CASE WHEN a.dist IS NULL THEN m.nd WHEN m.nd IS NULL THEN a.dist
+              ELSE least(a.dist, m.nd) END AS dist
+  FROM {bprev} a LEFT JOIN (
+    SELECT e.dst AS id, MIN(r.dist + 1) AS nd
+    FROM edges e JOIN {bprev} r ON e.src = r.id WHERE r.dist IS NOT NULL
+    GROUP BY e.dst) m ON a.id = m.id)"""
+        bprev = f"b{i}"
+    return f"""WITH {_EDGES_CTE},
+c0 AS (SELECT id, id AS comp FROM nodes){steps},
+cc AS (SELECT id, comp FROM {prev}),
+roots AS (SELECT DISTINCT comp AS id FROM cc),
+b0 AS (SELECT n.id, CASE WHEN r.id IS NOT NULL THEN CAST(0 AS BIGINT) END AS dist
+       FROM nodes n LEFT JOIN roots r ON n.id = r.id){bf},
+st AS (SELECT cc.id, cc.comp, col.dist % 2 AS color
+       FROM cc JOIN {bprev} col ON cc.id = col.id),
+ev AS (SELECT sa.comp,
+              sum(CASE WHEN sa.color IS NOT NULL AND sa.color = sb.color
+                       THEN 1 ELSE 0 END) AS conflict_edges,
+              sum(CASE WHEN sa.color IS NULL OR sb.color IS NULL
+                       THEN 1 ELSE 0 END) AS unreached_edges
+       FROM edges e JOIN st sa ON e.src = sa.id JOIN st sb ON e.dst = sb.id
+       WHERE e.src < e.dst GROUP BY sa.comp),
+sizes AS (SELECT comp, count(*) AS n_nodes,
+                 sum(CASE WHEN color IS NULL THEN 1 ELSE 0 END) AS unreached_nodes
+          FROM st GROUP BY comp)
+SELECT s.comp, CAST(s.n_nodes AS BIGINT) AS n_nodes,
+       CAST(coalesce(ev.conflict_edges, 0) AS BIGINT) AS conflict_edges,
+       CASE WHEN s.unreached_nodes > 0 OR coalesce(ev.unreached_edges, 0) > 0
+            THEN NULL
+            ELSE coalesce(ev.conflict_edges, 0) = 0 END AS is_bipartite
+FROM sizes s LEFT JOIN ev ON s.comp = ev.comp"""
+
+
+_RESPONSE_LATENCY_SQL = (
+    "WITH "
+    + _TRANSCRIPTS_CTE
+    + """,
+seq AS (
+  SELECT conv_id, turn_idx, role, c,
+         CAST(epoch(ts) AS BIGINT) AS ts_s,
+         lag(role) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev_role,
+         lag(CAST(epoch(ts) AS BIGINT)) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev_ts
+  FROM transcripts),
+gaps AS (
+  SELECT 'agent_' || CAST(c % 7 AS VARCHAR) AS actor, ts_s - prev_ts AS gap_s
+  FROM seq WHERE role = 'assistant' AND prev_role = 'user'),
+hist AS (SELECT actor, gap_s, count(*) AS cnt FROM gaps GROUP BY 1, 2),
+cum AS (SELECT actor, gap_s, cnt,
+               sum(cnt) OVER (PARTITION BY actor ORDER BY gap_s
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+               sum(cnt) OVER (PARTITION BY actor) AS n
+        FROM hist)
+SELECT actor, CAST(max(n) AS BIGINT) AS n_gaps,
+       CAST(min(CASE WHEN cum * 2 >= n THEN gap_s END) AS BIGINT) AS p50_s,
+       CAST(min(CASE WHEN cum * 10 >= n * 9 THEN gap_s END) AS BIGINT) AS p90_s
+FROM cum GROUP BY actor"""
+)
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "transcript_turns": f"WITH {_TRANSCRIPTS_CTE} "
@@ -3691,6 +3933,13 @@ idx AS (
 SELECT p.block, p.ids, p.indptr, i.indices, i.eweights
 FROM parts p JOIN idx i ON p.block = i.block""",
         "triangle_count": _TRIANGLE_SQL,
+        "transitivity": _TRANSITIVITY_SQL,
+        "rectangles": _RECTANGLES_SQL,
+        "two_hop_reach": _TWO_HOP_SQL,
+        "anf_rank_hist3": _anf_rank_hist_sql(),
+        "weighted_jaccard": _WEIGHTED_JACCARD_SQL,
+        "bipartite_check12": _bipartite_sql(),
+        "response_latency": _RESPONSE_LATENCY_SQL,
         "ppr5": _ppr_sql(),
         "lcc": _LCC_SQL,
         "lp_step1": _LP1_SQL,

@@ -570,3 +570,59 @@ def decontaminate(
         .withColumnRenamed("id", id_col)
     )
     return docs.join(contaminated, id_col, "left_anti")
+
+
+def weighted_jaccard_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(id_a, id_b, w_inter, w_union, w_jaccard) — EXACT weighted (multiset)
+    Jaccard / Ruzicka similarity over word n-gram shingle COUNTS for all
+    pairs sharing at least one shingle: sum(min(c_a, c_b)) / sum(max(c_a,
+    c_b)). The multiset view is what catches templated boilerplate that
+    repeats the same shingle many times — set Jaccard (ngram_jaccard_pairs)
+    saturates at 1 match per shingle and under-reports the overlap.
+
+    Exactness: w_inter and w_union are order-free int64 sums (w_union =
+    tot_a + tot_b - w_inter by inclusion-exclusion on multisets), so the
+    ratio is ONE IEEE division of two exact integers — hash-reproducible
+    cross-engine without rounding tricks. Scale shape: identical to
+    ngram_jaccard_pairs (shingle equi-join, quadratic only within a shared-
+    shingle bucket) — the exact-verification stage after LSH candidates, or
+    a small-corpus oracle."""
+    toks = F.split(F.lower(F.col(text_col)), " ")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - shingle_n, F.lit(0)))
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, shingle_n)))
+    counts = (
+        docs.select(F.col(id_col).alias("id"), F.explode(grams).alias("gram"))
+        .where(F.col("gram") != "")
+        .groupBy("id", F.xxhash64("gram").alias("shingle_hash"))
+        .agg(F.count("*").alias("c"))
+    )
+    totals = counts.groupBy("id").agg(F.sum("c").alias("tot"))
+    a = counts.select(F.col("id").alias("id_a"), "shingle_hash", F.col("c").alias("c_a"))
+    b = counts.select(F.col("id").alias("id_b"), "shingle_hash", F.col("c").alias("c_b"))
+    inter = (
+        a.join(b, "shingle_hash")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.sum(F.least("c_a", "c_b")).alias("w_inter"))
+    )
+    return (
+        inter.join(totals.select(F.col("id").alias("id_a"), F.col("tot").alias("tot_a")), "id_a")
+        .join(totals.select(F.col("id").alias("id_b"), F.col("tot").alias("tot_b")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.col("w_inter").cast("long").alias("w_inter"),
+            (F.col("tot_a") + F.col("tot_b") - F.col("w_inter")).cast("long").alias("w_union"),
+            (
+                F.col("w_inter")
+                / (F.col("tot_a") + F.col("tot_b") - F.col("w_inter"))
+            ).alias("w_jaccard"),
+        )
+        .where(F.col("w_jaccard") >= threshold)
+    )

@@ -196,3 +196,47 @@ def neighborhood_function(
         state = new
         out.append((t, read(state)))
     return out
+
+
+def rank_histogram(graph: GraphFrame, max_t: int = 3, streams: int = 4) -> DataFrame:
+    """(t, r_sum, cnt) — node counts by per-node rank sum after t
+    OR-supersteps, t = 0..max_t: the COMPLETE exact sufficient statistic of
+    the ANF neighborhood-function curve (hop_plot keeps only the global sum).
+    From this tiny table (<= (max_t+1) * (64*streams) rows) any ANF readout —
+    N(t) curve, effective diameter, per-radius growth — is a driver-side fold
+    with no further cluster work, and the table itself is integer-exact so it
+    hash-checks cross-engine."""
+    state = truncate(init_masks(graph.nodes, streams))
+    parts: list[DataFrame] = []
+    for t in range(max_t + 1):
+        if t > 0:
+            state = truncate(anf_round(graph, state, streams))
+        ranks = anf_ranks(state, streams)
+        parts.append(
+            ranks.groupBy("r_sum").agg(F.count("*").alias("cnt")).select(
+                F.lit(t).cast("int").alias("t"),
+                F.col("r_sum").cast("long").alias("r_sum"),
+                F.col("cnt").cast("long").alias("cnt"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.union(p)
+    return out
+
+
+def effective_diameter(
+    graph: GraphFrame, max_t: int = 3, streams: int = 4, quantile: float = 0.9
+) -> tuple[int, list[float]]:
+    """(eff_diameter, [N(0)..N(max_t)]) — smallest t whose estimated
+    neighborhood function reaches ``quantile`` of N(max_t) (the standard ANF
+    effective-diameter readout, Palmer/Gibbons/Faloutsos 2002). The curve is
+    folded driver-side from the exact rank histogram: N(t) =
+    sum over (r_sum, cnt) of cnt * 2^(r_sum/streams) / phi."""
+    hist = rank_histogram(graph, max_t, streams).collect()
+    curve = [0.0] * (max_t + 1)
+    for row in hist:
+        curve[row["t"]] += row["cnt"] * (2.0 ** (row["r_sum"] / float(streams))) / PHI
+    target = quantile * curve[max_t]
+    eff = next(t for t in range(max_t + 1) if curve[t] >= target)
+    return eff, curve

@@ -110,3 +110,69 @@ def largest_component(graph: GraphFrame, by_edges: bool = False) -> DataFrame:
         sizes = cc.groupBy("comp").agg(F.count("*").alias("sz"))
     top = sizes.orderBy(F.desc("sz"), F.asc("comp")).limit(1).select("comp")
     return cc.join(F.broadcast(top), "comp", "left_semi").select("id")
+
+
+def bipartite_check(graph: GraphFrame, max_hops: int = 12) -> DataFrame:
+    """(comp, n_nodes, conflict_edges, is_bipartite) — per-component odd-cycle
+    detection (the classic graph-processor companion to connected
+    components): 2-color each component by BFS parity from its root (the
+    component's min-id node), then count edges whose endpoints share a color.
+    A component is bipartite iff no such conflict edge exists.
+
+    Composition of two existing green kernels — hash-to-min components and
+    the SHARED multi-source BFS (one frontier join per round for every root
+    at once; roots live in disjoint components, so the |S| x n state of the
+    general kernel collapses to n reachable rows). ``max_hops`` bounds the
+    BFS; components with radius > max_hops get a NULL verdict rather than a
+    wrong one (unreached nodes are detected and the component flagged NULL).
+
+    Exactness: colors are dist % 2 on exact BFS levels; all outputs int64 /
+    bool — hash-checkable cross-engine."""
+    from kaminpar_spark.operators.paths import multi_source_distances
+
+    cc = connected_components(graph)
+    roots = cc.select(F.col("comp").alias("id")).distinct()
+    dist = multi_source_distances(graph, roots, max_hops=max_hops)
+    colors = (
+        dist.where(F.col("dist").isNotNull())
+        .select("id", (F.col("dist") % 2).alias("color"))
+        .groupBy("id")
+        .agg(F.min("color").alias("color"))
+    )
+    st = cc.join(colors, "id", "left")
+    ca = st.select(F.col("id").alias("src"), F.col("comp"), F.col("color").alias("col_a"))
+    cb = st.select(F.col("id").alias("dst"), F.col("color").alias("col_b"))
+    edge_verdict = (
+        graph.edges.select("src", "dst")
+        .where(F.col("src") < F.col("dst"))
+        .join(ca.hint("shuffle_hash"), "src")
+        .join(cb.hint("shuffle_hash"), "dst")
+        .groupBy("comp")
+        .agg(
+            F.sum(
+                (F.col("col_a").isNotNull() & (F.col("col_a") == F.col("col_b"))).cast("int")
+            ).alias("conflict_edges"),
+            F.sum((F.col("col_a").isNull() | F.col("col_b").isNull()).cast("int")).alias(
+                "unreached_edges"
+            ),
+        )
+    )
+    sizes = st.groupBy("comp").agg(
+        F.count("*").alias("n_nodes"),
+        F.sum(F.col("color").isNull().cast("int")).alias("unreached_nodes"),
+    )
+    return (
+        sizes.join(edge_verdict, "comp", "left")
+        .select(
+            "comp",
+            F.col("n_nodes").cast("long").alias("n_nodes"),
+            F.coalesce("conflict_edges", F.lit(0)).cast("long").alias("conflict_edges"),
+            F.when(
+                (F.col("unreached_nodes") > 0)
+                | (F.coalesce("unreached_edges", F.lit(0)) > 0),
+                F.lit(None).cast("boolean"),
+            )
+            .otherwise(F.coalesce("conflict_edges", F.lit(0)) == 0)
+            .alias("is_bipartite"),
+        )
+    )

@@ -24,15 +24,17 @@ def common_neighbors(
     graph: GraphFrame,
     min_common: int = 1,
     max_num_neighbors: int | None = None,
+    order_key=None,
 ) -> DataFrame:
     """(u, w, common) for u < w with at least ``min_common`` shared
     neighbors. Wedge join on the center; weights are ignored (set semantics,
-    matching the usual link-prediction definition)."""
+    matching the usual link-prediction definition). ``order_key`` overrides
+    the cap's ranking column (arithmetic mixer for oracle parity)."""
     edges = graph.edges
     if max_num_neighbors is not None:
         from kaminpar_spark.operators.preprocess import cap_neighbors
 
-        edges = cap_neighbors(graph, max_num_neighbors).edges
+        edges = cap_neighbors(graph, max_num_neighbors, order_key=order_key).edges
     left = edges.select(F.col("src").alias("v"), F.col("dst").alias("u"))
     right = edges.select(F.col("src").alias("v"), F.col("dst").alias("w"))
     wedges = left.join(right, "v").where(F.col("u") < F.col("w"))

@@ -218,3 +218,21 @@ def sssp(graph: GraphFrame, sources, max_hops: int = 20, runner=None) -> DataFra
     (exact SSSP once max_hops >= the shortest-path hop diameter; weights are
     the edge table's non-negative multiplicities)."""
     return distances(graph, sources, max_hops=max_hops, weighted=True, runner=runner)
+
+
+def khop_ball_sizes(graph: GraphFrame, sources, hops: int = 2) -> DataFrame:
+    """(src, ball_size) — EXACT |{v : dist(src, v) <= hops}| (including src)
+    per sampled source, via the shared multi-source BFS supersteps — the
+    exact ground-truth twin of the ANF ball estimate (operators.anf
+    .ball_estimates) for bounded source sets.
+
+    Scale shape: state is |S| x n rows, so callers keep the source set
+    sampled (the same contract as harmonic_centrality); the count is one
+    hash aggregate over the final distance state — no per-source driver
+    loop, no pair explosion beyond the BFS frontier joins themselves."""
+    dist = multi_source_distances(graph, sources, max_hops=hops)
+    return (
+        dist.where(F.col("dist").isNotNull() & (F.col("dist") <= hops))
+        .groupBy("src")
+        .agg(F.count("*").cast("long").alias("ball_size"))
+    )

@@ -174,3 +174,63 @@ def local_clustering_coefficient(graph: GraphFrame, round_digits: int = 6) -> Da
         .otherwise(F.lit(0.0))
         .alias("lcc"),
     )
+
+
+def global_transitivity(graph: GraphFrame) -> DataFrame:
+    """One row (closed_wedges, wedges, transitivity) — the global clustering
+    coefficient C = 3*triangles / wedges, where wedges = sum over nodes of
+    C(deg, 2) (paths of length 2 through each center).
+
+    Both counts are exact int64 (closed_wedges = 3*T), so the metric is
+    hash-checkable cross-engine; the ratio is one IEEE division rounded to 6
+    digits. Scale shape: the wedge denominator is ONE hash aggregate over the
+    degree table (no join); the triangle numerator reuses the degree-oriented
+    count, whose wedge fan-out is O(sqrt(m)) per node."""
+    spark = graph.nodes.sparkSession
+    t = triangle_count(graph)
+    wedges = graph.degrees().agg(
+        F.sum(F.expr("degree * (degree - 1) div 2")).cast("long").alias("wedges")
+    )
+    return wedges.select(
+        F.lit(3 * t).cast("long").alias("closed_wedges"),
+        "wedges",
+        F.round(F.lit(3 * t) / F.col("wedges"), 6).alias("transitivity"),
+    )
+
+
+def rectangle_count(
+    graph: GraphFrame,
+    max_num_neighbors: int | None = None,
+    order_key=None,
+) -> DataFrame:
+    """One row (codeg_pairs, diag_pairs, rectangles) — non-induced 4-cycle
+    (rectangle) count via the codegree identity: every 4-cycle u-v-w-x has
+    exactly two diagonal pairs {u,w} and {v,x}, and a pair {a,b} with
+    codeg(a,b) common neighbors is the diagonal of C(codeg, 2) cycles, so
+    C4 = (1/2) * sum over unordered pairs of C(codeg, 2) — the general-graph
+    sibling of the bipartite butterfly count (operators.bipartite).
+
+    - codeg_pairs: unordered pairs with >= 2 common neighbors (the only ones
+      that contribute).
+    - diag_pairs:  sum of C(codeg, 2) — exactly 2*C4 when uncapped.
+    - rectangles:  diag_pairs div 2 (exact: each cycle is double-counted).
+
+    Scale shape: codegrees come from the common-neighbors wedge join — each
+    center emits C(deg, 2) wedges, so UNCAPPED hubs are quadratic; pass
+    ``max_num_neighbors`` (deterministic neighbor-scan cap, same knob as
+    resource_allocation) at any real scale. Under a cap the symmetry behind
+    the div-2 breaks, so ``rectangles`` is then a deterministic lower-bound
+    estimate (floor of half the capped diagonal-pair sum)."""
+    from kaminpar_spark.operators.linkpred import common_neighbors
+
+    cn = common_neighbors(
+        graph, min_common=2, max_num_neighbors=max_num_neighbors, order_key=order_key
+    )
+    return cn.agg(
+        F.count("*").cast("long").alias("codeg_pairs"),
+        F.sum(F.expr("common * (common - 1) div 2")).cast("long").alias("diag_pairs"),
+    ).select(
+        "codeg_pairs",
+        "diag_pairs",
+        F.expr("diag_pairs div 2").cast("long").alias("rectangles"),
+    )

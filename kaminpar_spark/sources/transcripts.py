@@ -314,3 +314,56 @@ def merge_edges(old_edges: DataFrame, delta: DataFrame) -> DataFrame:
         .groupBy("src", "dst")
         .agg(F.sum("weight").cast("long").alias("weight"))
     )
+
+
+def response_latency_quantiles(transcripts: DataFrame, n_convs: int) -> DataFrame:
+    """(actor, n_gaps, p50_s, p90_s) — EXACT per-agent response-latency
+    quantiles: for every user turn immediately followed by an assistant turn
+    in the same conversation (stable turn order), the gap in seconds is
+    attributed to the responding agent actor; p50/p90 are the lower
+    empirical quantiles (smallest gap g with |{gaps <= g}| >= ceil(q * n)).
+
+    Scale shape — the hub-safe exact quantile for integer metrics: gaps are
+    first reduced to a per-(actor, gap_s) HISTOGRAM by hash aggregate
+    (map-side combine), then the cumulative-count window runs over the
+    histogram rows — partitions bounded by an actor's DISTINCT gap values
+    (<= max session gap in seconds), never by its turn count, so a
+    million-conversation agent costs the same window as a small one. All
+    outputs are exact int64 — no interpolation, hash-reproducible."""
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    t = transcripts.select(
+        "conv_id", "turn_idx", "role", "tool", "ts",
+        actor_column(n_convs).alias("actor"),
+    )
+    gaps = (
+        t.withColumn("prev_role", F.lag("role").over(w))
+        .withColumn("prev_ts", F.lag("ts").over(w))
+        .where((F.col("role") == "assistant") & (F.col("prev_role") == "user"))
+        .select(
+            "actor",
+            (F.unix_timestamp("ts") - F.unix_timestamp("prev_ts")).alias("gap_s"),
+        )
+    )
+    hist = gaps.groupBy("actor", "gap_s").agg(F.count("*").alias("cnt"))
+    cw = (
+        Window.partitionBy("actor")
+        .orderBy("gap_s")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = hist.select(
+        "actor", "gap_s", "cnt",
+        F.sum("cnt").over(cw).alias("cum"),
+        F.sum("cnt").over(Window.partitionBy("actor")).alias("n"),
+    )
+    return (
+        cum.groupBy("actor")
+        .agg(
+            F.max("n").cast("long").alias("n_gaps"),
+            F.min(
+                F.when(F.col("cum") * 2 >= F.col("n"), F.col("gap_s"))
+            ).cast("long").alias("p50_s"),
+            F.min(
+                F.when(F.col("cum") * 10 >= F.col("n") * 9, F.col("gap_s"))
+            ).cast("long").alias("p90_s"),
+        )
+    )
