@@ -1603,6 +1603,78 @@ def _q_response_latency(spark, sf_dir):
 
 
 
+
+SNM_WINDOW = 4
+SQ8_RERANK = 4
+
+
+def _q_snm_candidates(spark, sf_dir):
+    """Sorted-neighborhood (merge/purge) dedup candidates: pairs within
+    SNM_WINDOW positions of the prefix-key sort order — range-partition +
+    broadcast-offset global rank, never a single-partition window."""
+    from kaminpar_spark.functions.dedup import snm_candidate_pairs
+
+    docs = _load(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
+    return snm_candidate_pairs(docs, window=SNM_WINDOW)
+
+
+def _q_sq8_topk(spark, sf_dir):
+    """Scalar-quantized (int8-range) ANN: exact-int64 quantized dot-product
+    prefilter -> exact cosine rerank of SQ8_RERANK*k survivors."""
+    from kaminpar_spark.functions.similarity import sq8_topk
+
+    emb = _load(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 5)
+    return sq8_topk(emb, q, k=10, rerank=SQ8_RERANK)
+
+
+def _q_sq8_recall(spark, sf_dir):
+    """Recall@10 of the SQ8 prefilter+rerank path vs exact brute force."""
+    from kaminpar_spark.functions.similarity import brute_force_topk, sq8_topk
+
+    emb = _load(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 5)
+    exact = brute_force_topk(emb, q, k=10).select("qid", "nn_id")
+    approx = sq8_topk(emb, q, k=10, rerank=SQ8_RERANK).select("qid", "nn_id")
+    return _recall_df(exact, approx)
+
+
+def _q_edge_churn(spark, sf_dir):
+    """EDGE-level snapshot diff (companion to the actor-level actor_churn):
+    directed actor-pair link weights of two overlapping conversation slices
+    ([0, 2n/3) vs [n/3, n)), full-outer joined and rolled up per status
+    (added / removed / changed / same) — the drift readout an incremental
+    edge-table pipeline monitors between snapshots."""
+    from kaminpar_spark.sources.transcripts import synth_transcripts, turn_links
+
+    n = _n_convs(spark, sf_dir)
+    t = synth_transcripts(spark, n)
+    c = F.substring("conv_id", 6, 8).cast("long")
+    old = (
+        turn_links(t.where(c < 2 * n // 3), n)
+        .groupBy("a_src", "a_dst")
+        .agg(F.count("*").alias("w_old"))
+    )
+    new = (
+        turn_links(t.where(c >= n // 3), n)
+        .groupBy("a_src", "a_dst")
+        .agg(F.count("*").alias("w_new"))
+    )
+    j = old.join(new, ["a_src", "a_dst"], "full_outer")
+    status = (
+        F.when(F.col("w_old").isNull(), "added")
+        .when(F.col("w_new").isNull(), "removed")
+        .when(F.col("w_old") != F.col("w_new"), "changed")
+        .otherwise("same")
+    )
+    return j.groupBy(status.alias("status")).agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.sum(F.coalesce("w_old", F.lit(0))).cast("long").alias("total_old"),
+        F.sum(F.coalesce("w_new", F.lit(0))).cast("long").alias("total_new"),
+    )
+
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "transcript_turns": _q_transcript_turns,
@@ -1637,6 +1709,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "actor_churn": _q_actor_churn,
         "triangle_count": _q_triangle_count,
         "transitivity": _q_transitivity,
+        "snm_candidates": _q_snm_candidates,
+        "sq8_topk": _q_sq8_topk,
+        "sq8_recall": _q_sq8_recall,
+        "edge_churn": _q_edge_churn,
         "rectangles": _q_rectangles,
         "two_hop_reach": _q_two_hop_reach,
         "anf_rank_hist3": _q_anf_rank_hist,
@@ -3769,6 +3845,84 @@ FROM cum GROUP BY actor"""
 )
 
 
+
+_SNM_SQL = f"""
+WITH r AS (SELECT doc_id,
+                  row_number() OVER (ORDER BY substr(lower(text), 1, 24), doc_id) - 1 AS r
+           FROM documents WHERE doc_id < 300)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b
+FROM r a JOIN r b ON b.r > a.r AND b.r - a.r <= {SNM_WINDOW}"""
+
+
+def _sq8_topk_sql() -> str:
+    """DuckDB twin of similarity.sq8_topk: identical round(x*127) lattice,
+    identical exact-int64 prefilter order (iscore desc, nn_id), identical
+    cosine rerank — candidate sets match bit-for-bit, so the reranked top-10
+    is hash-exact."""
+    from kaminpar_spark.functions.similarity import SQ8_SCALE
+
+    dot = (
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform(range(1, {EMB_DIM + 1}), i -> q.qq8[i] * e.eq8[i])), "
+        "(acc, x) -> acc + x)"
+    )
+    return f"""
+WITH q8 AS (SELECT vec_id, list_transform(embedding,
+              x -> CAST(round(CAST(x AS DOUBLE) * {SQ8_SCALE}, 0) AS BIGINT)) AS q8
+            FROM embeddings),
+q AS (SELECT vec_id AS qid, q8 AS qq8 FROM q8 WHERE vec_id < 5),
+e AS (SELECT vec_id AS nn_id, q8 AS eq8 FROM q8),
+scored AS (
+  SELECT q.qid, e.nn_id, {dot} AS iscore
+  FROM q, e WHERE e.nn_id <> q.qid),
+cand AS (
+  SELECT qid, nn_id FROM (
+    SELECT qid, nn_id,
+           row_number() OVER (PARTITION BY qid ORDER BY iscore DESC, nn_id ASC) AS rn
+    FROM scored) t WHERE rn <= 10 * {SQ8_RERANK}),
+rer AS (
+  SELECT c.qid, c.nn_id,
+         round(CAST(list_cosine_similarity(qq.embedding, ee.embedding) AS DOUBLE), 4) AS cos
+  FROM cand c JOIN embeddings qq ON c.qid = qq.vec_id
+              JOIN embeddings ee ON c.nn_id = ee.vec_id)
+SELECT qid, nn_id, cos FROM (
+  SELECT qid, nn_id, cos,
+         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nn_id ASC) AS rn
+  FROM rer) t WHERE rn <= 10"""
+
+
+_EDGE_CHURN_SQL = (
+    "WITH "
+    + _TRANSCRIPTS_CTE
+    + """,
+at2 AS (
+  SELECT conv_id, turn_idx, c,
+    CASE WHEN role = 'user' THEN 'user_' || CAST(c % greatest(1, (SELECT count(*) // 4 FROM orders)) AS VARCHAR)
+         WHEN role = 'assistant' THEN 'agent_' || CAST(c % 7 AS VARCHAR)
+         ELSE tool END AS actor
+  FROM transcripts),
+lk AS (
+  SELECT c, lag(actor) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS a_src,
+         actor AS a_dst
+  FROM at2
+  QUALIFY a_src IS NOT NULL AND a_src <> a_dst),
+w1 AS (SELECT a_src, a_dst, count(*) AS w_old FROM lk
+       WHERE c < 2 * (SELECT count(*) FROM orders) // 3 GROUP BY 1, 2),
+w2 AS (SELECT a_src, a_dst, count(*) AS w_new FROM lk
+       WHERE c >= (SELECT count(*) FROM orders) // 3 GROUP BY 1, 2),
+j AS (SELECT w1.w_old, w2.w_new
+      FROM w1 FULL OUTER JOIN w2
+      ON w1.a_src = w2.a_src AND w1.a_dst = w2.a_dst)
+SELECT CASE WHEN w_old IS NULL THEN 'added'
+            WHEN w_new IS NULL THEN 'removed'
+            WHEN w_old <> w_new THEN 'changed' ELSE 'same' END AS status,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum(coalesce(w_old, 0)) AS BIGINT) AS total_old,
+       CAST(sum(coalesce(w_new, 0)) AS BIGINT) AS total_new
+FROM j GROUP BY 1"""
+)
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "transcript_turns": f"WITH {_TRANSCRIPTS_CTE} "
@@ -3934,6 +4088,10 @@ SELECT p.block, p.ids, p.indptr, i.indices, i.eweights
 FROM parts p JOIN idx i ON p.block = i.block""",
         "triangle_count": _TRIANGLE_SQL,
         "transitivity": _TRANSITIVITY_SQL,
+        "snm_candidates": _SNM_SQL,
+        "sq8_topk": _sq8_topk_sql(),
+        "sq8_recall": _recall_sql(_sq8_topk_sql()),
+        "edge_churn": _EDGE_CHURN_SQL,
         "rectangles": _RECTANGLES_SQL,
         "two_hop_reach": _TWO_HOP_SQL,
         "anf_rank_hist3": _anf_rank_hist_sql(),

@@ -626,3 +626,48 @@ def weighted_jaccard_pairs(
         )
         .where(F.col("w_jaccard") >= threshold)
     )
+
+
+def snm_candidate_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 4,
+    key_len: int = 24,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """(id_a, id_b) sorted-neighborhood candidate pairs (Hernandez/Stolfo
+    merge/purge): sort documents by a normalized prefix key and emit every
+    pair within ``window`` positions of the sorted order (0 < rank_b -
+    rank_a <= window; id_a is the lower-RANK document). Complements the
+    hash-bucket families — it catches prefix-anchored near-dups in templated
+    corpora with exactly ~n*window candidates, independent of bucket skew.
+
+    Scale shape: the global sort rank is the range-partition + broadcast-
+    offset pattern (ids.sorted_rank — no single-partition window); the
+    neighbor join is an equi-join on bucket = rank div window where each
+    right row probes its own and the previous bucket, so every qualifying
+    pair is produced exactly once and no bucket is ever quadratic (bucket
+    size == window)."""
+    from kaminpar_spark.ids import sorted_rank
+
+    key = F.substring(F.lower(F.col(text_col)), 1, key_len)
+    base = docs.select(F.col(id_col).alias("id"), key.alias("k"))
+    ranked = sorted_rank(base, ["k", "id"], num_partitions=num_partitions, out="r")
+    a = ranked.select(
+        F.col("id").alias("id_a"),
+        F.col("r").alias("ra"),
+        F.expr(f"r div {window}").alias("bk"),
+    )
+    b = ranked.select(
+        F.col("id").alias("id_b"),
+        F.col("r").alias("rb"),
+        F.explode(
+            F.array(F.expr(f"r div {window}"), F.expr(f"r div {window} - 1"))
+        ).alias("bk"),
+    )
+    return (
+        a.join(b, "bk")
+        .where((F.col("rb") > F.col("ra")) & (F.col("rb") - F.col("ra") <= window))
+        .select("id_a", "id_b")
+    )

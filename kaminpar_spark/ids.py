@@ -81,3 +81,49 @@ def dense_ids_by_order(df: DataFrame, key: str, out: str = "dense_id") -> DataFr
         .distinct()
         .withColumn(out, (F.dense_rank().over(w) - 1).cast("long"))
     )
+
+
+def sorted_rank(
+    df: DataFrame,
+    key_cols: list[str],
+    num_partitions: int | None = None,
+    out: str = "rank",
+) -> DataFrame:
+    """Input columns + ``out`` = global 0-based SORT rank over ``key_cols``
+    (callers append a unique tiebreaker column for a total order) — the
+    order-preserving sibling of dense_ids, again WITHOUT a single-partition
+    window:
+
+    1. range-repartition by the keys (Spark samples split points, so ranges
+       are balanced), sort within partitions, FREEZE the layout (truncate —
+       same AQE-stability argument as dense_ids),
+    2. count rows per range partition (P scalar rows to the driver),
+    3. broadcast cumulative offsets,
+    4. rank = offset(pid) + row_number within the range partition — the
+       window partitions by pid, so its sort is bounded by one range
+       partition, never the whole table.
+    """
+    if num_partitions is None:
+        num_partitions = int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+        )
+    from kaminpar_spark.plans.lineage import truncate
+
+    cols = [F.col(c) for c in key_cols]
+    part = df.repartitionByRange(num_partitions, *cols).sortWithinPartitions(*cols)
+    part = truncate(part.withColumn("_pid", F.spark_partition_id()))
+    counts = part.groupBy("_pid").count().collect()
+    sizes = {r["_pid"]: r["count"] for r in counts}
+    offsets, acc = [], 0
+    for pid in sorted(sizes):
+        offsets.append((pid, acc))
+        acc += sizes[pid]
+    off_df = F.broadcast(
+        df.sparkSession.createDataFrame(offsets or [(0, 0)], "_pid int, _off long")
+    )
+    w = Window.partitionBy("_pid").orderBy(*cols)
+    return (
+        part.join(off_df, "_pid")
+        .withColumn(out, (F.col("_off") + F.row_number().over(w) - 1).cast("long"))
+        .drop("_pid", "_off")
+    )
