@@ -1675,6 +1675,51 @@ def _q_edge_churn(spark, sf_dir):
 
 
 
+
+WL_ROUNDS = 2
+OOV_VOCAB = 500
+SMOOTH_ROUNDS = 2
+SMOOTH_DIM = 8  # first 8 embedding components as node features
+
+
+def _q_wl_classes(spark, sf_dir):
+    """1-WL color refinement after WL_ROUNDS rounds (operators/wl.py):
+    multiset-hash relabeling — hub-safe (no per-node sort), bit-reproducible
+    modular arithmetic."""
+    from kaminpar_spark.operators.wl import wl_refine
+
+    g, _ = _graph(spark, sf_dir)
+    return wl_refine(g, rounds=WL_ROUNDS)
+
+
+def _q_oov_rate(spark, sf_dir):
+    """Per-document OOV rate vs the corpus' own top-OOV_VOCAB token
+    vocabulary (tokenizer-coverage gate)."""
+    from kaminpar_spark.functions.text import oov_stats
+
+    return oov_stats(_load(spark, sf_dir, "documents"), vocab_size=OOV_VOCAB)
+
+
+def _q_feature_smooth(spark, sf_dir):
+    """SGC-style 2-round degree-normalized feature smoothing on the exact
+    int64 lattice (operators/gnn.smoothed_features); features = first
+    SMOOTH_DIM embedding components assigned by id mod |embeddings|."""
+    from kaminpar_spark.operators.gnn import smoothed_features
+
+    g, _ = _graph(spark, sf_dir)
+    emb = _load(spark, sf_dir, "embeddings")
+    n_vecs = emb.count()
+    feats = g.nodes.join(
+        F.broadcast(emb),
+        F.pmod(F.col("id"), F.lit(n_vecs)) == F.col("vec_id"),
+    ).select("id", F.slice("embedding", 1, SMOOTH_DIM).alias("feat"))
+    out = smoothed_features(g, feats, dim=SMOOTH_DIM, rounds=SMOOTH_ROUNDS)
+    return out.select(
+        "id", *[F.col("q")[i].alias(f"q{i}") for i in range(SMOOTH_DIM)]
+    )
+
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "transcript_turns": _q_transcript_turns,
@@ -1710,6 +1755,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangle_count": _q_triangle_count,
         "transitivity": _q_transitivity,
         "snm_candidates": _q_snm_candidates,
+        "wl_classes2": _q_wl_classes,
+        "oov_rate": _q_oov_rate,
+        "feature_smooth2": _q_feature_smooth,
         "sq8_topk": _q_sq8_topk,
         "sq8_recall": _q_sq8_recall,
         "edge_churn": _q_edge_churn,
@@ -3923,6 +3971,85 @@ FROM j GROUP BY 1"""
 )
 
 
+
+def _wl_sql() -> str:
+    """Unrolled 1-WL refinement twin: identical modular multiset-hash
+    arithmetic (operators/wl.py constants)."""
+    from kaminpar_spark.operators.wl import WL_A, WL_B, WL_MOD
+
+    prev = "wl0"
+    steps = ""
+    for r in range(1, WL_ROUNDS + 1):
+        steps += f""",
+wl{r} AS MATERIALIZED (
+  SELECT s.id,
+         ((s.wl * {WL_B}) % {WL_MOD} + coalesce(n.sh, 0) % {WL_MOD}
+          + coalesce(n.cnt, 0)) % {WL_MOD} AS wl
+  FROM {prev} s LEFT JOIN (
+    SELECT e.dst AS id, sum((c.wl * {WL_A} + 1) % {WL_MOD}) AS sh,
+           count(*) AS cnt
+    FROM edges e JOIN {prev} c ON e.src = c.id GROUP BY e.dst) n
+  ON s.id = n.id)"""
+        prev = f"wl{r}"
+    return f"""WITH {_EDGES_CTE},
+wl0 AS (SELECT id, degree % {WL_MOD} AS wl FROM deg){steps}
+SELECT id, CAST(wl AS BIGINT) AS wl FROM {prev}"""
+
+
+_OOV_SQL = f"""
+WITH tk AS (
+  SELECT doc_id AS id, unnest(string_split(lower(text), ' ')) AS tok
+  FROM documents),
+tk2 AS (SELECT id, tok FROM tk WHERE tok <> ''),
+vocab AS (
+  SELECT tok FROM (
+    SELECT tok, count(*) AS n FROM tk2 GROUP BY tok
+    ORDER BY n DESC, tok ASC LIMIT {OOV_VOCAB}) v)
+SELECT id, CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+       CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS oov_share
+FROM tk2 t LEFT JOIN vocab v ON t.tok = v.tok
+GROUP BY id"""
+
+
+def _feature_smooth_sql() -> str:
+    """Unrolled SGC smoothing twin: same floor(x*2^20) lattice, same
+    positive-mod floor division — integer-exact at every round."""
+    from kaminpar_spark.operators.gnn import QUANT_SCALE
+
+    sc = QUANT_SCALE
+    prev = "q0"
+    steps = ""
+    for r in range(1, SMOOTH_ROUNDS + 1):
+        steps += f""",
+g{r} AS (SELECT e.dst AS id, q.pos, q.qv FROM edges e JOIN {prev} q ON e.src = q.id),
+a{r} AS (SELECT id, pos, sum(qv) AS sm, count(*) AS c FROM g{r} GROUP BY id, pos),
+q{r} AS MATERIALIZED (
+  SELECT q.id, q.pos,
+         (q.qv + coalesce(a.sm, 0)
+          - (((q.qv + coalesce(a.sm, 0)) % (coalesce(a.c, 0) + 1)
+              + (coalesce(a.c, 0) + 1)) % (coalesce(a.c, 0) + 1)))
+         // (coalesce(a.c, 0) + 1) AS qv
+  FROM {prev} q LEFT JOIN a{r} a ON q.id = a.id AND q.pos = a.pos)"""
+        prev = f"q{r}"
+    cols = ",\n       ".join(
+        f"CAST(max(CASE WHEN pos = {i} THEN qv END) AS BIGINT) AS q{i}"
+        for i in range(SMOOTH_DIM)
+    )
+    return f"""WITH {_EDGES_CTE},
+feat AS MATERIALIZED (
+  SELECT n.id, e.embedding
+  FROM nodes n JOIN embeddings e
+    ON n.id % (SELECT count(*) FROM embeddings) = e.vec_id),
+q0 AS MATERIALIZED (
+  SELECT id, p.pos,
+         CAST(floor(CAST(embedding[p.pos + 1] AS DOUBLE) * {sc}) AS BIGINT) AS qv
+  FROM feat CROSS JOIN (SELECT unnest(range({SMOOTH_DIM})) AS pos) p){steps}
+SELECT id,
+       {cols}
+FROM {prev} GROUP BY id"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "transcript_turns": f"WITH {_TRANSCRIPTS_CTE} "
@@ -4089,6 +4216,9 @@ FROM parts p JOIN idx i ON p.block = i.block""",
         "triangle_count": _TRIANGLE_SQL,
         "transitivity": _TRANSITIVITY_SQL,
         "snm_candidates": _SNM_SQL,
+        "wl_classes2": _wl_sql(),
+        "oov_rate": _OOV_SQL,
+        "feature_smooth2": _feature_smooth_sql(),
         "sq8_topk": _sq8_topk_sql(),
         "sq8_recall": _recall_sql(_sq8_topk_sql()),
         "edge_churn": _EDGE_CHURN_SQL,

@@ -269,3 +269,52 @@ def tfidf_top_terms(
         .where(F.col("rnk") <= k)
         .drop("rnk")
     )
+
+
+def oov_stats(
+    docs: DataFrame,
+    vocab_size: int = 1000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, n_tokens, n_oov, oov_share) — per-document out-of-vocabulary rate
+    against the corpus' own top-``vocab_size`` tokens (ties broken by token
+    string, fully deterministic). The standard tokenizer-coverage gate when
+    sizing a vocabulary for a training corpus: documents with a high OOV
+    share under the candidate vocab are flagged before tokenizer training.
+
+    Scale shape: token frequencies are ONE hash aggregate; the vocabulary is
+    a TakeOrdered top-k (distributed partial top-k, only vocab_size rows to
+    the driver plan); membership is a broadcast left join; the per-doc
+    rollup is one more hash aggregate. oov_share is an exactly-rounded IEEE
+    division of two exact int64 counts."""
+    toks = (
+        docs.select(
+            F.col(id_col).alias("id"),
+            F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("tok"),
+        )
+        .where(F.col("tok") != "")
+    )
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("tok"))
+        .limit(vocab_size)
+        .select("tok", F.lit(1).alias("in_vocab"))
+    )
+    return (
+        toks.join(F.broadcast(vocab), "tok", "left")
+        .groupBy("id")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_oov"),
+        )
+        .select(
+            "id",
+            "n_tokens",
+            "n_oov",
+            (F.col("n_oov") / F.col("n_tokens")).alias("oov_share"),
+        )
+    )

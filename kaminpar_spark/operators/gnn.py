@@ -95,3 +95,63 @@ def neighbor_mean_features(
             ]
         ).alias("nbr_mean"),
     )
+
+
+def smoothed_features(
+    graph: GraphFrame,
+    feats: DataFrame,
+    dim: int,
+    rounds: int = 2,
+    feat_col: str = "feat",
+    scale: int = QUANT_SCALE,
+) -> DataFrame:
+    """(id, q array<long>) — SGC-style feature propagation (Wu et al. 2019,
+    "Simplifying Graph Convolutional Networks"): ``rounds`` applications of
+    the degree-normalized self-loop smoother, on the exact int64 lattice:
+
+        q'[i] = floor_div(q[i] + Σ_nbr q_nbr[i], 1 + deg)
+
+    Each round is ONE salted gather + ONE hash aggregate with dim fixed JVM
+    sum columns (the nbr_mean shape) + a floor division kept in exact
+    integer arithmetic ((num - pmod(num, den)) div den — no double roundtrip), so the
+    result after any number of rounds is bit-reproducible cross-engine.
+    Unfeatured nodes contribute nothing and keep q = floor(0) (callers
+    supply a feature row per node; the join is left so missing rows become
+    zero vectors, documented)."""
+    from kaminpar_spark.plans.lineage import truncate
+
+    q = quantize_features(feats, dim, feat_col, scale)
+    state = (
+        graph.nodes.select("id")
+        .join(q, "id", "left")
+        .select(
+            "id",
+            F.coalesce(
+                "q", F.array(*[F.lit(0).cast("long") for _ in range(dim)])
+            ).alias("q"),
+        )
+    )
+    state = truncate(state)
+    for _ in range(rounds):
+        gathered = graph.gather(state, ["q"])
+        sums = gathered.groupBy(F.col("dst").alias("id")).agg(
+            F.count("*").alias("cnt"),
+            *[F.sum(F.col("q")[i]).alias(f"s{i}") for i in range(dim)],
+        )
+        # name the numerators, then floor-divide in pure int64:
+        # (num - pmod(num, den)) div den — numerator is an exact multiple of
+        # den, so truncating div == floor div; never leaves integer land.
+        tmp = state.join(sums.hint("shuffle_hash"), "id", "left").select(
+            "id",
+            (F.coalesce(F.col("cnt"), F.lit(0)) + F.lit(1)).alias("den"),
+            *[
+                (F.col("q")[i] + F.coalesce(F.col(f"s{i}"), F.lit(0))).alias(f"num{i}")
+                for i in range(dim)
+            ],
+        )
+        comps = [
+            F.expr(f"(num{i} - pmod(num{i}, den)) div den").cast("long")
+            for i in range(dim)
+        ]
+        state = truncate(tmp.select("id", F.array(*comps).alias("q")))
+    return state
