@@ -1720,6 +1720,77 @@ def _q_feature_smooth(spark, sf_dir):
 
 
 
+
+RICH_CLUB_KS = (1, 2, 4, 8, 16, 32)
+
+
+def _q_ego_density(spark, sf_dir):
+    """OddBall-style ego-net features (Akoglu et al. 2010): for every node,
+    ego_nodes = deg+1, ego_edges = deg + triangles(v) (edges inside the
+    1-hop ego net), and the density ratio — the classic star-vs-clique
+    anomaly axis. Pure composition of the green degree + per-node triangle
+    kernels; exact ints + one rounded IEEE division."""
+    from kaminpar_spark.operators.triangles import triangles_per_node
+
+    g, _ = _graph(spark, sf_dir)
+    tri = triangles_per_node(g)
+    deg = g.degrees().select("id", "degree")
+    return tri.join(deg, "id").select(
+        "id",
+        (F.col("degree") + 1).cast("long").alias("ego_nodes"),
+        (F.col("degree") + F.col("triangles")).cast("long").alias("ego_edges"),
+        F.when(
+            F.col("degree") >= 2,
+            F.round(
+                (F.col("degree") + F.col("triangles"))
+                / (F.col("degree") + 1)
+                / F.col("degree")
+                * 2,
+                6,
+            ),
+        )
+        .otherwise(F.lit(None).cast("double"))
+        .alias("ego_density"),
+    )
+
+
+def _q_rich_club(spark, sf_dir):
+    """Rich-club profile: for each degree threshold k, the number of nodes
+    with degree > k and the number of (undirected) edges among them —
+    the exact integer sufficient statistic of the rich-club coefficient
+    phi(k) = 2*E_k / (N_k * (N_k - 1)). One degree table + one semi-joined
+    edge aggregate per threshold, unioned (|K| ~ 6 thresholds)."""
+    g, _ = _graph(spark, sf_dir)
+    deg = g.degrees().select("id", "degree")
+    und = g.edges.where(F.col("src") < F.col("dst")).select("src", "dst")
+    parts = []
+    for k in RICH_CLUB_KS:
+        rich = deg.where(F.col("degree") > k).select("id")
+        n_rich = rich.count()
+        e_rich = (
+            und.join(rich.withColumnRenamed("id", "src"), "src", "left_semi")
+            .join(rich.withColumnRenamed("id", "dst"), "dst", "left_semi")
+            .count()
+        )
+        parts.append((k, n_rich, e_rich))
+    return spark.createDataFrame(parts, "k int, n_rich long, rich_edges long")
+
+
+def _q_wl_quotient(spark, sf_dir):
+    """Structural-equivalence collapse: contract the graph by its round-2
+    1-WL classes (quotient multigraph with summed weights) — WL refinement
+    composed with the green A1 contraction kernel; the summarization a
+    100 TB pipeline runs before per-class analytics."""
+    from kaminpar_spark.operators.contraction import contract
+    from kaminpar_spark.operators.wl import wl_refine
+
+    g, _ = _graph(spark, sf_dir)
+    clustering = wl_refine(g, rounds=WL_ROUNDS).select("id", F.col("wl").alias("cluster"))
+    res = contract(g, clustering, stable_ids=True)
+    return res.coarse.edges.select("src", "dst", F.col("weight").cast("long").alias("weight"))
+
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "transcript_turns": _q_transcript_turns,
@@ -1756,6 +1827,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transitivity": _q_transitivity,
         "snm_candidates": _q_snm_candidates,
         "wl_classes2": _q_wl_classes,
+        "ego_density": _q_ego_density,
+        "rich_club": _q_rich_club,
+        "wl_quotient": _q_wl_quotient,
         "oov_rate": _q_oov_rate,
         "feature_smooth2": _q_feature_smooth,
         "sq8_topk": _q_sq8_topk,
@@ -3972,13 +4046,15 @@ FROM j GROUP BY 1"""
 
 
 
-def _wl_sql() -> str:
-    """Unrolled 1-WL refinement twin: identical modular multiset-hash
-    arithmetic (operators/wl.py constants)."""
+def _wl_chain() -> str:
+    """Unrolled 1-WL CTE chain wl0..wl{WL_ROUNDS} (shared by the wl_classes2
+    and wl_quotient oracles): identical modular multiset-hash arithmetic
+    (operators/wl.py constants)."""
     from kaminpar_spark.operators.wl import WL_A, WL_B, WL_MOD
 
     prev = "wl0"
-    steps = ""
+    steps = f""",
+wl0 AS (SELECT id, degree % {WL_MOD} AS wl FROM deg)"""
     for r in range(1, WL_ROUNDS + 1):
         steps += f""",
 wl{r} AS MATERIALIZED (
@@ -3991,9 +4067,12 @@ wl{r} AS MATERIALIZED (
     FROM edges e JOIN {prev} c ON e.src = c.id GROUP BY e.dst) n
   ON s.id = n.id)"""
         prev = f"wl{r}"
-    return f"""WITH {_EDGES_CTE},
-wl0 AS (SELECT id, degree % {WL_MOD} AS wl FROM deg){steps}
-SELECT id, CAST(wl AS BIGINT) AS wl FROM {prev}"""
+    return steps
+
+
+def _wl_sql() -> str:
+    return f"""WITH {_EDGES_CTE}{_wl_chain()}
+SELECT id, CAST(wl AS BIGINT) AS wl FROM wl{WL_ROUNDS}"""
 
 
 _OOV_SQL = f"""
@@ -4048,6 +4127,57 @@ q0 AS MATERIALIZED (
 SELECT id,
        {cols}
 FROM {prev} GROUP BY id"""
+
+
+
+_EGO_SQL = f"""WITH {_EDGES_CTE},
+oe AS MATERIALIZED (
+  SELECT e.src, e.dst
+  FROM edges e JOIN deg a ON e.src = a.id JOIN deg b ON e.dst = b.id
+  WHERE (a.degree < b.degree) OR (a.degree = b.degree AND e.src < e.dst)),
+tri AS MATERIALIZED (
+  SELECT e1.src AS u, e1.dst AS v, e2.dst AS w
+  FROM oe e1 JOIN oe e2 ON e1.dst = e2.src
+             JOIN oe e3 ON e3.src = e1.src AND e3.dst = e2.dst),
+pern AS (
+  SELECT id, count(*) AS t FROM (
+    SELECT u AS id FROM tri UNION ALL SELECT v FROM tri UNION ALL SELECT w FROM tri) x
+  GROUP BY id)
+SELECT d.id,
+       CAST(d.degree + 1 AS BIGINT) AS ego_nodes,
+       CAST(d.degree + coalesce(p.t, 0) AS BIGINT) AS ego_edges,
+       CASE WHEN d.degree >= 2
+            THEN round(CAST(d.degree + coalesce(p.t, 0) AS DOUBLE)
+                       / (d.degree + 1) / d.degree * 2, 6)
+       END AS ego_density
+FROM deg d LEFT JOIN pern p ON d.id = p.id"""
+
+
+def _rich_club_sql() -> str:
+    rows = []
+    for k in RICH_CLUB_KS:
+        rows.append(f"""
+  SELECT CAST({k} AS INT) AS k,
+         CAST((SELECT count(*) FROM deg WHERE degree > {k}) AS BIGINT) AS n_rich,
+         CAST((SELECT count(*) FROM und u
+               JOIN deg a ON u.src = a.id JOIN deg b ON u.dst = b.id
+               WHERE a.degree > {k} AND b.degree > {k}) AS BIGINT) AS rich_edges""")
+    return (
+        f"WITH {_EDGES_CTE},\nund AS (SELECT src, dst FROM edges WHERE src < dst)"
+        + "\nUNION ALL".join(rows)
+    )
+
+
+def _wl_quotient_sql() -> str:
+    """WL chain + dense_rank densification + quotient-edge aggregate (the
+    contract() twin under stable_ids)."""
+    return f"""WITH {_EDGES_CTE}{_wl_chain()},
+cm AS (SELECT wl, dense_rank() OVER (ORDER BY wl) - 1 AS c_id
+       FROM (SELECT DISTINCT wl FROM wl{WL_ROUNDS}) x),
+mp AS (SELECT w.id, cm.c_id FROM wl{WL_ROUNDS} w JOIN cm ON w.wl = cm.wl)
+SELECT ms.c_id AS src, md.c_id AS dst, CAST(sum(e.weight) AS BIGINT) AS weight
+FROM edges e JOIN mp ms ON e.src = ms.id JOIN mp md ON e.dst = md.id
+WHERE ms.c_id <> md.c_id GROUP BY 1, 2"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -4217,6 +4347,9 @@ FROM parts p JOIN idx i ON p.block = i.block""",
         "transitivity": _TRANSITIVITY_SQL,
         "snm_candidates": _SNM_SQL,
         "wl_classes2": _wl_sql(),
+        "ego_density": _EGO_SQL,
+        "rich_club": _rich_club_sql(),
+        "wl_quotient": _wl_quotient_sql(),
         "oov_rate": _OOV_SQL,
         "feature_smooth2": _feature_smooth_sql(),
         "sq8_topk": _sq8_topk_sql(),
