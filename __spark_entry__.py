@@ -1735,7 +1735,7 @@ def _q_ego_density(spark, sf_dir):
     g, _ = _graph(spark, sf_dir)
     tri = triangles_per_node(g)
     deg = g.degrees().select("id", "degree")
-    return tri.join(deg, "id").select(
+    return tri.join(deg.hint("shuffle_hash"), "id").select(
         "id",
         (F.col("degree") + 1).cast("long").alias("ego_nodes"),
         (F.col("degree") + F.col("triangles")).cast("long").alias("ego_edges"),

@@ -651,9 +651,15 @@ def snm_candidate_pairs(
     size == window)."""
     from kaminpar_spark.ids import sorted_rank
 
+    from kaminpar_spark.plans.lineage import truncate
+
     key = F.substring(F.lower(F.col(text_col)), 1, key_len)
     base = docs.select(F.col(id_col).alias("id"), key.alias("k"))
-    ranked = sorted_rank(base, ["k", "id"], num_partitions=num_partitions, out="r")
+    # materialize: the ranked table feeds BOTH sides of the self-join; an
+    # unmaterialized plan recomputes the rank window twice
+    ranked = truncate(
+        sorted_rank(base, ["k", "id"], num_partitions=num_partitions, out="r")
+    )
     a = ranked.select(
         F.col("id").alias("id_a"),
         F.col("r").alias("ra"),
@@ -667,7 +673,7 @@ def snm_candidate_pairs(
         ).alias("bk"),
     )
     return (
-        a.join(b, "bk")
+        a.join(b.hint("shuffle_hash"), "bk")
         .where((F.col("rb") > F.col("ra")) & (F.col("rb") - F.col("ra") <= window))
         .select("id_a", "id_b")
     )

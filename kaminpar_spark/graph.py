@@ -125,7 +125,7 @@ class GraphFrame:
         )
         return (
             self.nodes.select("id")
-            .join(d, self.nodes.id == d.src, "left")
+            .join(d.hint("shuffle_hash"), self.nodes.id == d.src, "left")
             .select(
                 "id",
                 F.coalesce("degree", F.lit(0)).cast("long").alias("degree"),

@@ -139,7 +139,7 @@ def bipartite_check(graph: GraphFrame, max_hops: int = 12) -> DataFrame:
         .groupBy("id")
         .agg(F.min("color").alias("color"))
     )
-    st = cc.join(colors, "id", "left")
+    st = cc.join(colors.hint("shuffle_hash"), "id", "left")
     ca = st.select(F.col("id").alias("src"), F.col("comp"), F.col("color").alias("col_a"))
     cb = st.select(F.col("id").alias("dst"), F.col("color").alias("col_b"))
     edge_verdict = (
@@ -162,7 +162,7 @@ def bipartite_check(graph: GraphFrame, max_hops: int = 12) -> DataFrame:
         F.sum(F.col("color").isNull().cast("int")).alias("unreached_nodes"),
     )
     return (
-        sizes.join(edge_verdict, "comp", "left")
+        sizes.join(edge_verdict.hint("shuffle_hash"), "comp", "left")
         .select(
             "comp",
             F.col("n_nodes").cast("long").alias("n_nodes"),

@@ -51,19 +51,21 @@ def contract(
         cmap = dense_ids(
             clustering.select("cluster"), "cluster", num_partitions=num_partitions, out="c_id"
         )
-    mapping = clustering.join(cmap, "cluster").select("id", "c_id")
+    mapping = clustering.join(cmap.hint("shuffle_hash"), "cluster").select("id", "c_id")
 
     c_nodes = (
-        graph.nodes.join(mapping, "id")
+        graph.nodes.join(mapping.hint("shuffle_hash"), "id")
         .groupBy("c_id")
         .agg(F.sum("weight").alias("weight"))
         .select(F.col("c_id").alias("id"), "weight")
     )
     m_src = mapping.select(F.col("id").alias("src"), F.col("c_id").alias("c_src"))
     m_dst = mapping.select(F.col("id").alias("dst"), F.col("c_id").alias("c_dst"))
+    # shuffle_hash: mapping is n-scale vs the m-scale edge side; stats-less
+    # truncated leaves otherwise SMJ-sort the edges twice per contraction
     c_edges = (
-        graph.edges.join(m_src, "src")
-        .join(m_dst, "dst")
+        graph.edges.join(m_src.hint("shuffle_hash"), "src")
+        .join(m_dst.hint("shuffle_hash"), "dst")
         .where(F.col("c_src") != F.col("c_dst"))
         .groupBy("c_src", "c_dst")
         .agg(F.sum("weight").alias("weight"))

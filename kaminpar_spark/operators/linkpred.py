@@ -37,7 +37,9 @@ def common_neighbors(
         edges = cap_neighbors(graph, max_num_neighbors, order_key=order_key).edges
     left = edges.select(F.col("src").alias("v"), F.col("dst").alias("u"))
     right = edges.select(F.col("src").alias("v"), F.col("dst").alias("w"))
-    wedges = left.join(right, "v").where(F.col("u") < F.col("w"))
+    # shuffle_hash: both sides are m-scale stats-less leaves - an unhinted
+    # plan SMJ-sorts the edge table (the r2 plan-audit pattern)
+    wedges = left.join(right.hint("shuffle_hash"), "v").where(F.col("u") < F.col("w"))
     return (
         wedges.groupBy("u", "w")
         .agg(F.count("*").alias("common"))
@@ -81,7 +83,7 @@ def resource_allocation(
     left = edges.select(F.col("src").alias("v"), F.col("dst").alias("u"))
     right = edges.select(F.col("src").alias("v"), F.col("dst").alias("w"))
     wedges = (
-        left.join(right, "v")
+        left.join(right.hint("shuffle_hash"), "v")
         .where(F.col("u") < F.col("w"))
         .join(deg.hint("shuffle_hash"), "v")
     )
@@ -105,8 +107,8 @@ def adjacency_jaccard(
     du = deg.select(F.col("id").alias("u"), F.col("degree").alias("deg_u"))
     dw = deg.select(F.col("id").alias("w"), F.col("degree").alias("deg_w"))
     return (
-        common.join(du, "u")
-        .join(dw, "w")
+        common.join(du.hint("shuffle_hash"), "u")
+        .join(dw.hint("shuffle_hash"), "w")
         .select(
             "u",
             "w",

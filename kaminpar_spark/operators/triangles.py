@@ -22,11 +22,18 @@ from kaminpar_spark.graph import GraphFrame
 def oriented_edges(graph: GraphFrame) -> DataFrame:
     """One directed edge per undirected edge, low→high by (degree, id)."""
     deg = graph.edges.groupBy("src").agg(F.count("*").alias("d"))
+    # shuffle_hash: deg is n-scale vs the m-scale edge side; stats-less
+    # leaves otherwise SMJ-sort the edge table twice (r2 plan-audit pattern)
     e = (
-        graph.edges.join(deg.withColumnRenamed("src", "s2"), F.col("src") == F.col("s2"))
+        graph.edges.join(
+            deg.withColumnRenamed("src", "s2").hint("shuffle_hash"),
+            F.col("src") == F.col("s2"),
+        )
         .select("src", "dst", F.col("d").alias("d_src"))
         .join(
-            deg.select(F.col("src").alias("d2id"), F.col("d").alias("d_dst")),
+            deg.select(F.col("src").alias("d2id"), F.col("d").alias("d_dst")).hint(
+                "shuffle_hash"
+            ),
             F.col("dst") == F.col("d2id"),
         )
         .select("src", "dst", "d_src", "d_dst")
@@ -53,9 +60,9 @@ def triangle_count(graph: GraphFrame) -> int:
     e = truncate(oriented_edges(graph))
     w1 = e.select(F.col("src").alias("u"), F.col("dst").alias("v"))
     w2 = e.select(F.col("src").alias("v"), F.col("dst").alias("w"))
-    wedges = w1.join(w2, "v").select("u", "w")
+    wedges = w1.join(w2.hint("shuffle_hash"), "v").select("u", "w")
     closing = e.select(F.col("src").alias("u"), F.col("dst").alias("w"))
-    n = wedges.join(closing, ["u", "w"], "inner").count()
+    n = wedges.join(closing.hint("shuffle_hash"), ["u", "w"], "inner").count()
     return int(n)
 
 
@@ -66,9 +73,9 @@ def triangles_per_node(graph: GraphFrame) -> DataFrame:
     e = truncate(oriented_edges(graph))
     w1 = e.select(F.col("src").alias("u"), F.col("dst").alias("v"))
     w2 = e.select(F.col("src").alias("v"), F.col("dst").alias("w"))
-    wedges = w1.join(w2, "v").select("u", "v", "w")
+    wedges = w1.join(w2.hint("shuffle_hash"), "v").select("u", "v", "w")
     closing = e.select(F.col("src").alias("u"), F.col("dst").alias("w"))
-    tri = wedges.join(closing, ["u", "w"], "inner").select("u", "v", "w")
+    tri = wedges.join(closing.hint("shuffle_hash"), ["u", "w"], "inner").select("u", "v", "w")
     per = (
         tri.select(F.explode(F.array("u", "v", "w")).alias("id"))
         .groupBy("id")
@@ -76,7 +83,7 @@ def triangles_per_node(graph: GraphFrame) -> DataFrame:
     )
     return (
         graph.nodes.select("id")
-        .join(per, "id", "left")
+        .join(per.hint("shuffle_hash"), "id", "left")
         .select("id", F.coalesce("triangles", F.lit(0)).cast("long").alias("triangles"))
     )
 
@@ -97,9 +104,9 @@ def edge_support(graph: GraphFrame) -> DataFrame:
     e = truncate(oriented_edges(graph))
     w1 = e.select(F.col("src").alias("u"), F.col("dst").alias("v"))
     w2 = e.select(F.col("src").alias("v"), F.col("dst").alias("w"))
-    wedges = w1.join(w2, "v").select("u", "v", "w")
+    wedges = w1.join(w2.hint("shuffle_hash"), "v").select("u", "v", "w")
     closing = e.select(F.col("src").alias("u"), F.col("dst").alias("w"))
-    tri = wedges.join(closing, ["u", "w"], "inner").select("u", "v", "w")
+    tri = wedges.join(closing.hint("shuffle_hash"), ["u", "w"], "inner").select("u", "v", "w")
     tri_edges = tri.select(
         F.explode(
             F.array(
