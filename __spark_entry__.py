@@ -1791,6 +1791,23 @@ def _q_wl_quotient(spark, sf_dir):
 
 
 
+
+CURRICULUM_BATCH = 32
+
+
+def _q_curriculum(spark, sf_dir):
+    """Length-curriculum batch plan (short-to-long global order via the
+    scalable sorted_rank, cut into CURRICULUM_BATCH-doc batches; per-batch
+    token stats). max_tokens is non-decreasing across batches by
+    construction — the auditability property curriculum training needs."""
+    from kaminpar_spark.functions.pipeline import curriculum_batches
+
+    return curriculum_batches(
+        _load(spark, sf_dir, "documents"), batch_size=CURRICULUM_BATCH
+    )
+
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "transcript_turns": _q_transcript_turns,
@@ -1828,6 +1845,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snm_candidates": _q_snm_candidates,
         "wl_classes2": _q_wl_classes,
         "ego_density": _q_ego_density,
+        "curriculum_batches": _q_curriculum,
         "rich_club": _q_rich_club,
         "wl_quotient": _q_wl_quotient,
         "oov_rate": _q_oov_rate,
@@ -4180,6 +4198,22 @@ FROM edges e JOIN mp ms ON e.src = ms.id JOIN mp md ON e.dst = md.id
 WHERE ms.c_id <> md.c_id GROUP BY 1, 2"""
 
 
+
+_CURRICULUM_SQL = f"""
+WITH base AS (
+  SELECT doc_id AS id,
+         greatest(len(string_split(text, ' ')), 1) AS n_tokens
+  FROM documents),
+r AS (SELECT id, n_tokens,
+             (row_number() OVER (ORDER BY n_tokens, id) - 1) // {CURRICULUM_BATCH} AS batch
+      FROM base)
+SELECT batch, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(min(n_tokens) AS BIGINT) AS min_tokens,
+       CAST(max(n_tokens) AS BIGINT) AS max_tokens
+FROM r GROUP BY batch"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "transcript_turns": f"WITH {_TRANSCRIPTS_CTE} "
@@ -4348,6 +4382,7 @@ FROM parts p JOIN idx i ON p.block = i.block""",
         "snm_candidates": _SNM_SQL,
         "wl_classes2": _wl_sql(),
         "ego_density": _EGO_SQL,
+        "curriculum_batches": _CURRICULUM_SQL,
         "rich_club": _rich_club_sql(),
         "wl_quotient": _wl_quotient_sql(),
         "oov_rate": _OOV_SQL,

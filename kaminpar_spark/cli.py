@@ -24,7 +24,7 @@ def load_graph(spark, path: str, symmetrize: bool):
     from kaminpar_spark.sources.metis import read_metis
     from kaminpar_spark.sources.snap import read_snap
 
-    if path.startswith(("gnm:", "rgg2d:")):
+    if path.startswith(("gnm:", "rgg2d:", "ws:")):
         # synthetic input, e.g. -G gnm:n=1000000,m=10000000,seed=1 — the
         # generator runs distributed, no file round-trip (sources.generators)
         from kaminpar_spark.sources import generators
@@ -32,7 +32,8 @@ def load_graph(spark, path: str, symmetrize: bool):
         kind, spec = path.split(":", 1)
         kw = {k: (float(v) if "." in v else int(v)) for k, v in
               (item.split("=") for item in spec.split(","))}
-        return getattr(generators, "gnm_random" if kind == "gnm" else "rgg2d")(spark, **kw)
+        fn = {"gnm": "gnm_random", "rgg2d": "rgg2d", "ws": "watts_strogatz"}[kind]
+        return getattr(generators, fn)(spark, **kw)
     if path.endswith(".graph"):
         return read_metis(spark, path)
     if path.endswith(".mtx"):

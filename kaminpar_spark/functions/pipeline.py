@@ -263,3 +263,41 @@ def domain_mix_rebalance(
         .where(F.col("bucket") < F.col("_rate") * resolution)
         .select(id_col, strata_col, "bucket")
     )
+
+
+def curriculum_batches(
+    docs: DataFrame,
+    batch_size: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(batch, n_docs, total_tokens, min_tokens, max_tokens) — length-
+    curriculum batch plan: documents globally ordered by (token count, id) —
+    the classic short-to-long curriculum — and cut into consecutive batches
+    of ``batch_size``. The per-batch stats are what a training scheduler
+    consumes (and what makes curriculum leakage auditable: max_tokens must
+    be non-decreasing across batches).
+
+    Scale shape: the global order comes from ids.sorted_rank (range
+    partition + broadcast offsets — no single-partition window); batch
+    assignment is a map-only rank div; the rollup is one hash aggregate.
+    All outputs exact int64."""
+    from kaminpar_spark.ids import sorted_rank
+
+    base = docs.select(
+        F.col(id_col).alias("id"),
+        F.greatest(F.size(F.split(F.col(text_col), " ")), F.lit(1))
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    ranked = sorted_rank(base, ["n_tokens", "id"], out="r")
+    return (
+        ranked.select("id", "n_tokens", F.expr(f"r div {batch_size}").alias("batch"))
+        .groupBy("batch")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.min("n_tokens").cast("long").alias("min_tokens"),
+            F.max("n_tokens").cast("long").alias("max_tokens"),
+        )
+    )

@@ -225,3 +225,40 @@ def grid2d(
     return GraphFrame.from_edge_pairs(
         right.unionByName(down), nodes=all_nodes, symmetrize=True
     )
+
+
+def watts_strogatz(
+    spark: SparkSession,
+    n: int,
+    k: int,
+    rewire_pct: int = 10,
+    seed: int = 42,
+    num_partitions: int | None = None,
+) -> GraphFrame:
+    """Watts–Strogatz small-world graph: ring lattice (each node linked to
+    its k/2 clockwise neighbors) with each lattice edge's far endpoint
+    rewired to a uniform random node with probability rewire_pct/100 —
+    the standard small-world interpolation (high clustering of the lattice,
+    low diameter of the random graph).
+
+    Fully distributed and deterministic: the edge list is a map-only
+    projection of spark.range(n) x offsets (no sequential attachment like
+    Barabási–Albert), rewire decisions and targets are xxhash64 mixes of
+    (node, offset, seed) — reproducible at any partitioning. Rewired
+    self-loops fall back to the lattice endpoint; parallel edges merge with
+    weight = multiplicity (from_edge_pairs contract)."""
+    half = k // 2
+    r = spark.range(n, numPartitions=num_partitions)
+    offs = F.explode(F.array(*[F.lit(o) for o in range(1, half + 1)])).alias("off")
+    base = r.select(F.col("id").alias("src"), offs)
+    lattice_dst = (F.col("src") + F.col("off")) % F.lit(n)
+    rewire = F.pmod(_mix64(F.col("src") * F.lit(1 << 20) + F.col("off"), seed), F.lit(100))
+    rand_dst = _uniform(F.col("src") * F.lit(1 << 20) + F.col("off"), seed + 1, n)
+    dst = F.when(
+        (rewire < F.lit(rewire_pct)) & (rand_dst != F.col("src")), rand_dst
+    ).otherwise(lattice_dst)
+    pairs = base.select("src", dst.alias("dst")).where(F.col("src") != F.col("dst"))
+    all_nodes = spark.range(n, numPartitions=num_partitions).select(
+        F.col("id"), F.lit(1).cast("long").alias("weight")
+    )
+    return GraphFrame.from_edge_pairs(pairs, nodes=all_nodes, symmetrize=True)
