@@ -1808,6 +1808,22 @@ def _q_curriculum(spark, sf_dir):
 
 
 
+
+def _q_edge_stress(spark, sf_dir):
+    """Sampled EDGE betweenness / stress (Girvan-Newman): per undirected
+    edge, the exact-int64 sigma*(1+g) credit over the id%1000 source sample;
+    the float e_betweenness column rides the same sweep (pytest-validated,
+    IEEE order)."""
+    from kaminpar_spark.operators.centrality import brandes_edge_centrality
+
+    g, _ = _graph(spark, sf_dir)
+    srcs = g.nodes.where(F.col("id") % HARMONIC_SRC_MOD == 0).select("id")
+    return brandes_edge_centrality(g, srcs, max_hops=STRESS_HOPS).select(
+        "a", "b", "e_stress"
+    )
+
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "transcript_turns": _q_transcript_turns,
@@ -1846,6 +1862,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wl_classes2": _q_wl_classes,
         "ego_density": _q_ego_density,
         "curriculum_batches": _q_curriculum,
+        "edge_stress4": _q_edge_stress,
         "rich_club": _q_rich_club,
         "wl_quotient": _q_wl_quotient,
         "oov_rate": _q_oov_rate,
@@ -4214,6 +4231,27 @@ SELECT batch, CAST(count(*) AS BIGINT) AS n_docs,
 FROM r GROUP BY batch"""
 
 
+
+def _edge_stress_sql() -> str:
+    """Edge-level readout of the SAME unrolled Brandes chain as
+    brandes_stress4: DAG edge (v, w) with dist_w = dist_v + 1 carries
+    sigma_v * (1 + g_w); canonical undirected pairs, 0 for edges off all
+    sampled DAGs."""
+    full = _stress_sql()
+    # reuse the chain: strip the node-level readout (everything after b0)
+    chain = full[: full.rindex("SELECT n.id")].rstrip()
+    return f"""{chain},
+ec AS (
+  SELECT least(e.src, w.id) AS a, greatest(e.src, w.id) AS b,
+         v.sigma * (1 + w.g) AS c
+  FROM b0 w JOIN edges e ON e.dst = w.id
+            JOIN b0 v ON v.s = w.s AND v.id = e.src AND v.dist = w.dist - 1),
+per AS (SELECT a, b, sum(c) AS st FROM ec GROUP BY a, b)
+SELECT u.a, u.b, CAST(coalesce(p.st, 0) AS BIGINT) AS e_stress
+FROM (SELECT src AS a, dst AS b FROM edges WHERE src < dst) u
+LEFT JOIN per p ON u.a = p.a AND u.b = p.b"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "transcript_turns": f"WITH {_TRANSCRIPTS_CTE} "
@@ -4383,6 +4421,7 @@ FROM parts p JOIN idx i ON p.block = i.block""",
         "wl_classes2": _wl_sql(),
         "ego_density": _EGO_SQL,
         "curriculum_batches": _CURRICULUM_SQL,
+        "edge_stress4": _edge_stress_sql(),
         "rich_club": _rich_club_sql(),
         "wl_quotient": _wl_quotient_sql(),
         "oov_rate": _OOV_SQL,

@@ -222,3 +222,68 @@ def brandes_centrality(
             F.coalesce("betweenness", F.lit(0.0)).alias("betweenness"),
         )
     )
+
+
+def brandes_edge_centrality(
+    graph: GraphFrame, sources, max_hops: int = 8
+) -> DataFrame:
+    """(a, b, e_stress, e_betweenness) per undirected edge {a < b} — sampled
+    EDGE betweenness (the Girvan–Newman centrality): a DAG edge (v, w)
+    (dist(w) = dist(v)+1 from source s) carries credit σ_s(v)/σ_s(w)·(1+δ_s(w));
+    summing over sampled sources gives the classic community-splitting edge
+    score. ``e_stress`` is the all-integer analog σ_s(v)·(1+g_s(w)) — exact,
+    order-free, the oracle-checked column (same split as node Brandes).
+
+    Shape: the SAME forward/backward sweeps as brandes_centrality (shared
+    multi-source supersteps); edge credits then come from ONE post-pass —
+    edges ⋈ final state on both endpoints with the dist+1 DAG filter, one
+    hash aggregate per canonical pair. Every undirected edge is present
+    (0 for edges off all sampled shortest-path DAGs)."""
+    spark = graph.nodes.sparkSession
+    if isinstance(sources, DataFrame):
+        src_df = sources.select(F.col("id").alias("src"))
+    else:
+        src_df = spark.createDataFrame([(int(i),) for i in sources], "src long")
+    src_df = truncate(src_df)
+    fwd = _forward_sssp_dag(graph, src_df, max_hops)
+    acc = _backward_accumulate(graph, fwd, max_hops)
+    w_side = acc.select(
+        "s",
+        F.col("id").alias("dst"),
+        F.col("dist").alias("dist_w"),
+        F.col("sigma").alias("sigma_w"),
+        "g",
+        "delta",
+    )
+    v_side = acc.select(
+        "s",
+        F.col("id").alias("src"),
+        F.col("dist").alias("dist_v"),
+        F.col("sigma").alias("sigma_v"),
+    )
+    ec = (
+        graph.edges.select("src", "dst")
+        .join(w_side.hint("shuffle_hash"), "dst")
+        .join(v_side.hint("shuffle_hash"), ["s", "src"])
+        .where(F.col("dist_v") == F.col("dist_w") - 1)
+        .select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+            (F.col("sigma_v") * (F.lit(1) + F.col("g"))).alias("sc"),
+            (F.col("sigma_v") * (F.lit(1.0) + F.col("delta")) / F.col("sigma_w")).alias(
+                "bc"
+            ),
+        )
+    )
+    per_edge = ec.groupBy("a", "b").agg(
+        F.sum("sc").alias("e_stress"), F.sum("bc").alias("e_betweenness")
+    )
+    und = graph.edges.where(F.col("src") < F.col("dst")).select(
+        F.col("src").alias("a"), F.col("dst").alias("b")
+    )
+    return und.join(per_edge.hint("shuffle_hash"), ["a", "b"], "left").select(
+        "a",
+        "b",
+        F.coalesce("e_stress", F.lit(0)).cast("long").alias("e_stress"),
+        F.coalesce("e_betweenness", F.lit(0.0)).alias("e_betweenness"),
+    )
