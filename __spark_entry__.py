@@ -1824,6 +1824,33 @@ def _q_edge_stress(spark, sf_dir):
 
 
 
+
+GN_CUT = 100  # e_stress cut threshold (sf-tuned: isolates the top bridges)
+
+
+def _q_gn_split(spark, sf_dir):
+    """One Girvan-Newman round as a pure composition of green kernels:
+    compute sampled edge stress, CUT every edge with e_stress >= GN_CUT
+    (the high-betweenness community bridges), then connected components of
+    the remainder — (comp, size) of the resulting community split."""
+    from kaminpar_spark.graph import GraphFrame
+    from kaminpar_spark.operators.centrality import brandes_edge_centrality
+    from kaminpar_spark.operators.components import connected_components
+    from kaminpar_spark.plans.lineage import truncate
+
+    g, _ = _graph(spark, sf_dir)
+    srcs = g.nodes.where(F.col("id") % HARMONIC_SRC_MOD == 0).select("id")
+    es = brandes_edge_centrality(g, srcs, max_hops=STRESS_HOPS)
+    keep = es.where(F.col("e_stress") < GN_CUT).select("a", "b")
+    edges = keep.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionByName(
+        keep.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    ).withColumn("weight", F.lit(1).cast("long"))
+    cut_g = GraphFrame(edges=truncate(edges), nodes=g.nodes)
+    cc = connected_components(cut_g)
+    return cc.groupBy("comp").agg(F.count("*").cast("long").alias("size"))
+
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "transcript_turns": _q_transcript_turns,
@@ -1863,6 +1890,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ego_density": _q_ego_density,
         "curriculum_batches": _q_curriculum,
         "edge_stress4": _q_edge_stress,
+        "gn_split": _q_gn_split,
         "rich_club": _q_rich_club,
         "wl_quotient": _q_wl_quotient,
         "oov_rate": _q_oov_rate,
@@ -4252,6 +4280,36 @@ FROM (SELECT src AS a, dst AS b FROM edges WHERE src < dst) u
 LEFT JOIN per p ON u.a = p.a AND u.b = p.b"""
 
 
+
+def _gn_split_sql() -> str:
+    """Edge-stress chain -> cut >= GN_CUT -> unrolled CC (hash-to-min +
+    pointer doubling) on the remaining symmetric edges -> component sizes."""
+    full = _edge_stress_sql()
+    chain = full[: full.rindex("SELECT u.a")].rstrip()
+    steps = ""
+    prev = "g0"
+    for i in range(1, CC_STEPS + 1):
+        steps += f""",
+g{i}a AS MATERIALIZED (
+  SELECT n.id, least(n.comp, coalesce(m.mn, n.comp)) AS comp
+  FROM {prev} n LEFT JOIN (
+    SELECT e.dst AS id, min(c.comp) AS mn
+    FROM kept e JOIN {prev} c ON e.src = c.id GROUP BY e.dst) m
+  ON n.id = m.id),
+g{i} AS MATERIALIZED (
+  SELECT a.id, coalesce(b.comp, a.comp) AS comp
+  FROM g{i}a a LEFT JOIN g{i}a b ON a.comp = b.id)"""
+        prev = f"g{i}"
+    return f"""{chain},
+eall AS (SELECT u.a, u.b, coalesce(p.st, 0) AS st
+         FROM (SELECT src AS a, dst AS b FROM edges WHERE src < dst) u
+         LEFT JOIN per p ON u.a = p.a AND u.b = p.b),
+kept AS (SELECT a AS src, b AS dst FROM eall WHERE st < {GN_CUT}
+         UNION ALL SELECT b AS src, a AS dst FROM eall WHERE st < {GN_CUT}),
+g0 AS (SELECT id, id AS comp FROM nodes){steps}
+SELECT comp, CAST(count(*) AS BIGINT) AS size FROM {prev} GROUP BY comp"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "transcript_turns": f"WITH {_TRANSCRIPTS_CTE} "
@@ -4422,6 +4480,7 @@ FROM parts p JOIN idx i ON p.block = i.block""",
         "ego_density": _EGO_SQL,
         "curriculum_batches": _CURRICULUM_SQL,
         "edge_stress4": _edge_stress_sql(),
+        "gn_split": _gn_split_sql(),
         "rich_club": _rich_club_sql(),
         "wl_quotient": _wl_quotient_sql(),
         "oov_rate": _OOV_SQL,

@@ -90,3 +90,28 @@ def test_edge_stress_er_oracle(spark):
     for e, (st, bt) in out.items():
         assert st == es[e], e
         assert abs(bt - eb[e]) < 1e-7, e
+
+
+def test_gn_one_round_splits_bridge(spark):
+    """Cutting the max-edge-betweenness edge disconnects the two triangles
+    (one Girvan-Newman round)."""
+    from pyspark.sql import functions as F
+
+    from kaminpar_spark.graph import GraphFrame
+    from kaminpar_spark.operators.components import connected_components
+    from kaminpar_spark.plans.lineage import truncate
+
+    pairs = [(0, 1), (1, 2), (2, 0), (3, 4), (4, 5), (5, 3), (2, 3)]
+    g = _graph(spark, pairs)
+    es = brandes_edge_centrality(g, list(range(6)), max_hops=4)
+    top = es.orderBy(F.desc("e_stress")).first()
+    assert (top["a"], top["b"]) == (2, 3)
+    keep = es.where(F.col("e_stress") < top["e_stress"]).select("a", "b")
+    edges = (
+        keep.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .unionByName(keep.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+        .withColumn("weight", F.lit(1).cast("long"))
+    )
+    cc = connected_components(GraphFrame(edges=truncate(edges), nodes=g.nodes))
+    comps = {r["comp"] for r in cc.collect()}
+    assert comps == {0, 3}  # the two triangles
