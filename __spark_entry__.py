@@ -1851,6 +1851,46 @@ def _q_gn_split(spark, sf_dir):
 
 
 
+
+NEG_PROBES = 8
+NEG_SEED_MOD = 25
+
+
+def _q_cycle_stats(spark, sf_dir):
+    """Directed-cycle readout of the SCC labels (one row): total SCCs,
+    non-trivial SCCs, nodes on directed cycles, largest SCC — the
+    cycle-detection summary the condensation pipeline starts from."""
+    from kaminpar_spark.operators.scc import strongly_connected_components
+    from kaminpar_spark.sources.transcripts import synth_transcripts, transcript_digraph
+
+    n = _n_convs(spark, sf_dir)
+    edges, _ = transcript_digraph(synth_transcripts(spark, n), n, stable_ids=True)
+    sizes = strongly_connected_components(edges).groupBy("scc").agg(
+        F.count("*").alias("sz")
+    )
+    return sizes.agg(
+        F.count("*").cast("long").alias("n_sccs"),
+        F.sum((F.col("sz") > 1).cast("int")).cast("long").alias("n_nontrivial"),
+        F.sum(F.when(F.col("sz") > 1, F.col("sz")).otherwise(0))
+        .cast("long")
+        .alias("nodes_in_cycles"),
+        F.max("sz").cast("long").alias("largest_scc"),
+    )
+
+
+def _q_linkpred_negatives(spark, sf_dir):
+    """Deterministic negative sampling for link-prediction training
+    (operators/linkpred.negative_samples): arithmetic-mixer candidates for
+    the id%25 seed sample, anti-joined against the adjacency."""
+    from kaminpar_spark.operators.linkpred import negative_samples
+
+    g, _ = _graph(spark, sf_dir)
+    n_nodes = g.num_nodes()
+    seeds = g.nodes.where(F.col("id") % NEG_SEED_MOD == 0).select("id")
+    return negative_samples(g, seeds, n_nodes, probes=NEG_PROBES)
+
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "transcript_turns": _q_transcript_turns,
@@ -1891,6 +1931,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curriculum_batches": _q_curriculum,
         "edge_stress4": _q_edge_stress,
         "gn_split": _q_gn_split,
+        "cycle_stats": _q_cycle_stats,
+        "linkpred_negatives": _q_linkpred_negatives,
         "rich_club": _q_rich_club,
         "wl_quotient": _q_wl_quotient,
         "oov_rate": _q_oov_rate,
@@ -4310,6 +4352,44 @@ g0 AS (SELECT id, id AS comp FROM nodes){steps}
 SELECT comp, CAST(count(*) AS BIGINT) AS size FROM {prev} GROUP BY comp"""
 
 
+
+_CYCLE_STATS_SQL = f"""WITH RECURSIVE {_EDGES_CTE},
+dedges AS MATERIALIZED (SELECT DISTINCT src, dst FROM pairs),
+closure AS (
+  SELECT src AS a, dst AS b FROM dedges
+  UNION
+  SELECT c.a, e.dst AS b FROM closure c JOIN dedges e ON c.b = e.src),
+mutual AS (
+  SELECT c1.a AS v, c1.b AS w
+  FROM closure c1 JOIN closure c2 ON c1.a = c2.b AND c1.b = c2.a),
+lab AS (
+  SELECT n.id, least(n.id, coalesce(min(m.w), n.id)) AS scc
+  FROM nodes n LEFT JOIN mutual m ON n.id = m.v GROUP BY n.id),
+sz AS (SELECT scc, count(*) AS sz FROM lab GROUP BY scc)
+SELECT CAST(count(*) AS BIGINT) AS n_sccs,
+       CAST(sum(CASE WHEN sz > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_nontrivial,
+       CAST(sum(CASE WHEN sz > 1 THEN sz ELSE 0 END) AS BIGINT) AS nodes_in_cycles,
+       CAST(max(sz) AS BIGINT) AS largest_scc
+FROM sz"""
+
+
+def _linkpred_negatives_sql() -> str:
+    from kaminpar_spark.operators.linkpred import negative_samples  # noqa: F401
+
+    mult, mod = 1_103_515_245, 2_147_483_647
+    return f"""WITH {_EDGES_CTE},
+nn AS (SELECT count(*) AS n FROM nodes),
+seeds AS (SELECT id FROM nodes WHERE id % {NEG_SEED_MOD} = 0),
+cand AS (
+  SELECT DISTINCT s.id,
+         ((s.id * {NEG_PROBES} + p.j + 1) * {mult}) % {mod} % (SELECT n FROM nn) AS neg_id
+  FROM seeds s CROSS JOIN (SELECT unnest(range({NEG_PROBES})) AS j) p)
+SELECT c.id, CAST(c.neg_id AS BIGINT) AS neg_id
+FROM cand c
+WHERE c.neg_id <> c.id
+  AND NOT EXISTS (SELECT 1 FROM edges e WHERE e.src = c.id AND e.dst = c.neg_id)"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "transcript_turns": f"WITH {_TRANSCRIPTS_CTE} "
@@ -4481,6 +4561,8 @@ FROM parts p JOIN idx i ON p.block = i.block""",
         "curriculum_batches": _CURRICULUM_SQL,
         "edge_stress4": _edge_stress_sql(),
         "gn_split": _gn_split_sql(),
+        "cycle_stats": _CYCLE_STATS_SQL,
+        "linkpred_negatives": _linkpred_negatives_sql(),
         "rich_club": _rich_club_sql(),
         "wl_quotient": _wl_quotient_sql(),
         "oov_rate": _OOV_SQL,

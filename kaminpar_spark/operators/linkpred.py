@@ -120,3 +120,40 @@ def adjacency_jaccard(
             ).alias("jaccard"),
         )
     )
+
+
+def negative_samples(
+    graph: GraphFrame,
+    seeds: DataFrame,
+    n_nodes: int,
+    probes: int = 8,
+    mult: int = 1_103_515_245,
+    mod: int = 2_147_483_647,
+) -> DataFrame:
+    """(id, neg_id) — deterministic NEGATIVE sampling for link-prediction
+    training: for every seed node, up to ``probes`` hash-probed candidate
+    ids that are NOT neighbors (and not the node itself). The standard
+    companion to positive-edge sampling when preparing GNN / node2vec
+    link-prediction training pairs.
+
+    Determinism: candidate j of node u is ((u*probes + j + 1) * mult) % mod
+    % n_nodes — an arithmetic mixer both engines evaluate bit-identically
+    (no xxhash in the contract), so the sample is reproducible in ANSI SQL
+    and across runs. Scale shape: seeds x probes rows (map-only explode),
+    ONE left-anti equi-join against the edge table, no candidate ever
+    compared against the full adjacency of a hub (the anti-join is hash
+    partitioned on (src, dst)). The sample is slightly sub-``probes`` per
+    node (self-hits and true-edge hits are dropped, the usual trade —
+    callers oversample probes to compensate)."""
+    js = F.explode(F.array(*[F.lit(j) for j in range(probes)])).alias("j")
+    cand = seeds.select(F.col("id"), js).select(
+        "id",
+        (
+            ((F.col("id") * F.lit(probes) + F.col("j") + F.lit(1)) * F.lit(mult))
+            % F.lit(mod)
+            % F.lit(n_nodes)
+        ).alias("neg_id"),
+    )
+    cand = cand.where(F.col("neg_id") != F.col("id")).distinct()
+    pos = graph.edges.select(F.col("src").alias("id"), F.col("dst").alias("neg_id"))
+    return cand.join(pos, ["id", "neg_id"], "left_anti")

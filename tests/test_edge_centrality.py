@@ -115,3 +115,26 @@ def test_gn_one_round_splits_bridge(spark):
     cc = connected_components(GraphFrame(edges=truncate(edges), nodes=g.nodes))
     comps = {r["comp"] for r in cc.collect()}
     assert comps == {0, 3}  # the two triangles
+
+
+def test_negative_samples_valid(spark):
+    from pyspark.sql import functions as F
+
+    from kaminpar_spark.operators.linkpred import negative_samples
+
+    pairs = [(0, 1), (1, 2), (2, 3), (3, 0), (0, 2)]
+    g = _graph(spark, pairs)
+    seeds = g.nodes.select("id")
+    out = negative_samples(g, seeds, n_nodes=4, probes=16).collect()
+    adj = set()
+    for a, b in pairs:
+        adj.add((a, b))
+        adj.add((b, a))
+    for r in out:
+        assert r["id"] != r["neg_id"]
+        assert (r["id"], r["neg_id"]) not in adj
+    # node 0 is adjacent to 1,2,3 -> no valid negative exists for it
+    assert all(r["id"] != 0 for r in out)
+    # deterministic
+    again = negative_samples(g, seeds, n_nodes=4, probes=16).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
