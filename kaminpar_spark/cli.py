@@ -52,7 +52,7 @@ def load_graph(spark, path: str, symmetrize: bool):
 
 def main(argv=None):
     ap = argparse.ArgumentParser(prog="kaminpar-spark")
-    ap.add_argument("command", choices=["partition", "pagerank", "ppr", "components", "labelprop", "triangles", "kcore", "stats", "bfs", "diameter", "color", "mis", "walks", "match", "hits", "msf", "truss", "anf"])
+    ap.add_argument("command", choices=["partition", "pagerank", "ppr", "components", "labelprop", "triangles", "kcore", "stats", "bfs", "diameter", "color", "mis", "walks", "match", "hits", "msf", "truss", "anf", "wl", "ebc"])
     ap.add_argument("--sources", default="0", help="[ppr] comma-separated teleport node ids")
     ap.add_argument("-G", "--graph", required=True)
     ap.add_argument("-k", type=int, default=2)
@@ -265,6 +265,29 @@ def main(argv=None):
         rows = hop_plot(g, max_t=min(args.max_iters, 8)).collect()
         plot = [(r["t"], r["total_r"]) for r in sorted(rows, key=lambda r: r["t"])]
         print(f"RESULT hop_plot={plot} time={time.time()-t0:.3f}s")
+    elif args.command == "wl":
+        from kaminpar_spark.operators.wl import wl_refine
+
+        rounds = min(args.max_iters, 8)
+        labels = wl_refine(g, rounds=rounds)
+        if args.save:
+            labels.write.mode("overwrite").parquet(args.save)
+        n_classes = labels.select("wl").distinct().count()
+        print(f"RESULT wl_rounds={rounds} classes={n_classes} time={time.time()-t0:.3f}s")
+    elif args.command == "ebc":
+        from pyspark.sql import functions as F
+
+        from kaminpar_spark.operators.centrality import brandes_edge_centrality
+
+        srcs = g.nodes.where(F.col("id") % 100 == 0).select("id")
+        ebc = brandes_edge_centrality(g, srcs, max_hops=min(args.max_iters, 8))
+        if args.save:
+            ebc.write.mode("overwrite").parquet(args.save)
+        top = ebc.orderBy(F.desc("e_stress")).first()
+        print(
+            f"RESULT edges={ebc.count()} top_edge=({top['a']},{top['b']}) "
+            f"top_stress={top['e_stress']} time={time.time()-t0:.3f}s"
+        )
     elif args.command == "stats":
         from dataclasses import asdict
 

@@ -73,16 +73,45 @@ def wl_round(graph: GraphFrame, state: DataFrame) -> DataFrame:
     )
 
 
-def wl_refine(graph: GraphFrame, rounds: int = 2) -> DataFrame:
+def wl_refine(
+    graph: GraphFrame, rounds: int = 2, runner=None, name: str = "wl_refine"
+) -> DataFrame:
     """(id, wl) after ``rounds`` refinement rounds. Each round is
-    materialized (truncate) so lineage stays flat — the standard superstep
-    contract."""
-    from kaminpar_spark.plans.lineage import truncate
+    materialized so lineage stays flat — the standard superstep contract.
 
-    state = truncate(wl_init(graph))
-    for _ in range(rounds):
-        state = truncate(wl_round(graph, state))
-    return state
+    ``runner`` (plans.superstep.SuperstepRunner) makes every round a durable
+    snapshot with a changed-label metric, resumable mid-iteration; early
+    exit at changed == 0 is parity-safe only in the no-collision limit (a
+    fixpoint partition relabels injectively), so the runner path still runs
+    the full ``rounds`` unless the labels are literally unchanged — which
+    IS the modular fixpoint."""
+    from kaminpar_spark.plans.superstep import run_in_memory
+
+    def step(s: DataFrame, i: int) -> DataFrame:
+        cur = s.select("id", "wl")
+        new = wl_round(graph, cur)
+        if runner is None:
+            return new
+        prev = cur.select("id", F.col("wl").alias("p_wl"))
+        return new.join(prev.hint("shuffle_hash"), "id")
+
+    def metrics(new: DataFrame) -> dict:
+        if runner is None:
+            return {}
+        ch = new.agg(
+            F.sum((F.col("wl") != F.col("p_wl")).cast("int")).alias("ch")
+        ).first()["ch"]
+        return {"changed": int(ch or 0)}
+
+    def converged(m: dict) -> bool:
+        return runner is not None and m.get("changed") == 0
+
+    init = wl_init(graph)
+    if runner is not None:
+        final = runner.run(name, init, step, metrics, converged, rounds)
+    else:
+        final = run_in_memory(init, step, metrics, converged, rounds)
+    return final.select("id", "wl")
 
 
 def wl_class_counts(graph: GraphFrame, rounds: int = 2) -> list[int]:

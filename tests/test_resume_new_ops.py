@@ -64,3 +64,19 @@ def test_earliest_arrival_resumes_and_converges(spark, tmp_path):
     # steps 0-1 from the interrupted run, 2-5 from the resume — no replays
     assert [r["step"] for r in recs] == list(range(6))
     assert all("improved" in r["metrics"] for r in recs)
+
+
+def test_wl_refine_resumes_with_parity(spark, tmp_path):
+    from kaminpar_spark.operators.wl import wl_refine
+
+    n = 200
+    g, _ = transcript_graph(synth_transcripts(spark, n), n, stable_ids=True)
+    want = sorted(map(tuple, wl_refine(g, rounds=3).collect()))
+    runner = SuperstepRunner(spark, str(tmp_path))
+    wl_refine(g, rounds=1, runner=runner, name="wl")
+    assert [r["step"] for r in runner.completed_steps("wl")] == [0]
+    got = sorted(map(tuple, wl_refine(g, rounds=3, runner=runner, name="wl").collect()))
+    assert got == want
+    recs = runner.completed_steps("wl")
+    assert [r["step"] for r in recs] == [0, 1, 2]  # no replays
+    assert all("changed" in r["metrics"] for r in recs)
