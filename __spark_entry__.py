@@ -1891,6 +1891,22 @@ def _q_linkpred_negatives(spark, sf_dir):
 
 
 
+
+SSJOIN_THRESH = 0.4
+
+
+def _q_ssjoin(spark, sf_dir):
+    """EXACT all-pairs set-similarity join via prefix filtering (PPJoin):
+    the exact counterpart to minhash_near_dups — no LSH false negatives,
+    candidates only from each doc's rarest-shingle prefix."""
+    from kaminpar_spark.functions.dedup import prefix_filter_jaccard_pairs
+
+    docs = _load(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
+    pairs = prefix_filter_jaccard_pairs(docs, threshold=SSJOIN_THRESH)
+    return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "transcript_turns": _q_transcript_turns,
@@ -1933,6 +1949,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gn_split": _q_gn_split,
         "cycle_stats": _q_cycle_stats,
         "linkpred_negatives": _q_linkpred_negatives,
+        "ssjoin_prefix": _q_ssjoin,
         "rich_club": _q_rich_club,
         "wl_quotient": _q_wl_quotient,
         "oov_rate": _q_oov_rate,
@@ -4390,6 +4407,36 @@ WHERE c.neg_id <> c.id
   AND NOT EXISTS (SELECT 1 FROM edges e WHERE e.src = c.id AND e.dst = c.neg_id)"""
 
 
+
+_SSJOIN_SQL = f"""
+WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents WHERE doc_id < 300),
+idx AS (SELECT doc_id, w, unnest(range(greatest(len(w) - 2, 1))) AS i FROM d),
+sh0 AS (
+  SELECT DISTINCT doc_id AS id, array_to_string(array_slice(w, i + 1, i + 3), ' ') AS gram
+  FROM idx WHERE array_to_string(array_slice(w, i + 1, i + 3), ' ') <> ''),
+sh AS (SELECT id, CAST(hash(gram) % 9223372036854775807 AS BIGINT) AS shingle_hash, gram FROM sh0),
+sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+freq AS (SELECT gram, count(*) AS df FROM sh GROUP BY gram),
+ranked AS (
+  SELECT s.id, s.gram,
+         row_number() OVER (PARTITION BY s.id ORDER BY f.df, s.shingle_hash) AS rk
+  FROM sh s JOIN freq f ON s.gram = f.gram),
+pref AS (
+  SELECT r.id, r.gram FROM ranked r JOIN sizes z ON r.id = z.id
+  WHERE r.rk <= CAST(floor((1.0 - {SSJOIN_THRESH}) * z.sz) AS BIGINT) + 1),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM pref a JOIN pref b ON a.gram = b.gram AND a.id < b.id),
+inter AS (
+  SELECT c.id_a, c.id_b, count(*) AS n_inter
+  FROM cand c JOIN sh sa ON sa.id = c.id_a JOIN sh sb ON sb.id = c.id_b AND sb.gram = sa.gram
+  GROUP BY c.id_a, c.id_b)
+SELECT i.id_a, i.id_b,
+       round(CAST(i.n_inter AS DOUBLE) / (za.sz + zb.sz - i.n_inter), 6) AS jaccard
+FROM inter i JOIN sizes za ON i.id_a = za.id JOIN sizes zb ON i.id_b = zb.id
+WHERE CAST(i.n_inter AS DOUBLE) / (za.sz + zb.sz - i.n_inter) >= {SSJOIN_THRESH}"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "transcript_turns": f"WITH {_TRANSCRIPTS_CTE} "
@@ -4563,6 +4610,7 @@ FROM parts p JOIN idx i ON p.block = i.block""",
         "gn_split": _gn_split_sql(),
         "cycle_stats": _CYCLE_STATS_SQL,
         "linkpred_negatives": _linkpred_negatives_sql(),
+        "ssjoin_prefix": _SSJOIN_SQL,
         "rich_club": _rich_club_sql(),
         "wl_quotient": _wl_quotient_sql(),
         "oov_rate": _OOV_SQL,

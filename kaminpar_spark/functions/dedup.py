@@ -14,7 +14,7 @@ DuckDB oracle reproduces every sketch bit-for-bit.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from kaminpar_spark.functions.hashing import (
     POLY_MOD,
@@ -676,4 +676,79 @@ def snm_candidate_pairs(
         a.join(b.hint("shuffle_hash"), "bk")
         .where((F.col("rb") > F.col("ra")) & (F.col("rb") - F.col("ra") <= window))
         .select("id_a", "id_b")
+    )
+
+
+def prefix_filter_jaccard_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.6,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(id_a, id_b, jaccard) — EXACT all-pairs set-Jaccard >= threshold via
+    PREFIX FILTERING (the PPJoin family, Xiao et al. 2008): order every
+    document's shingles by global rarity; two documents with
+    Jaccard >= t MUST share a shingle among each one's first
+    floor((1-t)*|d|) + 1 rarest shingles, so candidate pairs come from a
+    join on PREFIX shingles only — exact (no LSH false negatives) and far
+    smaller than the full shingle join, because prefixes are short and
+    rare shingles have tiny postings lists.
+
+    Scale shape: one hash aggregate for global shingle frequencies, one
+    per-document window ORDERED BY (freq, shingle) — bounded by a document's
+    own shingle count, never corpus-scale — one equi-join on prefix
+    shingles, then the exact |A∩B| verification join restricted to
+    candidates (semi-join pushdown). The frequent-shingle postings the LSH
+    bucket cap worries about never enter the candidate join at all: a
+    frequent shingle is almost never in anyone's prefix.
+
+    Determinism: rarity ties break on the shingle hash; exact int64
+    intersection/size counts; one IEEE division."""
+    sh = shingles(docs, id_col, text_col, n=shingle_n)  # (id, shingle_hash) distinct
+    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
+    freq = sh.groupBy("shingle_hash").agg(F.count("*").alias("df"))
+    w = Window.partitionBy("id").orderBy("df", "shingle_hash")
+    ranked = (
+        sh.join(freq.hint("shuffle_hash"), "shingle_hash")
+        .withColumn("rk", F.row_number().over(w))
+    )
+    pref = (
+        ranked.join(sizes.hint("shuffle_hash"), "id")
+        .where(
+            F.col("rk")
+            <= F.floor((1.0 - F.lit(threshold)) * F.col("sz")).cast("long") + 1
+        )
+        .select("id", "shingle_hash")
+    )
+    a = pref.select(F.col("id").alias("id_a"), "shingle_hash")
+    b = pref.select(F.col("id").alias("id_b"), "shingle_hash")
+    cand = (
+        a.join(b.hint("shuffle_hash"), "shingle_hash")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sa = sh.select(F.col("id").alias("id_a"), "shingle_hash")
+    sb = sh.select(F.col("id").alias("id_b"), "shingle_hash")
+    inter = (
+        cand.join(sa, "id_a")
+        .join(sb.hint("shuffle_hash"), ["id_b", "shingle_hash"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    return (
+        inter.join(
+            sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a")), "id_a"
+        )
+        .join(sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("n_inter")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter"))
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
     )

@@ -405,3 +405,42 @@ def test_repeated_window_stats(spark):
     for r in out.values():
         assert r["n_windows"] >= 1
         assert abs(r["dup_share"] - r["n_dup_windows"] / r["n_windows"]) < 1e-12
+
+
+def test_prefix_filter_exact_vs_bruteforce(spark):
+    """The PPJoin prefix filter must be COMPLETE: its output equals the
+    brute-force all-pairs Jaccard join at every threshold."""
+    from itertools import combinations
+
+    from kaminpar_spark.functions.dedup import prefix_filter_jaccard_pairs
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "the quick brown fox jumps over a lazy dog",
+        "a completely different document about spark engines",
+        "another completely different document about spark engines",
+        "the quick brown fox jumps over the lazy dog today",
+        "unrelated text with no overlap at all whatsoever here",
+    ]
+    docs = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+
+    def grams(t, n=3):
+        toks = t.split(" ")
+        return {
+            " ".join(toks[i : i + n])
+            for i in range(max(len(toks) - n, 0) + 1)
+            if " ".join(toks[i : i + n])
+        }
+
+    for thr in (0.3, 0.5, 0.8):
+        want = {}
+        for a, b in combinations(range(len(texts)), 2):
+            ga, gb = grams(texts[a]), grams(texts[b])
+            j = len(ga & gb) / len(ga | gb)
+            if j >= thr:
+                want[(a, b)] = round(j, 6)
+        got = {
+            (r["id_a"], r["id_b"]): round(r["jaccard"], 6)
+            for r in prefix_filter_jaccard_pairs(docs, threshold=thr).collect()
+        }
+        assert got == want, thr
