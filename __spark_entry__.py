@@ -1907,6 +1907,27 @@ def _q_ssjoin(spark, sf_dir):
 
 
 
+
+SEEDED_LP_ROUNDS = 3
+SEEDED_LP_MOD = 100
+SEEDED_LP_CLASSES = 4
+
+
+def _q_seeded_labels(spark, sf_dir):
+    """Semi-supervised label spreading: id%100 seeds carry class id%4 fixed;
+    3 plurality rounds classify the rest (NULL where no labeled neighbor
+    within 3 hops). The classification flavor of LP, argmax bit-exact via
+    the (w, -label) struct-max."""
+    from kaminpar_spark.operators.labelprop import seeded_label_propagation
+
+    g, _ = _graph(spark, sf_dir)
+    seeds = g.nodes.where(F.col("id") % SEEDED_LP_MOD == 0).select(
+        "id", (F.col("id") % SEEDED_LP_CLASSES).alias("label")
+    )
+    return seeded_label_propagation(g, seeds, rounds=SEEDED_LP_ROUNDS)
+
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "transcript_turns": _q_transcript_turns,
@@ -1950,6 +1971,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cycle_stats": _q_cycle_stats,
         "linkpred_negatives": _q_linkpred_negatives,
         "ssjoin_prefix": _q_ssjoin,
+        "seeded_labels3": _q_seeded_labels,
         "rich_club": _q_rich_club,
         "wl_quotient": _q_wl_quotient,
         "oov_rate": _q_oov_rate,
@@ -4437,6 +4459,36 @@ FROM inter i JOIN sizes za ON i.id_a = za.id JOIN sizes zb ON i.id_b = zb.id
 WHERE CAST(i.n_inter AS DOUBLE) / (za.sz + zb.sz - i.n_inter) >= {SSJOIN_THRESH}"""
 
 
+
+def _seeded_lp_sql() -> str:
+    """Unrolled label-spreading twin: per round, labeled-neighbor plurality
+    with (w DESC, label ASC) ranking == the engine's (w, -label) struct-max;
+    seeds pinned by coalesce(seed_label, ...)."""
+    prev = "sl0"
+    steps = ""
+    for r in range(1, SEEDED_LP_ROUNDS + 1):
+        steps += f""",
+v{r} AS (
+  SELECT e.dst AS id, c.label, sum(e.weight) AS w
+  FROM edges e JOIN {prev} c ON e.src = c.id
+  WHERE c.label IS NOT NULL GROUP BY e.dst, c.label),
+b{r} AS (
+  SELECT id, label AS new_label FROM (
+    SELECT id, label, row_number() OVER (PARTITION BY id ORDER BY w DESC, label ASC) AS rn
+    FROM v{r}) t WHERE rn = 1),
+sl{r} AS MATERIALIZED (
+  SELECT s.id, s.seed_label,
+         coalesce(s.seed_label, coalesce(b.new_label, s.label)) AS label
+  FROM {prev} s LEFT JOIN b{r} b ON s.id = b.id)"""
+        prev = f"sl{r}"
+    return f"""WITH {_EDGES_CTE},
+sl0 AS (SELECT id,
+               CASE WHEN id % {SEEDED_LP_MOD} = 0 THEN id % {SEEDED_LP_CLASSES} END AS seed_label,
+               CASE WHEN id % {SEEDED_LP_MOD} = 0 THEN id % {SEEDED_LP_CLASSES} END AS label
+        FROM nodes){steps}
+SELECT id, CAST(label AS BIGINT) AS label FROM {prev}"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "transcript_turns": f"WITH {_TRANSCRIPTS_CTE} "
@@ -4611,6 +4663,7 @@ FROM parts p JOIN idx i ON p.block = i.block""",
         "cycle_stats": _CYCLE_STATS_SQL,
         "linkpred_negatives": _linkpred_negatives_sql(),
         "ssjoin_prefix": _SSJOIN_SQL,
+        "seeded_labels3": _seeded_lp_sql(),
         "rich_club": _rich_club_sql(),
         "wl_quotient": _wl_quotient_sql(),
         "oov_rate": _OOV_SQL,

@@ -307,3 +307,54 @@ def label_propagation(
     else:
         final = run_in_memory(state, step, metrics, converged, n_blocks, on_metrics)
     return final.select("id", "label")
+
+
+def seeded_label_propagation(
+    graph: GraphFrame, seeds: DataFrame, rounds: int = 3
+) -> DataFrame:
+    """(id, label) — SEMI-SUPERVISED label propagation (seed expansion /
+    label spreading): ``seeds`` is (id, label); seed labels are FIXED, every
+    other node re-computes the weight-plurality label among its currently-
+    labeled neighbors each round (ties break to the smaller label; a node
+    with no labeled neighbors stays unlabeled, NULL). This is the
+    classification flavor of LP — distinct from the clustering LPA above,
+    whose labels all float.
+
+    Exactness: plurality weights are int64 sums; the argmax is
+    max(struct(w, -label)) — order-free, bit-reproducible in SQL via
+    (w DESC, label ASC) ranking. Scale shape per round: one J1 gather of
+    labeled state + one (dst, label) hash aggregate + one struct-max
+    aggregate per dst (bounded by the number of DISTINCT labels — a class
+    count, not a degree) + one hinted n-scale join."""
+    from kaminpar_spark.plans.lineage import truncate
+
+    sd = seeds.select("id", F.col("label").cast("long").alias("seed_label"))
+    state = truncate(
+        graph.nodes.select("id")
+        .join(sd.hint("shuffle_hash"), "id", "left")
+        .select("id", F.col("seed_label"), F.col("seed_label").alias("label"))
+    )
+    for _ in range(rounds):
+        labeled = state.where(F.col("label").isNotNull()).select("id", "label")
+        gathered = graph.gather(labeled, ["label"])
+        votes = (
+            gathered.groupBy(F.col("dst").alias("id"), "label")
+            .agg(F.sum("weight").alias("w"))
+        )
+        best = (
+            votes.groupBy("id")
+            .agg(F.max(F.struct(F.col("w"), (-F.col("label")).alias("nl"))).alias("b"))
+            .select("id", (-F.col("b.nl")).alias("new_label"))
+        )
+        state = truncate(
+            state.select("id", "seed_label", F.col("label").alias("old_label"))
+            .join(best.hint("shuffle_hash"), "id", "left")
+            .select(
+                "id",
+                "seed_label",
+                F.coalesce(
+                    "seed_label", F.coalesce("new_label", "old_label")
+                ).alias("label"),
+            )
+        )
+    return state.select("id", "label")

@@ -128,3 +128,30 @@ def test_projection_preserves_cut(spark):
     cpart = res.coarse.nodes.select("id", F.col("id").cast("int").alias("block"))
     fine = project_partition(res.mapping, cpart)
     assert metrics.edge_cut(res.coarse, cpart) == metrics.edge_cut(g, fine) == 1
+
+
+def test_seeded_label_propagation_two_blobs(spark):
+    """Two planted cliques bridged weakly: one seed per clique classifies
+    every member; seeds never flip; unreachable nodes stay NULL."""
+    from kaminpar_spark import fixtures
+    from kaminpar_spark.operators.labelprop import seeded_label_propagation
+
+    import itertools
+
+    pairs = (
+        [(u, v, 1) for u, v in itertools.combinations(range(5), 2)]
+        + [(u, v, 1) for u, v in itertools.combinations(range(5, 10), 2)]
+        + [(4, 5, 1)]  # weak bridge
+        + [(20, 21, 1)]  # separate component with no seed
+    )
+    g = fixtures._graph(spark, pairs)
+    seeds = spark.createDataFrame([(0, 7), (9, 8)], "id long, label long")
+    out = {r["id"]: r["label"] for r in seeded_label_propagation(g, seeds, rounds=3).collect()}
+    assert out[0] == 7 and out[9] == 8  # seeds pinned
+    for v in range(1, 4):
+        assert out[v] == 7, v
+    for v in range(6, 9):
+        assert out[v] == 8, v
+    # bridge nodes see a 4-vs-(4+1) plurality - still classified
+    assert out[4] in (7, 8) and out[5] in (7, 8)
+    assert out[20] is None and out[21] is None
