@@ -1928,6 +1928,46 @@ def _q_seeded_labels(spark, sf_dir):
 
 
 
+
+MOVERS_TOPK = 100
+
+
+def _q_rank_movers(spark, sf_dir):
+    """Cross-snapshot PageRank drift: PR on the full corpus vs PR on the
+    first-2/3 snapshot (same 5 fixed iterations), compared per ACTOR (ids
+    are snapshot-local), top movers by |delta| — the rank-churn monitor an
+    incremental pipeline runs between snapshots. Actors absent from the old
+    snapshot read as delta = rank_full (new entrants)."""
+    from kaminpar_spark.operators.pagerank import pagerank
+    from kaminpar_spark.sources.transcripts import synth_transcripts, transcript_graph
+
+    n = _n_convs(spark, sf_dir)
+    t = synth_transcripts(spark, n)
+    c = F.substring("conv_id", 6, 8).cast("long")
+    g_full, amap_full = _graph(spark, sf_dir)
+    g_old, amap_old = transcript_graph(t.where(c < 2 * n // 3), n, stable_ids=True)
+    pr_full = (
+        pagerank(g_full, tol=0.0, max_iters=PR_ITERS)
+        .join(amap_full, "id")
+        .select("actor", F.round("rank", 6).alias("rank_full"))
+    )
+    pr_old = (
+        pagerank(g_old, tol=0.0, max_iters=PR_ITERS)
+        .join(amap_old, "id")
+        .select("actor", F.round("rank", 6).alias("rank_old"))
+    )
+    j = pr_full.join(pr_old, "actor", "left").select(
+        "actor",
+        "rank_full",
+        F.coalesce("rank_old", F.lit(0.0)).alias("rank_old"),
+        F.round(F.col("rank_full") - F.coalesce("rank_old", F.lit(0.0)), 6).alias(
+            "delta"
+        ),
+    )
+    return j.orderBy(F.abs(F.col("delta")).desc(), "actor").limit(MOVERS_TOPK)
+
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "transcript_turns": _q_transcript_turns,
@@ -1972,6 +2012,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "linkpred_negatives": _q_linkpred_negatives,
         "ssjoin_prefix": _q_ssjoin,
         "seeded_labels3": _q_seeded_labels,
+        "rank_movers": _q_rank_movers,
         "rich_club": _q_rich_club,
         "wl_quotient": _q_wl_quotient,
         "oov_rate": _q_oov_rate,
@@ -4489,6 +4530,69 @@ sl0 AS (SELECT id,
 SELECT id, CAST(label AS BIGINT) AS label FROM {prev}"""
 
 
+
+def _rank_movers_sql() -> str:
+    """Two actor-keyed PR chains (full corpus; c < 2n/3 snapshot) joined per
+    actor; dense ids are snapshot-local, so the oracle runs PR directly on
+    actor keys (identical arithmetic: same 1/n init, 0.15/n + 0.85*insum)."""
+
+    def chain(tag: str, link_filter: str) -> str:
+        prev = f"{tag}0"
+        steps = ""
+        for i in range(1, PR_ITERS + 1):
+            steps += f""",
+{tag}{i} AS MATERIALIZED (
+  SELECT d.actor,
+         (0.15 / (SELECT n FROM {tag}n)) + 0.85 * coalesce(s.x, 0) AS rank
+  FROM {tag}deg d LEFT JOIN (
+    SELECT e.a_dst AS actor, sum(r.rank / dg.degree) AS x
+    FROM {tag}edges e JOIN {prev} r ON e.a_src = r.actor
+                      JOIN {tag}deg dg ON e.a_src = dg.actor
+    GROUP BY e.a_dst) s
+  ON d.actor = s.actor)"""
+            prev = f"{tag}{i}"
+        return f""",
+{tag}links AS MATERIALIZED (
+  SELECT a_src, a_dst FROM lk WHERE {link_filter}),
+{tag}edges AS MATERIALIZED (
+  SELECT a_src, a_dst, CAST(count(*) AS BIGINT) AS weight
+  FROM (SELECT a_src, a_dst FROM {tag}links
+        UNION ALL SELECT a_dst AS a_src, a_src AS a_dst FROM {tag}links)
+  GROUP BY a_src, a_dst),
+{tag}deg AS MATERIALIZED (
+  SELECT a_src AS actor, CAST(count(*) AS BIGINT) AS degree
+  FROM {tag}edges GROUP BY a_src),
+{tag}n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM {tag}deg),
+{tag}0 AS (SELECT actor, 1.0 / (SELECT n FROM {tag}n) AS rank FROM {tag}deg){steps}"""
+
+    nconvs = "(SELECT count(*) FROM orders)"
+    return (
+        "WITH "
+        + _TRANSCRIPTS_CTE
+        + f""",
+at2 AS (
+  SELECT conv_id, turn_idx, c,
+    CASE WHEN role = 'user' THEN 'user_' || CAST(c % greatest(1, {nconvs} // 4) AS VARCHAR)
+         WHEN role = 'assistant' THEN 'agent_' || CAST(c % 7 AS VARCHAR)
+         ELSE tool END AS actor
+  FROM transcripts),
+lk AS (
+  SELECT c, lag(actor) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS a_src,
+         actor AS a_dst
+  FROM at2
+  QUALIFY a_src IS NOT NULL AND a_src <> a_dst)"""
+        + chain("pf", "TRUE")
+        + chain("po", f"c < 2 * {nconvs} // 3")
+        + f"""
+SELECT f.actor, round(f.rank, 6) AS rank_full,
+       coalesce(round(o.rank, 6), 0.0) AS rank_old,
+       round(round(f.rank, 6) - coalesce(round(o.rank, 6), 0.0), 6) AS delta
+FROM pf{PR_ITERS} f LEFT JOIN po{PR_ITERS} o ON f.actor = o.actor
+ORDER BY abs(round(round(f.rank, 6) - coalesce(round(o.rank, 6), 0.0), 6)) DESC, f.actor
+LIMIT {MOVERS_TOPK}"""
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "transcript_turns": f"WITH {_TRANSCRIPTS_CTE} "
@@ -4664,6 +4768,7 @@ FROM parts p JOIN idx i ON p.block = i.block""",
         "linkpred_negatives": _linkpred_negatives_sql(),
         "ssjoin_prefix": _SSJOIN_SQL,
         "seeded_labels3": _seeded_lp_sql(),
+        "rank_movers": _rank_movers_sql(),
         "rich_club": _rich_club_sql(),
         "wl_quotient": _wl_quotient_sql(),
         "oov_rate": _OOV_SQL,
