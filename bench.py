@@ -194,6 +194,14 @@ def main():
         queries["ktruss_r2"] = round(time.time() - t0, 3)
         _phase("ktruss done")
 
+        # ---- 1-WL refinement (2 multiset-hash supersteps) ----
+        from kaminpar_spark.operators.wl import wl_refine
+
+        t0 = time.time()
+        wl_refine(gp, rounds=2).count()
+        queries["wl_refine2"] = round(time.time() - t0, 3)
+        _phase("wl done")
+
     supersteps = pr_iters + lpa_iters
     kernel_sec = pr_sec + lpa_sec
     eps_per_superstep = m * supersteps / kernel_sec if kernel_sec > 0 else 0.0
