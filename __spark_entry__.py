@@ -1233,7 +1233,7 @@ def _q_role_mix(spark, sf_dir):
     )
 
 
-def _q_response_latency(spark, sf_dir):
+def _q_repeat_contacts(spark, sf_dir):
     """Temporal repeat-contact motif: for each directed interaction event
     (u,v,t), the EARLIEST repeat of the SAME directed pair within 10
     minutes; per pair the repeat count and exact latency sums —
@@ -1967,6 +1967,47 @@ def _q_rank_movers(spark, sf_dir):
     return j.orderBy(F.abs(F.col("delta")).desc(), "actor").limit(MOVERS_TOPK)
 
 
+DENSEST_ROUNDS = 6
+DENSEST_EPS = (1, 10)  # eps = 1/10: remove deg <= 1.1 * avg per round
+
+
+def _q_densest_peel(spark, sf_dir):
+    """BKV densest-subgraph peel trace: per-round (n, half_edges, density)
+    with the removal threshold evaluated in pure int64
+    (operators/densest.densest_peel_rounds) — the whole peel is
+    oracle-exact; density is the one rounded IEEE ratio per row."""
+    from kaminpar_spark.operators.densest import densest_peel_rounds
+
+    g, _ = _graph(spark, sf_dir)
+    return densest_peel_rounds(
+        g, rounds=DENSEST_ROUNDS, eps_num=DENSEST_EPS[0], eps_den=DENSEST_EPS[1]
+    )
+
+
+def _q_four_cliques(spark, sf_dir):
+    """Exact K4 count via the degree-orientation DAG: each 4-clique found
+    once as an oriented triangle plus a shared out-neighbor
+    (operators/triangles.four_clique_count)."""
+    from kaminpar_spark.operators.triangles import four_clique_count
+
+    g, _ = _graph(spark, sf_dir)
+    return four_clique_count(g)
+
+
+def _q_triad_census(spark, sf_dir):
+    """Directed triad census on the turn digraph: feed-forward ordered
+    patterns vs distinct 3-cycles, computed by annotating the (degree-
+    oriented) undirected triangles with 2-bit pair direction masks — no
+    unoriented directed wedge join, no hub blow-up
+    (operators/triangles.directed_triad_census)."""
+    from kaminpar_spark.operators.triangles import directed_triad_census
+    from kaminpar_spark.sources.transcripts import synth_transcripts, transcript_digraph
+
+    g, _ = _graph(spark, sf_dir)
+    n = _n_convs(spark, sf_dir)
+    dedges, _ = transcript_digraph(synth_transcripts(spark, n), n, stable_ids=True)
+    return directed_triad_census(g, dedges.select("src", "dst"))
+
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
@@ -1995,7 +2036,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eigenvector3": _q_eigenvector,
         "cc_profile4": _q_cc_profile,
         "role_mix": _q_role_mix,
-        "repeat_contacts": _q_response_latency,
+        "repeat_contacts": _q_repeat_contacts,
         "csr_blocks4": _q_csr_blocks,
         "attributed_purchases": _q_attributed_purchases,
         "event_rollup": _q_event_rollup,
@@ -2104,6 +2145,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ktruss4_round2": _q_ktruss,
         "backbone2": _q_backbone,
         "pagerank_directed4": _q_pagerank_directed,
+        "densest_peel6": _q_densest_peel,
+        "four_cliques": _q_four_cliques,
+        "triad_census": _q_triad_census,
     }
 
 
@@ -4593,6 +4637,99 @@ LIMIT {MOVERS_TOPK}"""
     )
 
 
+def _densest_sql() -> str:
+    """Unrolled BKV peel: per round one degree CTE, one scalar-stats CTE, one
+    survivor CTE, one induced-edge CTE; the int64 threshold
+    d * n * eps_den > (eps_den + eps_num) * H mirrors the engine exactly."""
+    enum, eden = DENSEST_EPS
+    ctes = """,
+e0 AS MATERIALIZED (SELECT src, dst FROM edges)"""
+    rows = []
+    for t in range(DENSEST_ROUNDS + 1):
+        ctes += f""",
+d{t} AS MATERIALIZED (SELECT src, count(*) AS d FROM e{t} GROUP BY src),
+s{t} AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS n,
+  CAST(coalesce(sum(d), 0) AS BIGINT) AS h FROM d{t})"""
+        rows.append(
+            f"SELECT CAST({t} AS BIGINT) AS step, n AS n_nodes, h AS half_edges, "
+            f"CASE WHEN n = 0 THEN 0.0 ELSE round(h / 2.0 / n, 6) END AS density FROM s{t}"
+        )
+        if t < DENSEST_ROUNDS:
+            ctes += f""",
+sv{t} AS MATERIALIZED (SELECT d.src FROM d{t} d, s{t} s
+  WHERE d.d * s.n * {eden} > {eden + enum} * s.h),
+e{t + 1} AS MATERIALIZED (SELECT e.src, e.dst FROM e{t} e
+  JOIN sv{t} a ON e.src = a.src JOIN sv{t} b ON e.dst = b.src)"""
+    union = "\nUNION ALL\n".join(rows)
+    return f"WITH {_EDGES_CTE}{ctes}\n{union}"
+
+
+_ORIENTED_TRI_CTE = """
+oe AS MATERIALIZED (
+  SELECT e.src, e.dst
+  FROM edges e JOIN deg a ON e.src = a.id JOIN deg b ON e.dst = b.id
+  WHERE (a.degree < b.degree) OR (a.degree = b.degree AND e.src < e.dst)),
+t3 AS MATERIALIZED (
+  SELECT e1.src AS u, e1.dst AS v, e2.dst AS w
+  FROM oe e1 JOIN oe e2 ON e1.dst = e2.src
+  JOIN oe e3 ON e3.src = e1.src AND e3.dst = e2.dst)"""
+
+
+_FOUR_CLIQUES_SQL = f"""WITH {_EDGES_CTE},{_ORIENTED_TRI_CTE},
+k4 AS (SELECT count(*) AS c FROM t3
+  JOIN oe x1 ON x1.src = t3.u
+  JOIN oe x2 ON x2.src = t3.v AND x2.dst = x1.dst
+  JOIN oe x3 ON x3.src = t3.w AND x3.dst = x1.dst)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM t3) AS triangles,
+       CAST(k4.c AS BIGINT) AS four_cliques
+FROM k4"""
+
+
+def _triad_census_sql() -> str:
+    """Triangles annotated with 2-bit pair direction masks, then the 6
+    feed-forward permutation tests + 2 rotation tests as boolean sums —
+    the exact SQL twin of operators/triangles.directed_triad_census."""
+    mname = {
+        frozenset(("u", "v")): "m_uv",
+        frozenset(("u", "w")): "m_uw",
+        frozenset(("v", "w")): "m_vw",
+    }
+
+    def has(x: str, y: str) -> str:
+        m = mname[frozenset((x, y))]
+        return f"(CASE WHEN {x} < {y} THEN ({m} & 1) > 0 ELSE ({m} & 2) > 0 END)"
+
+    perms = [
+        ("u", "v", "w"), ("u", "w", "v"), ("v", "u", "w"),
+        ("v", "w", "u"), ("w", "u", "v"), ("w", "v", "u"),
+    ]
+    ff = " + ".join(
+        f"(CASE WHEN {has(s, m)} AND {has(m, t)} AND {has(s, t)} THEN 1 ELSE 0 END)"
+        for (s, m, t) in perms
+    )
+    cyc = (
+        f"(CASE WHEN {has('u', 'v')} AND {has('v', 'w')} AND {has('w', 'u')} THEN 1 ELSE 0 END)"
+        f" + (CASE WHEN {has('v', 'u')} AND {has('w', 'v')} AND {has('u', 'w')} THEN 1 ELSE 0 END)"
+    )
+    return f"""WITH {_EDGES_CTE},{_ORIENTED_TRI_CTE},
+ddist AS MATERIALIZED (SELECT DISTINCT src, dst FROM pairs),
+msk AS MATERIALIZED (
+  SELECT least(src, dst) AS a, greatest(src, dst) AS b,
+         max(CASE WHEN src < dst THEN 1 ELSE 0 END)
+         + 2 * max(CASE WHEN src > dst THEN 1 ELSE 0 END) AS m
+  FROM ddist GROUP BY 1, 2),
+tm AS MATERIALIZED (
+  SELECT t.u, t.v, t.w, p1.m AS m_uv, p2.m AS m_uw, p3.m AS m_vw
+  FROM t3 t
+  JOIN msk p1 ON least(t.u, t.v) = p1.a AND greatest(t.u, t.v) = p1.b
+  JOIN msk p2 ON least(t.u, t.w) = p2.a AND greatest(t.u, t.w) = p2.b
+  JOIN msk p3 ON least(t.v, t.w) = p3.a AND greatest(t.v, t.w) = p3.b)
+SELECT CAST(count(*) AS BIGINT) AS triangles,
+       CAST(coalesce(sum({ff}), 0) AS BIGINT) AS ff_ordered,
+       CAST(coalesce(sum({cyc}), 0) AS BIGINT) AS cycles
+FROM tm"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "transcript_turns": f"WITH {_TRANSCRIPTS_CTE} "
@@ -4922,4 +5059,7 @@ FROM documents""",
         "ktruss4_round2": _ktruss_sql(),
         "backbone2": _backbone_sql(),
         "pagerank_directed4": _pagerank_directed_sql(),
+        "densest_peel6": _densest_sql(),
+        "four_cliques": _FOUR_CLIQUES_SQL,
+        "triad_census": _triad_census_sql(),
     }

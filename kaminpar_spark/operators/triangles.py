@@ -241,3 +241,139 @@ def rectangle_count(
         "diag_pairs",
         F.expr("diag_pairs div 2").cast("long").alias("rectangles"),
     )
+
+
+def _enumerate_triangles(graph: GraphFrame) -> tuple[DataFrame, DataFrame]:
+    """(u, v, w) — every undirected triangle exactly once, endpoints in the
+    degree-orientation DAG order (u→v, v→w, u→w all oriented edges). Shared
+    by the clique and triad-census kernels; same wedge-join shape as
+    triangle_count (hub fan-out bounded by the degree orientation)."""
+    from kaminpar_spark.plans.lineage import truncate
+
+    e = truncate(oriented_edges(graph))
+    w1 = e.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+    w2 = e.select(F.col("src").alias("v"), F.col("dst").alias("w"))
+    wedges = w1.join(w2.hint("shuffle_hash"), "v").select("u", "v", "w")
+    closing = e.select(F.col("src").alias("u"), F.col("dst").alias("w"))
+    tri = wedges.join(closing.hint("shuffle_hash"), ["u", "w"], "inner")
+    return tri.select("u", "v", "w"), e
+
+
+def four_clique_count(graph: GraphFrame) -> DataFrame:
+    """One row (triangles, four_cliques) — exact non-induced K4 count.
+
+    Every 4-clique {a,b,c,d} is a DAG under the degree orientation with a
+    unique topological order a→b→c→d, so it is found exactly once as the
+    oriented triangle (a,b,c) plus a common out-neighbor d of all three:
+    tri ⋈ oe(u,d) ⋈ oe(v,d) ⋈ oe(w,d). The same orientation that bounds
+    wedge fan-out bounds the per-triangle extension fan-out by the max
+    oriented out-degree O(sqrt(m)) — the standard arboricity argument, so
+    the plan survives power-law hubs without a cap.
+    """
+    from kaminpar_spark.plans.lineage import truncate
+
+    tri, e = _enumerate_triangles(graph)
+    tri = truncate(tri)
+    n_tri = tri.count()
+    e1 = e.select(F.col("src").alias("u"), F.col("dst").alias("x"))
+    e2 = e.select(F.col("src").alias("v"), F.col("dst").alias("x"))
+    e3 = e.select(F.col("src").alias("w"), F.col("dst").alias("x"))
+    k4 = (
+        tri.join(e1.hint("shuffle_hash"), "u")
+        .join(e2.hint("shuffle_hash"), ["v", "x"])
+        .join(e3.hint("shuffle_hash"), ["w", "x"])
+        .count()
+    )
+    return graph.edges.sparkSession.createDataFrame(
+        [(int(n_tri), int(k4))], "triangles long, four_cliques long"
+    )
+
+
+def directed_triad_census(graph: GraphFrame, directed_edges: DataFrame) -> DataFrame:
+    """One row (triangles, ff_ordered, cycles) — directed triangle census
+    over the digraph whose undirected skeleton is ``graph``.
+
+    - triangles:  undirected triangle count (consistency anchor).
+    - ff_ordered: ordered triples (s, m, t) with s→m, m→t, s→t — the
+      feed-forward / transitive patterns (a triple with reciprocal edges
+      contributes once per ordered pattern it realizes).
+    - cycles:     distinct directed 3-cycles (each counted once, not once
+      per rotation).
+
+    Scale shape: the naive census joins the DIRECTED edge table against
+    itself on unoriented wedges — quadratic at hubs. Instead the undirected
+    triangles are enumerated once via the degree orientation, and each
+    triangle's three pairs are annotated with a 2-bit direction mask
+    (bit 1: low→high exists, bit 2: high→low exists) via three hash joins on
+    canonical (a<b) pair keys; the 8 pattern tests are then pure per-row
+    boolean arithmetic — no additional shuffle, no hub blow-up.
+
+    ``directed_edges`` must be the (src, dst) digraph (parallel edges
+    collapsed or not — masks dedup), self-loop-free, with skeleton == graph.
+    """
+    from kaminpar_spark.plans.lineage import truncate
+
+    tri, _ = _enumerate_triangles(graph)
+    d = directed_edges.select("src", "dst")
+    mask = truncate(
+        d.select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+            F.when(F.col("src") < F.col("dst"), F.lit(1)).otherwise(F.lit(0)).alias("f"),
+            F.when(F.col("src") > F.col("dst"), F.lit(1)).otherwise(F.lit(0)).alias("r"),
+        )
+        .groupBy("a", "b")
+        .agg((F.max("f") + 2 * F.max("r")).alias("m"))
+    )
+
+    def _pair(x: str, y: str, name: str) -> DataFrame:
+        return mask.select(
+            F.col("a").alias(f"{name}_a"),
+            F.col("b").alias(f"{name}_b"),
+            F.col("m").alias(name),
+        )
+
+    t = (
+        tri.join(
+            _pair("u", "v", "m_uv").hint("shuffle_hash"),
+            (F.least("u", "v") == F.col("m_uv_a")) & (F.greatest("u", "v") == F.col("m_uv_b")),
+        )
+        .join(
+            _pair("u", "w", "m_uw").hint("shuffle_hash"),
+            (F.least("u", "w") == F.col("m_uw_a")) & (F.greatest("u", "w") == F.col("m_uw_b")),
+        )
+        .join(
+            _pair("v", "w", "m_vw").hint("shuffle_hash"),
+            (F.least("v", "w") == F.col("m_vw_a")) & (F.greatest("v", "w") == F.col("m_vw_b")),
+        )
+        .select("u", "v", "w", "m_uv", "m_uw", "m_vw")
+    )
+
+    def _has(x: str, y: str) -> F.Column:
+        # directed edge x→y from the canonical 2-bit masks
+        name = {frozenset(("u", "v")): "m_uv", frozenset(("u", "w")): "m_uw", frozenset(("v", "w")): "m_vw"}[
+            frozenset((x, y))
+        ]
+        fwd = F.col(name).bitwiseAND(1) > 0
+        rev = F.col(name).bitwiseAND(2) > 0
+        return F.when(F.col(x) < F.col(y), fwd).otherwise(rev)
+
+    def _b(c: F.Column) -> F.Column:
+        return F.when(c, F.lit(1)).otherwise(F.lit(0))
+
+    perms = [
+        ("u", "v", "w"), ("u", "w", "v"), ("v", "u", "w"),
+        ("v", "w", "u"), ("w", "u", "v"), ("w", "v", "u"),
+    ]
+    ff = sum(
+        (_b(_has(s, m) & _has(m, tt) & _has(s, tt)) for (s, m, tt) in perms),
+        F.lit(0),
+    )
+    cyc = _b(_has("u", "v") & _has("v", "w") & _has("w", "u")) + _b(
+        _has("v", "u") & _has("w", "v") & _has("u", "w")
+    )
+    return t.agg(
+        F.count("*").cast("long").alias("triangles"),
+        F.coalesce(F.sum(ff), F.lit(0)).cast("long").alias("ff_ordered"),
+        F.coalesce(F.sum(cyc), F.lit(0)).cast("long").alias("cycles"),
+    )
