@@ -809,6 +809,51 @@ def _q_kmv_shingles(spark, sf_dir):
     return est.crossJoin(exact)
 
 
+HLL_P = 8
+
+
+def _q_hll_shingles(spark, sf_dir):
+    """Raw HyperLogLog distinct estimate (m=256 registers) of the SAME
+    3-gram shingle stream as kmv_shingles, next to the exact distinct count.
+    Register index, rank proxy (lowest set bit of the remainder) and the
+    harmonic denominator (a sum of dyadic rationals, exact in IEEE double)
+    are all cross-engine exact, so the oracle checks the ESTIMATE itself —
+    same reference analog as KMV (sampled statistics,
+    apps/tools/graph_statistics.cc:133-153), different sketch family:
+    constant 2**p-register state vs KMV's k-row top-k."""
+    from kaminpar_spark.functions.sketches import hll_distinct
+
+    docs = _load(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.col("text")), " ")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - 3, F.lit(0)))
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 3)))
+    g = docs.select(F.explode(grams).alias("gram")).where(F.col("gram") != "")
+    est = hll_distinct(g, "gram", p=HLL_P)
+    exact = g.agg(F.count_distinct("gram").alias("exact_distinct"))
+    return est.crossJoin(exact)
+
+
+CMS_DEPTH = 4
+CMS_WIDTH = 64  # narrow on purpose at bench scale so overcount is exercised
+CMS_TOP = 20
+
+
+def _q_cms_tokens(spark, sf_dir):
+    """Count-Min sketch heavy hitters: exact top-20 corpus tokens with their
+    CMS point estimates (depth=4, width=64 — narrow so collisions actually
+    happen at sf0.01) and the one-sided overcount. All-integer cell sums +
+    min over rows reproduce exactly in SQL."""
+    from kaminpar_spark.functions.sketches import cms_heavy_hitters
+
+    docs = _load(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(F.split(F.lower("text"), " ")).alias("tok")).where(
+        F.col("tok") != ""
+    )
+    return cms_heavy_hitters(
+        toks, "tok", depth=CMS_DEPTH, width=CMS_WIDTH, top=CMS_TOP
+    ).select(F.col("val").alias("token"), "exact_count", "cms_count", "overcount")
+
+
 DUP_WINDOW = 8
 
 
@@ -2103,6 +2148,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": _q_decontaminate,
         "dup_windows8": _q_dup_windows,
         "kmv_shingles": _q_kmv_shingles,
+        "hll_shingles": _q_hll_shingles,
+        "cms_tokens": _q_cms_tokens,
         "token_counts": _q_token_counts,
         "text_quality": _q_text_quality,
         "embedding_topk": _q_embedding_topk,
@@ -3137,6 +3184,50 @@ SELECT k_used, kth_hash,
                   ELSE {scale} / kth_hash END, 4) AS est_distinct,
        exact_distinct
 FROM kmv, ex"""
+
+
+def _hll_sql() -> str:
+    from kaminpar_spark.functions.sketches import hll_distinct_sql_ctes, hll_est_sql
+
+    ctes = hll_distinct_sql_ctes("gram", "tks", p=HLL_P)
+    return f"""
+WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+idx AS (SELECT doc_id, w, unnest(range(greatest(len(w) - 2, 1))) AS i FROM toks),
+tks AS MATERIALIZED (
+  SELECT array_to_string(array_slice(w, i + 1, i + 3), ' ') AS gram FROM idx
+  WHERE array_to_string(array_slice(w, i + 1, i + 3), ' ') <> ''),
+{ctes},
+ex AS (SELECT CAST(count(DISTINCT gram) AS BIGINT) AS exact_distinct FROM tks)
+SELECT m, filled_regs, denom, {hll_est_sql(HLL_P)}, exact_distinct
+FROM hll, ex"""
+
+
+def _cms_sql() -> str:
+    from kaminpar_spark.functions.hashing import (
+        POLY_MOD,
+        char_poly_hash_sql,
+        minhash_perms,
+    )
+
+    a, b = minhash_perms(CMS_DEPTH, seed=7)
+    vals = ", ".join(f"({i}, {a[i]}, {b[i]})" for i in range(CMS_DEPTH))
+    return f"""
+WITH toks AS (SELECT unnest(string_split(lower(text), ' ')) AS tok FROM documents),
+tk AS (SELECT tok AS val FROM toks WHERE tok <> ''),
+cnt AS (SELECT val, CAST(count(*) AS BIGINT) AS exact_count FROM tk GROUP BY val),
+hs AS MATERIALIZED (SELECT val, exact_count, {char_poly_hash_sql('val')} AS h FROM cnt),
+p(row, aa, bb) AS (VALUES {vals}),
+cells AS (SELECT p.row, ((h * aa + bb) % {POLY_MOD}) % {CMS_WIDTH} AS bucket,
+                 CAST(sum(exact_count) AS BIGINT) AS cell_count
+          FROM hs, p GROUP BY 1, 2),
+cand AS (SELECT val, exact_count, h FROM hs
+         ORDER BY exact_count DESC, val LIMIT {CMS_TOP}),
+cb AS (SELECT val, exact_count, p.row, ((h * aa + bb) % {POLY_MOD}) % {CMS_WIDTH} AS bucket
+       FROM cand, p)
+SELECT cb.val AS token, cb.exact_count, min(cell_count) AS cms_count,
+       min(cell_count) - cb.exact_count AS overcount
+FROM cb JOIN cells ON cb.row = cells.row AND cb.bucket = cells.bucket
+GROUP BY cb.val, cb.exact_count"""
 
 
 def _dup_windows_sql() -> str:
@@ -5043,6 +5134,8 @@ FROM documents""",
         "decontaminate": _decontaminate_sql(),
         "dup_windows8": _dup_windows_sql(),
         "kmv_shingles": _kmv_sql(),
+        "hll_shingles": _hll_sql(),
+        "cms_tokens": _cms_sql(),
         "media_features": _media_features_sql(),
         "embedding_near_dups": _embedding_near_dups_sql(),
         "frame_sample_plan": _FRAME_SAMPLE_SQL,
