@@ -1416,6 +1416,29 @@ def _q_temporal_reach(spark, sf_dir):
     return earliest_arrival(tedges, [0], rounds=TEMPORAL_ROUNDS)
 
 
+TEMPORAL_TRI_DELTAS = (20, 60)
+
+
+def _q_temporal_triangles(spark, sf_dir):
+    """δ-temporal triangle motifs (operators/temporal.py
+    temporal_triangles): A→B→C→A with strictly increasing timestamps
+    closing within δ ∈ {20, 60} seconds — the cyclic information-round-trip
+    count the static triangle metric overstates by ~1000x on this digraph.
+    Both window bounds live in the join predicates; smaller δ is a
+    conditional sum in the single final aggregate."""
+    from kaminpar_spark.operators.temporal import temporal_triangles
+    from kaminpar_spark.sources.transcripts import (
+        synth_transcripts,
+        transcript_temporal_edges,
+    )
+
+    n = _n_convs(spark, sf_dir)
+    tedges, _ = transcript_temporal_edges(
+        synth_transcripts(spark, n), n, stable_ids=True
+    )
+    return temporal_triangles(tedges, deltas=TEMPORAL_TRI_DELTAS)
+
+
 def _q_katz(spark, sf_dir):
     """Truncated Katz index, 3 hops, β=1/4 on the exact integer lattice
     (score × 4³) — weighted walk counts through 3 gather-sum supersteps."""
@@ -2078,6 +2101,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "louvain_modularity": _q_louvain_modularity,
         "katz3": _q_katz,
         "temporal_reach6": _q_temporal_reach,
+        "temporal_triangles60": _q_temporal_triangles,
         "eigenvector3": _q_eigenvector,
         "cc_profile4": _q_cc_profile,
         "role_mix": _q_role_mix,
@@ -3755,6 +3779,34 @@ SELECT id, CAST(arr AS BIGINT) AS arrival
 FROM a{TEMPORAL_ROUNDS} WHERE arr IS NOT NULL"""
 
 
+def _temporal_tri_sql() -> str:
+    """Triple self-join of the distinct (src, dst, ts) triples with the same
+    strict ordering + window predicates as temporal_triangles; the smaller δ
+    is a conditional sum over the δmax-bounded triple set."""
+    d1, d2 = sorted(TEMPORAL_TRI_DELTAS)
+    return f"""WITH {_EDGES_CTE},
+tlinks AS MATERIALIZED (
+  SELECT lag(actor) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS a_src,
+         actor AS a_dst, ts_s
+  FROM actor_turns
+  QUALIFY a_src IS NOT NULL AND a_src <> actor),
+tedges AS MATERIALIZED (
+  SELECT DISTINCT ns.id AS src, nd.id AS dst, l.ts_s AS ts
+  FROM tlinks l JOIN nodes ns ON l.a_src = ns.actor
+                JOIN nodes nd ON l.a_dst = nd.actor),
+tri AS (
+  SELECT e1.ts AS t1, e3.ts AS t3
+  FROM tedges e1
+  JOIN tedges e2 ON e2.src = e1.dst AND e2.ts > e1.ts
+                AND e2.ts <= e1.ts + {d2} AND e2.dst <> e1.src
+  JOIN tedges e3 ON e3.src = e2.dst AND e3.dst = e1.src
+                AND e3.ts > e2.ts AND e3.ts <= e1.ts + {d2})
+SELECT CAST(coalesce(sum(CASE WHEN t3 <= t1 + {d1} THEN 1 ELSE 0 END), 0) AS BIGINT)
+         AS tri_d{d1},
+       CAST(count(*) AS BIGINT) AS tri_d{d2}
+FROM tri"""
+
+
 def _katz_sql() -> str:
     """Unrolled weighted-walk chains k1..kK; katz = Σ inv_beta^(K-k)·walks_k."""
     K, ib = KATZ_HOPS, KATZ_INV_BETA
@@ -4909,6 +4961,7 @@ GROUP BY l.scc, lev.level""",
         "louvain_modularity": _louvain_modularity_sql(),
         "katz3": _katz_sql(),
         "temporal_reach6": _temporal_sql(),
+        "temporal_triangles60": _temporal_tri_sql(),
         "actor_churn": f"""WITH {_TRANSCRIPTS_CTE},
 at2 AS (
   SELECT CASE WHEN role = 'user' THEN 'user_' || CAST(c % greatest(1, (SELECT count(*) // 4 FROM orders)) AS VARCHAR)

@@ -45,3 +45,52 @@ def test_transcript_temporal_edges_shape(spark):
     got = earliest_arrival(te, [0], rounds=4)
     assert got.count() > 0
     assert got.where("id = 0").first()["arrival"] == 0
+
+
+def _tri(spark, edges, deltas):
+    from kaminpar_spark.operators.temporal import temporal_triangles
+
+    df = spark.createDataFrame(edges, "src long, dst long, ts long")
+    return temporal_triangles(df, deltas=deltas).collect()[0]
+
+
+def test_temporal_triangle_basic_and_window(spark):
+    """1→2@10, 2→3@15, 3→1@20 closes in span 10: counted at δ=10 and δ=60,
+    not at δ=5."""
+    edges = [(1, 2, 10), (2, 3, 15), (3, 1, 20)]
+    out = _tri(spark, edges, deltas=(5, 10, 60))
+    assert out["tri_d5"] == 0
+    assert out["tri_d10"] == 1
+    assert out["tri_d60"] == 1
+
+
+def test_temporal_triangle_rotations_are_distinct_instances(spark):
+    """An early 3→1@5 edge cannot close the 1-rooted cycle (closing edges
+    must come LAST), but it legitimately starts the rotation 3→1→2→3
+    (5<10<15) — ordered edge sequences are the motif instances, so adding it
+    yields a second instance, not an ordering violation."""
+    edges = [(1, 2, 10), (2, 3, 15), (3, 1, 20), (3, 1, 5)]
+    out = _tri(spark, edges, deltas=(10, 60))
+    assert out["tri_d10"] == 2
+    assert out["tri_d60"] == 2
+
+
+def test_temporal_triangle_needs_three_distinct_actors(spark):
+    """A→B→A ping-pong plus B→A again: no 3-node cycle, count 0."""
+    edges = [(1, 2, 10), (2, 1, 15), (2, 1, 20)]
+    out = _tri(spark, edges, deltas=(60,))
+    assert out["tri_d60"] == 0
+
+
+def test_temporal_triangle_counts_each_closing_edge(spark):
+    """Two distinct closing edges within the window → two motif instances."""
+    edges = [(1, 2, 10), (2, 3, 15), (3, 1, 20), (3, 1, 30)]
+    out = _tri(spark, edges, deltas=(60,))
+    assert out["tri_d60"] == 2
+
+
+def test_temporal_triangle_strict_ordering(spark):
+    """Equal timestamps break the strict t1 < t2 < t3 chain: count 0."""
+    edges = [(1, 2, 10), (2, 3, 10), (3, 1, 20)]
+    out = _tri(spark, edges, deltas=(60,))
+    assert out["tri_d60"] == 0
