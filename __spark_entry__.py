@@ -1439,6 +1439,44 @@ def _q_temporal_triangles(spark, sf_dir):
     return temporal_triangles(tedges, deltas=TEMPORAL_TRI_DELTAS)
 
 
+LM_COUNT = 4
+LM_HOPS = 4
+LM_PAIR_MOD = 100  # sample stays non-trivial down to the sf0.001 smoke graph
+
+
+def _q_landmark_est(spark, sf_dir):
+    """Landmark distance oracle (Das Sarma et al., WSDM'10 style): index the
+    graph with L=4 top-degree landmarks via ONE shared multi-source BFS
+    (operators/paths.multi_source_distances — L×n state rows, one frontier
+    join per round for all landmarks at once), then answer pairwise-distance
+    queries as triangle-inequality upper bounds min_lm d(lm,u)+d(lm,v) —
+    a 2L-row index lookup instead of a per-query BFS, the standard 100 TB
+    distance surrogate (all-pairs is off the table at n=10^9). Output:
+    estimates for the deterministic pair sample id % 100 == 0, u < v."""
+    from kaminpar_spark.operators.paths import multi_source_distances
+
+    g, _ = _graph(spark, sf_dir)
+    lms = (
+        g.degrees()
+        .orderBy(F.desc("degree"), F.asc("id"))
+        .limit(LM_COUNT)
+        .select("id")
+    )
+    lmd = multi_source_distances(g, lms, max_hops=LM_HOPS)
+    u = lmd.select(
+        F.col("src").alias("lm"), F.col("id").alias("u"), F.col("dist").alias("du")
+    ).where(F.col("u") % LM_PAIR_MOD == 0)
+    v = lmd.select(
+        F.col("src").alias("lm"), F.col("id").alias("v"), F.col("dist").alias("dv")
+    ).where(F.col("v") % LM_PAIR_MOD == 0)
+    return (
+        u.join(v, "lm")
+        .where(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.min(F.col("du") + F.col("dv")).cast("long").alias("est_dist"))
+    )
+
+
 def _q_katz(spark, sf_dir):
     """Truncated Katz index, 3 hops, β=1/4 on the exact integer lattice
     (score × 4³) — weighted walk counts through 3 gather-sum supersteps."""
@@ -2102,6 +2140,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "katz3": _q_katz,
         "temporal_reach6": _q_temporal_reach,
         "temporal_triangles60": _q_temporal_triangles,
+        "landmark_est4": _q_landmark_est,
         "eigenvector3": _q_eigenvector,
         "cc_profile4": _q_cc_profile,
         "role_mix": _q_role_mix,
@@ -3779,6 +3818,38 @@ SELECT id, CAST(arr AS BIGINT) AS arrival
 FROM a{TEMPORAL_ROUNDS} WHERE arr IS NOT NULL"""
 
 
+def _landmark_sql() -> str:
+    """Top-degree landmark pick + the same unrolled multi-source
+    min-relaxation as _harmonic_sql, then min-over-landmarks pair upper
+    bounds for the id % LM_PAIR_MOD sample."""
+    prev = "m0"
+    steps = ""
+    for i in range(1, LM_HOPS + 1):
+        steps += f""",
+m{i} AS MATERIALIZED (
+  SELECT a.src, a.id,
+         CASE WHEN a.dist IS NULL THEN c.nd WHEN c.nd IS NULL THEN a.dist
+              ELSE least(a.dist, c.nd) END AS dist
+  FROM {prev} a LEFT JOIN (
+    SELECT r.src, e.dst AS id, MIN(r.dist + 1) AS nd
+    FROM edges e JOIN {prev} r ON e.src = r.id WHERE r.dist IS NOT NULL
+    GROUP BY r.src, e.dst) c
+  ON a.src = c.src AND a.id = c.id)"""
+        prev = f"m{i}"
+    return f"""WITH {_EDGES_CTE},
+srcs AS (SELECT id AS src FROM deg ORDER BY degree DESC, id LIMIT {LM_COUNT}),
+m0 AS (SELECT s.src, n.id,
+              CASE WHEN n.id = s.src THEN CAST(0 AS BIGINT) END AS dist
+       FROM nodes n CROSS JOIN srcs s){steps},
+lu AS (SELECT src AS lm, id AS u, dist AS du FROM {prev}
+       WHERE dist IS NOT NULL AND id % {LM_PAIR_MOD} = 0),
+lv AS (SELECT src AS lm, id AS v, dist AS dv FROM {prev}
+       WHERE dist IS NOT NULL AND id % {LM_PAIR_MOD} = 0)
+SELECT lu.u, lv.v, CAST(min(du + dv) AS BIGINT) AS est_dist
+FROM lu JOIN lv ON lu.lm = lv.lm AND lu.u < lv.v
+GROUP BY lu.u, lv.v"""
+
+
 def _temporal_tri_sql() -> str:
     """Triple self-join of the distinct (src, dst, ts) triples with the same
     strict ordering + window predicates as temporal_triangles; the smaller δ
@@ -4962,6 +5033,7 @@ GROUP BY l.scc, lev.level""",
         "katz3": _katz_sql(),
         "temporal_reach6": _temporal_sql(),
         "temporal_triangles60": _temporal_tri_sql(),
+        "landmark_est4": _landmark_sql(),
         "actor_churn": f"""WITH {_TRANSCRIPTS_CTE},
 at2 AS (
   SELECT CASE WHEN role = 'user' THEN 'user_' || CAST(c % greatest(1, (SELECT count(*) // 4 FROM orders)) AS VARCHAR)
