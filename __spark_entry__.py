@@ -1439,6 +1439,25 @@ def _q_temporal_triangles(spark, sf_dir):
     return temporal_triangles(tedges, deltas=TEMPORAL_TRI_DELTAS)
 
 
+CASCADE_K = 2
+CASCADE_ROUNDS = 4
+CASCADE_SEED_MOD = 50
+
+
+def _q_cascade(spark, sf_dir):
+    """k-threshold cascade / bootstrap percolation (operators/cascade.py):
+    seeds id % 50 == 0, a node activates when >= 2 neighbors are active.
+    Jacobi rounds are order-free, so (id, first-activation-round) is
+    deterministic; on this graph the cascade shows the two-phase hub
+    dynamics (round 1: the ~13 agent hubs with >= 2 seed contacts; round 2:
+    the user mass they reinforce) that BFS reachability cannot express."""
+    from kaminpar_spark.operators.cascade import threshold_cascade
+
+    g, _ = _graph(spark, sf_dir)
+    seeds = g.nodes.select("id").where(F.col("id") % CASCADE_SEED_MOD == 0)
+    return threshold_cascade(g, seeds, k=CASCADE_K, rounds=CASCADE_ROUNDS)
+
+
 LM_COUNT = 4
 LM_HOPS = 4
 LM_PAIR_MOD = 100  # sample stays non-trivial down to the sf0.001 smoke graph
@@ -2141,6 +2160,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temporal_reach6": _q_temporal_reach,
         "temporal_triangles60": _q_temporal_triangles,
         "landmark_est4": _q_landmark_est,
+        "cascade_k2": _q_cascade,
         "eigenvector3": _q_eigenvector,
         "cc_profile4": _q_cc_profile,
         "role_mix": _q_role_mix,
@@ -3818,6 +3838,27 @@ SELECT id, CAST(arr AS BIGINT) AS arrival
 FROM a{TEMPORAL_ROUNDS} WHERE arr IS NOT NULL"""
 
 
+def _cascade_sql() -> str:
+    """Unrolled monotone threshold rounds: per round one active-neighbor
+    count with HAVING >= k, anti-joined against the already-active set."""
+    ctes = f""",
+a0 AS (SELECT id, CAST(0 AS INT) AS round FROM nodes
+       WHERE id % {CASCADE_SEED_MOD} = 0)"""
+    for r in range(1, CASCADE_ROUNDS + 1):
+        ctes += f""",
+n{r} AS MATERIALIZED (
+  SELECT e.dst AS id, CAST({r} AS INT) AS round
+  FROM edges e JOIN a{r - 1} s ON e.src = s.id
+  GROUP BY e.dst HAVING count(*) >= {CASCADE_K}),
+a{r} AS MATERIALIZED (
+  SELECT * FROM a{r - 1}
+  UNION ALL
+  SELECT n.id, n.round FROM n{r} n LEFT JOIN a{r - 1} p ON n.id = p.id
+  WHERE p.id IS NULL)"""
+    return f"""WITH {_EDGES_CTE}{ctes}
+SELECT id, round FROM a{CASCADE_ROUNDS}"""
+
+
 def _landmark_sql() -> str:
     """Top-degree landmark pick + the same unrolled multi-source
     min-relaxation as _harmonic_sql, then min-over-landmarks pair upper
@@ -5034,6 +5075,7 @@ GROUP BY l.scc, lev.level""",
         "temporal_reach6": _temporal_sql(),
         "temporal_triangles60": _temporal_tri_sql(),
         "landmark_est4": _landmark_sql(),
+        "cascade_k2": _cascade_sql(),
         "actor_churn": f"""WITH {_TRANSCRIPTS_CTE},
 at2 AS (
   SELECT CASE WHEN role = 'user' THEN 'user_' || CAST(c % greatest(1, (SELECT count(*) // 4 FROM orders)) AS VARCHAR)

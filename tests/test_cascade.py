@@ -1,0 +1,50 @@
+"""k-threshold cascade / bootstrap percolation (operators/cascade.py)."""
+
+from __future__ import annotations
+
+from kaminpar_spark.graph import GraphFrame
+from kaminpar_spark.operators.cascade import threshold_cascade
+
+
+def _graph(spark, pairs):
+    e = spark.createDataFrame(
+        [(s, d, 1) for s, d in pairs], "src long, dst long, weight long"
+    )
+    return GraphFrame.from_edge_pairs(e, symmetrize=True)
+
+
+def _run(spark, pairs, seeds, k, rounds=4):
+    g = _graph(spark, pairs)
+    out = threshold_cascade(g, seeds, k=k, rounds=rounds).collect()
+    return {r["id"]: r["round"] for r in out}
+
+
+def test_threshold_requires_k_active_neighbors(spark):
+    """2 activates (two seed neighbors); 4 has only one ever-active
+    neighbor, so it never activates at k=2 — the non-BFS property."""
+    got = _run(spark, [(1, 2), (3, 2), (3, 4)], seeds=[1, 3], k=2)
+    assert got == {1: 0, 3: 0, 2: 1}
+
+
+def test_first_activation_round_is_recorded(spark):
+    """4 needs node 2's round-1 activation before its own count reaches 2:
+    activation rounds are 0 (seeds), 1, then 2 — not collapsed."""
+    pairs = [(1, 2), (3, 2), (2, 4), (3, 4)]
+    got = _run(spark, pairs, seeds=[1, 3], k=2)
+    assert got == {1: 0, 3: 0, 2: 1, 4: 2}
+
+
+def test_no_activation_below_threshold(spark):
+    """k=3 with only two seeds on a star: the hub sees 2 < 3 active
+    neighbors forever — only seeds remain."""
+    pairs = [(0, i) for i in range(1, 5)]
+    got = _run(spark, pairs, seeds=[1, 2], k=3)
+    assert got == {1: 0, 2: 0}
+
+
+def test_fixpoint_rounds_are_noops(spark):
+    """Extra rounds after total activation change nothing (monotone)."""
+    pairs = [(1, 2), (3, 2)]
+    a = _run(spark, pairs, seeds=[1, 3], k=2, rounds=2)
+    b = _run(spark, pairs, seeds=[1, 3], k=2, rounds=6)
+    assert a == b
