@@ -90,3 +90,67 @@ def streaming_dedup_first_seen(docs: DataFrame, ttl_ms: int | None = None) -> Da
         outputMode="append",
         timeoutConf=conf,
     )
+
+
+CMS_CELL_OUTPUT = "row int, bucket long, cell_count long"
+CMS_CELL_STATE = "cell_count long"
+
+
+def _cms_cell_fn(key, pdfs: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
+    add = 0
+    for pdf in pdfs:
+        add += len(pdf)
+    total = (state.get[0] if state.exists else 0) + add
+    state.update((total,))
+    yield pd.DataFrame(
+        {"row": [key[0]], "bucket": [key[1]], "cell_count": [total]}
+    )
+
+
+def streaming_cms_cells(
+    tokens: DataFrame, depth: int = 4, width: int = 1024
+) -> DataFrame:
+    """Continuously-maintained Count-Min sketch over a streaming frame with a
+    string ``token`` column: each occurrence maps to ``depth`` (row, bucket)
+    cells via the SAME portable affine-permuted polynomial hash as the batch
+    ``functions.sketches.cms_heavy_hitters`` (seed 7 — a cell count produced
+    here is bit-comparable to the batch sketch over the same occurrences),
+    and keyed state accumulates running cell counts. Each microbatch emits
+    the UPDATED totals for cells it touched (update output mode).
+
+    Scale shape: this is the streaming-sketch contract — state is bounded by
+    depth*width cells (<= 4096 keys) NO MATTER how many distinct tokens or
+    occurrences flow through, which is exactly what per-token state (the
+    naive streaming top-k) cannot promise at 100 TB/day. Python is invoked
+    per TOUCHED CELL per batch with Arrow transfer, not per token; heavy
+    hitters are answered offline by min-over-rows point lookups against the
+    latest cell counts."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from kaminpar_spark.functions.hashing import (
+        POLY_MOD,
+        char_poly_hash,
+        minhash_perms,
+    )
+
+    a, b = minhash_perms(depth, seed=7)
+    h = char_poly_hash(F.col("token"))
+    cells = tokens.select(
+        F.posexplode(
+            F.array(
+                *[
+                    ((h * F.lit(a[i]) + F.lit(b[i])) % F.lit(POLY_MOD))
+                    % F.lit(width)
+                    for i in range(depth)
+                ]
+            )
+        ).alias("row", "bucket")
+    )
+    return cells.groupBy("row", "bucket").applyInPandasWithState(
+        _cms_cell_fn,
+        outputStructType=CMS_CELL_OUTPUT,
+        stateStructType=CMS_CELL_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -259,3 +259,79 @@ def test_streaming_ingest_to_pagerank_end_to_end(spark, tmp_path):
     pr_b = {r["id"]: r["rank"] for r in pagerank(g_batch, tol=1e-9, max_iters=60).collect()}
     assert set(pr_s) == set(pr_b)
     assert all(abs(pr_s[i] - pr_b[i]) < 1e-6 for i in pr_s)
+
+
+def test_streaming_cms_matches_batch_cells(spark, tmp_path):
+    """Streaming CMS cell counts after two microbatches equal the batch
+    sketch's cell sums over the union of both batches (same hash family,
+    same seed) — counts are monotone, so the latest emission per cell is
+    its max."""
+    import os
+    import time
+
+    from pyspark.sql import functions as F
+
+    from kaminpar_spark.functions.hashing import POLY_MOD, char_poly_hash, minhash_perms
+    from kaminpar_spark.streaming.stateful import streaming_cms_cells
+
+    b1 = [("alpha",), ("beta",), ("alpha",)]
+    b2 = [("alpha",), ("gamma",), ("beta",), ("beta",)]
+    in_dir = tmp_path / "toks"
+    in_dir.mkdir()
+    spark.createDataFrame(b1, "token string").coalesce(1).write.parquet(
+        str(in_dir / "b1")
+    )
+    time.sleep(0.05)
+    spark.createDataFrame(b2, "token string").coalesce(1).write.parquet(
+        str(in_dir / "b2")
+    )
+    now = time.time()
+    for sub, ago in (("b1", 60), ("b2", 1)):
+        for f in (in_dir / sub).iterdir():
+            os.utime(f, (now - ago, now - ago))
+
+    stream = (
+        spark.readStream.schema("token string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(in_dir) + "/*")
+    )
+    out = streaming_cms_cells(stream, depth=4, width=32)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("cms_out")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "chk_cms"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["row"], r["bucket"]): r["cell_count"]
+        for r in spark.sql(
+            "SELECT row, bucket, max(cell_count) AS cell_count FROM cms_out"
+            " GROUP BY row, bucket"
+        ).collect()
+    }
+
+    a, b = minhash_perms(4, seed=7)
+    h = char_poly_hash(F.col("token"))
+    batch_cells = (
+        spark.createDataFrame(b1 + b2, "token string")
+        .select(
+            F.posexplode(
+                F.array(
+                    *[
+                        ((h * F.lit(a[i]) + F.lit(b[i])) % F.lit(POLY_MOD))
+                        % F.lit(32)
+                        for i in range(4)
+                    ]
+                )
+            ).alias("row", "bucket")
+        )
+        .groupBy("row", "bucket")
+        .count()
+        .collect()
+    )
+    want = {(r["row"], r["bucket"]): r["count"] for r in batch_cells}
+    assert got == want
+    assert len(got) <= 4 * 32  # bounded-state contract
