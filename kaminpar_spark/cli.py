@@ -52,7 +52,7 @@ def load_graph(spark, path: str, symmetrize: bool):
 
 def main(argv=None):
     ap = argparse.ArgumentParser(prog="kaminpar-spark")
-    ap.add_argument("command", choices=["partition", "pagerank", "ppr", "components", "labelprop", "triangles", "kcore", "stats", "bfs", "diameter", "color", "mis", "walks", "match", "hits", "msf", "truss", "anf", "wl", "ebc"])
+    ap.add_argument("command", choices=["partition", "pagerank", "ppr", "components", "labelprop", "triangles", "kcore", "stats", "bfs", "diameter", "color", "mis", "walks", "match", "hits", "msf", "truss", "anf", "wl", "ebc", "cascade", "landmark", "tmotifs"])
     ap.add_argument("--sources", default="0", help="[ppr] comma-separated teleport node ids")
     ap.add_argument("-G", "--graph", required=True)
     ap.add_argument("-k", type=int, default=2)
@@ -287,6 +287,54 @@ def main(argv=None):
         print(
             f"RESULT edges={ebc.count()} top_edge=({top['a']},{top['b']}) "
             f"top_stress={top['e_stress']} time={time.time()-t0:.3f}s"
+        )
+    elif args.command == "cascade":
+        from pyspark.sql import functions as F
+
+        from kaminpar_spark.operators.cascade import threshold_cascade
+
+        # --sources gives the seed ids; -k is the activation threshold
+        seeds = [int(x) for x in args.sources.split(",")]
+        act = threshold_cascade(g, seeds, k=max(args.k, 1), rounds=args.max_iters)
+        if args.save:
+            act.write.mode("overwrite").parquet(args.save)
+        per_round = {
+            r["round"]: r["n"]
+            for r in act.groupBy("round").agg(F.count("*").alias("n")).collect()
+        }
+        print(
+            f"RESULT activated={sum(per_round.values())} "
+            f"rounds={json.dumps(per_round, sort_keys=True)} time={time.time()-t0:.3f}s"
+        )
+    elif args.command == "landmark":
+        from pyspark.sql import functions as F
+
+        from kaminpar_spark.operators.paths import multi_source_distances
+
+        # -k doubles as the landmark count; index = one shared multi-source BFS
+        lms = (
+            g.degrees()
+            .orderBy(F.desc("degree"), F.asc("id"))
+            .limit(max(args.k, 1))
+            .select("id")
+        )
+        lmd = multi_source_distances(g, lms, max_hops=args.max_iters)
+        if args.save:
+            lmd.write.mode("overwrite").parquet(args.save)
+        covered = lmd.where(F.col("dist").isNotNull()).select("id").distinct().count()
+        print(
+            f"RESULT landmarks={max(args.k, 1)} index_rows={lmd.count()} "
+            f"covered_nodes={covered} time={time.time()-t0:.3f}s"
+        )
+    elif args.command == "tmotifs":
+        from kaminpar_spark.operators.temporal import temporal_triangles
+
+        # requires a parquet input carrying (src, dst, ts); --max-iters is δ
+        tedges = spark.read.parquet(args.graph).select("src", "dst", "ts")
+        row = temporal_triangles(tedges, deltas=(args.max_iters,)).collect()[0]
+        print(
+            f"RESULT tri_d{args.max_iters}={row[f'tri_d{args.max_iters}']} "
+            f"time={time.time()-t0:.3f}s"
         )
     elif args.command == "stats":
         from dataclasses import asdict

@@ -48,3 +48,34 @@ def test_fixpoint_rounds_are_noops(spark):
     a = _run(spark, pairs, seeds=[1, 3], k=2, rounds=2)
     b = _run(spark, pairs, seeds=[1, 3], k=2, rounds=6)
     assert a == b
+
+
+def test_cli_cascade_landmark_tmotifs(spark, tmp_path, capsys):
+    """CLI round-trip for the round-3 subcommands (cli.py): cascade seeds
+    via --sources, landmark count via -k, tmotifs over a (src,dst,ts)
+    parquet with --max-iters as the window delta."""
+    from kaminpar_spark import cli, fixtures
+
+    edges = tmp_path / "edges.parquet"
+    g = fixtures.grid8(spark)
+    g.edges.select("src", "dst", "weight").write.parquet(str(edges))
+
+    assert cli.main([
+        "cascade", "-G", str(edges), "-k", "2",
+        "--sources", "0,1,8,9", "--max-iters", "4",
+    ]) == 0
+    out = capsys.readouterr().out
+    assert "RESULT" in out and "activated=" in out, out
+
+    assert cli.main(["landmark", "-G", str(edges), "-k", "3", "--max-iters", "6"]) == 0
+    out = capsys.readouterr().out
+    assert "RESULT" in out and "covered_nodes=" in out, out
+
+    tpath = tmp_path / "tedges.parquet"
+    spark.createDataFrame(
+        [(1, 2, 10), (2, 3, 15), (3, 1, 20), (3, 1, 500)],
+        "src long, dst long, ts long",
+    ).write.parquet(str(tpath))
+    assert cli.main(["tmotifs", "-G", str(tpath), "--max-iters", "60"]) == 0
+    out = capsys.readouterr().out
+    assert "RESULT" in out and "tri_d60=1" in out, out
