@@ -401,6 +401,28 @@ def _q_cc(spark, sf_dir):
     return connected_components(g, max_iters=CC_STEPS, two_phase=True)
 
 
+def _q_cc_incremental(spark, sf_dir):
+    """Snapshot-incremental CC: converge hash-to-min on a deterministic
+    2/3-ish base edge subset ((src+dst)%3 != 0 — symmetric, so the half-edge
+    invariant holds), then continue on the FULL graph warm-started from those
+    labels (components.connected_components init_labels). Hash-to-min is
+    monotone, so the warm run must land on the identical min-id fixpoint as
+    a cold full recompute — the oracle is the plain full-graph CC chain.
+    This is the 10^12-turn operating mode: per snapshot delta you pay
+    O(diameter of the changed region) supersteps, not a full recompute."""
+    from kaminpar_spark.graph import GraphFrame
+    from kaminpar_spark.operators.components import connected_components
+
+    g, _ = _graph(spark, sf_dir)
+    base = GraphFrame(
+        edges=g.edges.where((F.col("src") + F.col("dst")) % 3 != 0), nodes=g.nodes
+    )
+    prev = connected_components(base, max_iters=CC_STEPS, two_phase=True)
+    return connected_components(
+        g, max_iters=CC_STEPS, two_phase=True, init_labels=prev
+    )
+
+
 def _q_component_sizes(spark, sf_dir):
     """Component size distribution: (size, n_components) — the giant-component
     sanity view every link-graph pipeline reads first."""
@@ -2148,6 +2170,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ppr5": _q_ppr5,
         "lcc": _q_lcc,
         "connected_components": _q_cc,
+        "cc_incremental": _q_cc_incremental,
         "component_sizes": _q_component_sizes,
         "digraph_stats": _q_digraph_stats,
         "scc": _q_scc,
@@ -5018,6 +5041,9 @@ SELECT CAST(CASE WHEN degree = 0 THEN 0 ELSE floor(log2(degree)) + 1 END AS INT)
 FROM deg GROUP BY 1""",
         "pagerank5": _pagerank_sql(),
         "connected_components": _cc_sql(),
+        # warm-start run must reach the identical min-id fixpoint as the
+        # cold chain — the incremental path's oracle IS the full recompute
+        "cc_incremental": _cc_sql(),
         "component_sizes": f"""WITH base AS ({_cc_sql()}),
 per AS (SELECT comp, CAST(count(*) AS BIGINT) AS size FROM base GROUP BY comp)
 SELECT size, CAST(count(*) AS BIGINT) AS n_components FROM per GROUP BY size""",

@@ -65,3 +65,34 @@ def test_largest_component(spark):
     members = sorted(r["id"] for r in largest_component(g).collect())
     assert members in ([1, 2, 3], [4, 7, 8])  # both size 3; tie broken by min comp
     assert members == [1, 2, 3]
+
+
+def test_cc_incremental_matches_full(spark):
+    """Warm-start CC: labels from a base-edge subgraph run, continued over
+    the full graph, must equal the cold full recompute exactly — and when
+    the delta is empty, converge in one superstep."""
+    from pyspark.sql import functions as F
+
+    from kaminpar_spark.graph import GraphFrame
+
+    g, src, dst = fixtures.erdos_renyi(spark, n=600, p=0.003, seed=7, hub_overlay=0)
+    base = GraphFrame(
+        edges=g.edges.where((F.col("src") + F.col("dst")) % 3 != 0), nodes=g.nodes
+    )
+    prev = connected_components(base, max_iters=30)
+    warm = {
+        r["id"]: r["comp"]
+        for r in connected_components(g, max_iters=30, init_labels=prev).collect()
+    }
+    cold = {r["id"]: r["comp"] for r in connected_components(g, max_iters=30).collect()}
+    assert warm == cold
+
+    # empty delta: re-running from the converged labels is a 1-superstep noop
+    rounds = []
+    again = connected_components(
+        g, max_iters=30, init_labels=connected_components(g, max_iters=30),
+        on_metrics=lambda i, m: rounds.append(m),
+    )
+    got = {r["id"]: r["comp"] for r in again.collect()}
+    assert got == cold
+    assert len(rounds) == 1 and rounds[0]["moved"] == 0
