@@ -286,6 +286,31 @@ def _q_pagerank5(spark, sf_dir):
     return pr.select("id", F.round("rank", 6).alias("rank"))
 
 
+PR_WARM_A = 3  # supersteps on the stale (base) link set
+PR_WARM_B = 2  # supersteps continued on the full graph from the warm seed
+
+
+def _q_pagerank_warm(spark, sf_dir):
+    """Warm-start PageRank across a snapshot update: PR_WARM_A fixed
+    supersteps on the stale link set ((src+dst)%3 != 0 — symmetric subset,
+    full node universe, so dropped-degree nodes become dangling and their
+    mass is redistributed exactly as operators/pagerank.pagerank_step does),
+    then the warm_start path (pagerank.init_ranks:26 — seed from old ranks,
+    renormalize to unit mass) continues PR_WARM_B supersteps on the full
+    graph. This is the production re-rank cadence at 10^12 turns: each
+    ingest pays a few warm supersteps, never the cold iteration budget."""
+    from kaminpar_spark.graph import GraphFrame
+    from kaminpar_spark.operators.pagerank import pagerank
+
+    g, _ = _graph(spark, sf_dir)
+    base = GraphFrame(
+        edges=g.edges.where((F.col("src") + F.col("dst")) % 3 != 0), nodes=g.nodes
+    )
+    prev = pagerank(base, tol=0.0, max_iters=PR_WARM_A)
+    pr = pagerank(g, tol=0.0, max_iters=PR_WARM_B, warm_start=prev)
+    return pr.select("id", F.round("rank", 6).alias("rank"))
+
+
 PPR_SOURCES = 3  # ids < 3 teleport set
 
 
@@ -2167,6 +2192,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sssp_dist4": _q_sssp_dist,
         "degree_buckets": _q_degree_buckets,
         "pagerank5": _q_pagerank5,
+        "pagerank_warm": _q_pagerank_warm,
         "ppr5": _q_ppr5,
         "lcc": _q_lcc,
         "connected_components": _q_cc,
@@ -2707,6 +2733,55 @@ r{i} AS MATERIALIZED (
 nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
 r0 AS (SELECT id, 1.0 / (SELECT n FROM nn) AS rank FROM deg){steps}
 SELECT id, round(rank, 6) AS rank FROM {prev}"""
+
+
+def _pagerank_warm_sql() -> str:
+    """Two unrolled chains in one id universe: phase A on the base edge
+    subset (per-step dangling-mass scalar over degree-0 nodes, mirroring
+    pagerank_step's filtered aggregate), unit-mass renormalized warm seed
+    (init_ranks warm_start semantics), phase B on the full edge table."""
+    prev = "a0"
+    a_steps = ""
+    for i in range(1, PR_WARM_A + 1):
+        a_steps += f""",
+a{i}dm AS (SELECT coalesce(sum(r.rank), 0) AS dm
+           FROM {prev} r JOIN bdeg d ON r.id = d.id WHERE d.degree = 0),
+a{i} AS MATERIALIZED (
+  SELECT d.id,
+         (0.15 / (SELECT n FROM nn))
+           + 0.85 * (SELECT dm FROM a{i}dm) / (SELECT n FROM nn)
+           + 0.85 * coalesce(s.x, 0) AS rank
+  FROM bdeg d LEFT JOIN (
+    SELECT e.dst AS id, sum(r.rank / dg.degree) AS x
+    FROM be e JOIN {prev} r ON e.src = r.id JOIN bdeg dg ON e.src = dg.id
+    GROUP BY e.dst) s
+  ON d.id = s.id)"""
+        prev = f"a{i}"
+    b_steps = ""
+    bprev = "b0"
+    for i in range(1, PR_WARM_B + 1):
+        b_steps += f""",
+b{i} AS MATERIALIZED (
+  SELECT d.id,
+         (0.15 / (SELECT n FROM nn)) + 0.85 * coalesce(s.x, 0) AS rank
+  FROM deg d LEFT JOIN (
+    SELECT e.dst AS id, sum(r.rank / dg.degree) AS x
+    FROM edges e JOIN {bprev} r ON e.src = r.id JOIN deg dg ON e.src = dg.id
+    GROUP BY e.dst) s
+  ON d.id = s.id)"""
+        bprev = f"b{i}"
+    return f"""WITH {_EDGES_CTE},
+nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM deg),
+be AS MATERIALIZED (SELECT src, dst FROM edges WHERE (src + dst) % 3 <> 0),
+bdeg AS MATERIALIZED (
+  SELECT n.id, CAST(coalesce(d.degree, 0) AS BIGINT) AS degree
+  FROM deg n LEFT JOIN (
+    SELECT src AS id, count(*) AS degree FROM be GROUP BY src) d
+  ON n.id = d.id),
+a0 AS (SELECT id, 1.0 / (SELECT n FROM nn) AS rank FROM bdeg){a_steps},
+tot AS (SELECT sum(rank) AS t FROM {prev}),
+b0 AS (SELECT id, rank / (SELECT t FROM tot) AS rank FROM {prev}){b_steps}
+SELECT id, round(rank, 6) AS rank FROM {bprev}"""
 
 
 def _cc_sql() -> str:
@@ -5040,6 +5115,7 @@ SELECT CAST(CASE WHEN degree = 0 THEN 0 ELSE floor(log2(degree)) + 1 END AS INT)
        CAST(count(*) AS BIGINT) AS n_nodes
 FROM deg GROUP BY 1""",
         "pagerank5": _pagerank_sql(),
+        "pagerank_warm": _pagerank_warm_sql(),
         "connected_components": _cc_sql(),
         # warm-start run must reach the identical min-id fixpoint as the
         # cold chain — the incremental path's oracle IS the full recompute
