@@ -499,6 +499,36 @@ def _q_lp_step1(spark, sf_dir):
     return new.select("id", "label")
 
 
+LPA_WARM_A = 2  # synchronous LP steps on the stale (base) link set
+LPA_WARM_B = 1  # steps continued on the full graph from the warm labels
+
+
+def _q_lpa_warm(spark, sf_dir):
+    """Warm-start LPA across a snapshot update: LPA_WARM_A synchronous
+    lp_step supersteps (community config, semi_sync=False so the schedule is
+    oracle-reproducible — xxhash64 tie-breaking is engine-local) on the
+    stale symmetric edge subset ((src+dst)%3 != 0), then LPA_WARM_B more on
+    the full graph seeded from those labels. Completes the snapshot-
+    incremental triple (pagerank_warm, cc_incremental, lpa_warm): at 10^12
+    turns each ingest refines standing communities instead of re-clustering
+    from singletons. Integer scores make every argmax tie cross-engine
+    deterministic."""
+    from kaminpar_spark.graph import GraphFrame
+    from kaminpar_spark.operators.labelprop import lp_step
+    from kaminpar_spark.plans.lineage import truncate
+
+    g, _ = _graph(spark, sf_dir)
+    base = GraphFrame(
+        edges=g.edges.where((F.col("src") + F.col("dst")) % 3 != 0), nodes=g.nodes
+    )
+    state = g.nodes.select("id", F.col("id").alias("label"), "weight")
+    for _ in range(LPA_WARM_A):
+        state = truncate(lp_step(base, state, semi_sync=False).select("id", "label", "weight"))
+    for _ in range(LPA_WARM_B):
+        state = truncate(lp_step(g, state, semi_sync=False).select("id", "label", "weight"))
+    return state.select("id", "label")
+
+
 def _q_edge_cut_mod4(spark, sf_dir):
     from kaminpar_spark.operators import metrics
 
@@ -2245,6 +2275,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bipartite_check12": _q_bipartite_check,
         "response_latency": _q_response_latency,
         "lp_step1": _q_lp_step1,
+        "lpa_warm": _q_lpa_warm,
         "lpa_modularity": _q_lpa_modularity,
         "adjacency_jaccard": _q_adjacency_jaccard,
         "resource_alloc": _q_resource_alloc,
@@ -2993,6 +3024,47 @@ best AS (
     FROM sc) t WHERE rn = 1)
 SELECT n.id, CAST(coalesce(b.label, n.id) AS BIGINT) AS label
 FROM nodes n LEFT JOIN best b ON n.id = b.id"""
+
+
+def _lpa_warm_sql() -> str:
+    """Unrolled synchronous LP steps: LPA_WARM_A over the base edge subset,
+    LPA_WARM_B over the full edge table, identity start. Each step mirrors
+    lp_step exactly — best = argmax(score desc, label asc) over adjacent
+    labels, move iff best_label differs AND best_score strictly beats the
+    own-label adjacent score (0 when the own label is not adjacent)."""
+
+    def step(i: int, edges: str, prev: str) -> str:
+        return f""",
+sc{i} AS MATERIALIZED (
+  SELECT e.dst AS id, l.label, sum(e.weight) AS score
+  FROM {edges} e JOIN {prev} l ON e.src = l.id GROUP BY e.dst, l.label),
+b{i} AS MATERIALIZED (
+  SELECT id, label AS best_label, score AS best_score FROM (
+    SELECT id, label, score,
+           row_number() OVER (PARTITION BY id ORDER BY score DESC, label ASC) AS rn
+    FROM sc{i}) t WHERE rn = 1),
+l{i} AS MATERIALIZED (
+  SELECT c.id,
+         CASE WHEN b.best_label IS NOT NULL AND b.best_label <> c.label
+                   AND b.best_score > coalesce(o.score, 0)
+              THEN b.best_label ELSE c.label END AS label
+  FROM {prev} c
+  LEFT JOIN b{i} b ON c.id = b.id
+  LEFT JOIN sc{i} o ON c.id = o.id AND c.label = o.label)"""
+
+    steps = ""
+    prev = "l0"
+    for i in range(1, LPA_WARM_A + 1):
+        steps += step(i, "be", prev)
+        prev = f"l{i}"
+    for i in range(LPA_WARM_A + 1, LPA_WARM_A + LPA_WARM_B + 1):
+        steps += step(i, "edges", prev)
+        prev = f"l{i}"
+    return f"""WITH {_EDGES_CTE},
+be AS MATERIALIZED (
+  SELECT src, dst, weight FROM edges WHERE (src + dst) % 3 <> 0),
+l0 AS (SELECT id, id AS label FROM nodes){steps}
+SELECT id, CAST(label AS BIGINT) AS label FROM {prev}"""
 
 
 def _score_sql() -> str:
@@ -5282,6 +5354,7 @@ FROM parts p JOIN idx i ON p.block = i.block""",
         "ppr5": _ppr_sql(),
         "lcc": _LCC_SQL,
         "lp_step1": _LP1_SQL,
+        "lpa_warm": _lpa_warm_sql(),
         "lpa_modularity": _LPA_MODULARITY_SQL,
         "adjacency_jaccard": _ADJ_JACCARD_SQL,
         "resource_alloc": _RA_SQL,
