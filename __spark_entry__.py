@@ -499,6 +499,21 @@ def _q_lp_step1(spark, sf_dir):
     return new.select("id", "label")
 
 
+def _q_triangles_incremental(spark, sf_dir):
+    """Snapshot-incremental triangles: delta = the (src+dst)%3 == 0 edge
+    subset arriving on top of the base snapshot; the engine computes
+    tri_delta from three delta-anchored wedge joins
+    (operators/triangles.incremental_triangle_count) — never a full wedge
+    recount — and tri_old equals the previous snapshot's cached count by
+    orientation invariance. Oracle: two independent oriented counts
+    (base subset, full graph); tri_delta is their difference."""
+    from kaminpar_spark.operators.triangles import incremental_triangle_count
+
+    g, _ = _graph(spark, sf_dir)
+    delta = g.edges.where((F.col("src") + F.col("dst")) % 3 == 0).select("src", "dst")
+    return incremental_triangle_count(g, delta)
+
+
 LPA_WARM_A = 2  # synchronous LP steps on the stale (base) link set
 LPA_WARM_B = 1  # steps continued on the full graph from the warm labels
 
@@ -2249,6 +2264,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_rollup": _q_event_rollup,
         "actor_churn": _q_actor_churn,
         "triangle_count": _q_triangle_count,
+        "triangles_incremental": _q_triangles_incremental,
         "transitivity": _q_transitivity,
         "snm_candidates": _q_snm_candidates,
         "wl_classes2": _q_wl_classes,
@@ -2843,6 +2859,26 @@ oe AS MATERIALIZED (
 SELECT CAST(count(*) AS BIGINT) AS triangles
 FROM oe e1 JOIN oe e2 ON e1.dst = e2.src
            JOIN oe e3 ON e3.src = e1.src AND e3.dst = e2.dst"""
+
+_TRI_INCR_SQL = f"""WITH {_EDGES_CTE},
+oe AS MATERIALIZED (
+  SELECT e.src, e.dst
+  FROM edges e JOIN deg a ON e.src = a.id JOIN deg b ON e.dst = b.id
+  WHERE (a.degree < b.degree) OR (a.degree = b.degree AND e.src < e.dst)),
+be AS MATERIALIZED (SELECT src, dst FROM edges WHERE (src + dst) % 3 <> 0),
+bdeg AS MATERIALIZED (SELECT src AS id, count(*) AS degree FROM be GROUP BY src),
+boe AS MATERIALIZED (
+  SELECT e.src, e.dst
+  FROM be e JOIN bdeg a ON e.src = a.id JOIN bdeg b ON e.dst = b.id
+  WHERE (a.degree < b.degree) OR (a.degree = b.degree AND e.src < e.dst)),
+tt AS (SELECT count(*) AS c FROM oe e1 JOIN oe e2 ON e1.dst = e2.src
+                JOIN oe e3 ON e3.src = e1.src AND e3.dst = e2.dst),
+tb AS (SELECT count(*) AS c FROM boe e1 JOIN boe e2 ON e1.dst = e2.src
+                JOIN boe e3 ON e3.src = e1.src AND e3.dst = e2.dst)
+SELECT CAST(tb.c AS BIGINT) AS tri_old,
+       CAST(tt.c - tb.c AS BIGINT) AS tri_delta,
+       CAST(tt.c AS BIGINT) AS tri_total
+FROM tt, tb"""
 
 _ASSORT_SQL = f"""WITH {_EDGES_CTE},
 xy AS (SELECT CAST(da.degree AS HUGEINT) AS dx, CAST(db.degree AS HUGEINT) AS dy
@@ -5326,6 +5362,7 @@ idx AS (
 SELECT p.block, p.ids, p.indptr, i.indices, i.eweights
 FROM parts p JOIN idx i ON p.block = i.block""",
         "triangle_count": _TRIANGLE_SQL,
+        "triangles_incremental": _TRI_INCR_SQL,
         "transitivity": _TRANSITIVITY_SQL,
         "snm_candidates": _SNM_SQL,
         "wl_classes2": _wl_sql(),

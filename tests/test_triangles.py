@@ -75,3 +75,28 @@ def test_adjacency_jaccard_clique_pendant(spark):
     aj = {(r["u"], r["w"]): r["jaccard"] for r in adjacency_jaccard(g).collect()}
     # deg(0)=deg(1)=3, common=2 -> 2/(3+3-2)=0.5
     assert aj[(0, 1)] == 0.5
+
+
+def test_incremental_triangle_count_matches_full(spark):
+    """Delta-anchored incremental count: tri_old equals the base-graph count,
+    tri_total equals the union count, on an ER graph with a hub overlay
+    (exercises all three slot categories) — and an empty delta yields
+    tri_delta = 0."""
+    from pyspark.sql import functions as F
+
+    from kaminpar_spark.graph import GraphFrame
+    from kaminpar_spark.operators.triangles import incremental_triangle_count
+
+    g, src, dst = fixtures.erdos_renyi(spark, n=250, p=0.03, seed=11, hub_overlay=2)
+    delta = g.edges.where((F.col("src") + F.col("dst")) % 3 == 0).select("src", "dst")
+    old = GraphFrame(
+        edges=g.edges.where((F.col("src") + F.col("dst")) % 3 != 0), nodes=g.nodes
+    )
+    row = incremental_triangle_count(g, delta).first()
+    assert row["tri_old"] == triangle_count(old)
+    assert row["tri_total"] == triangle_count(g)
+    assert row["tri_delta"] == row["tri_total"] - row["tri_old"]
+
+    empty = delta.limit(0)
+    row0 = incremental_triangle_count(g, empty).first()
+    assert row0["tri_delta"] == 0 and row0["tri_total"] == row0["tri_old"]
