@@ -88,7 +88,12 @@ def triangles_per_node(graph: GraphFrame) -> DataFrame:
     )
 
 
-def incremental_triangle_count(graph: GraphFrame, delta: DataFrame) -> DataFrame:
+def incremental_triangle_count(
+    graph: GraphFrame,
+    delta: DataFrame,
+    tri_old: int | None = None,
+    broadcast_delta: bool = True,
+) -> DataFrame:
     """Snapshot-incremental triangle count. ``graph`` is the UNION graph
     (old ∪ delta); ``delta`` marks the NEW undirected edges as symmetric
     (src, dst) half-edge pairs (a subset of graph.edges). Returns one row
@@ -108,7 +113,13 @@ def incremental_triangle_count(graph: GraphFrame, delta: DataFrame) -> DataFrame
     The three terms partition the triangles containing ≥1 new edge by the
     first oriented slot that is new, so no inclusion-exclusion is needed.
     The third term is built outward from D's (u, w) endpoints (never from
-    the O-wedge set), keeping every term delta-anchored."""
+    the O-wedge set), keeping every term delta-anchored.
+
+    ``broadcast_delta=True`` (the small-delta production shape): both joins
+    of every delta term broadcast the delta-derived side, so the m-scale
+    edge table is only ever STREAMED — zero shuffles of U per ingest. Set
+    False for bulk deltas too large to broadcast (falls back to
+    shuffle-hash joins)."""
     from kaminpar_spark.plans.lineage import truncate
 
     mark = (
@@ -123,28 +134,47 @@ def incremental_triangle_count(graph: GraphFrame, delta: DataFrame) -> DataFrame
     D = e.where(F.col("is_new")).select("src", "dst")
     U = e.select("src", "dst")
 
-    def _count(w_first: DataFrame, w_second: DataFrame, closing: DataFrame) -> int:
-        w1 = w_first.select(F.col("src").alias("u"), F.col("dst").alias("v"))
-        w2 = w_second.select(F.col("src").alias("v"), F.col("dst").alias("w"))
+    def _bc(df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if broadcast_delta else df.hint("shuffle_hash")
+
+    def _full_count(edges: DataFrame) -> int:
+        w1 = edges.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+        w2 = edges.select(F.col("src").alias("v"), F.col("dst").alias("w"))
         wedges = w1.join(w2.hint("shuffle_hash"), "v").select("u", "w")
-        cl = closing.select(F.col("src").alias("u"), F.col("dst").alias("w"))
+        cl = edges.select(F.col("src").alias("u"), F.col("dst").alias("w"))
         return int(wedges.join(cl.hint("shuffle_hash"), ["u", "w"], "inner").count())
 
-    tri_old = _count(O, O, O)
-    t1 = _count(D, U, U)
-    t2 = _count(O, D, U)
+    def _delta_wedges(small: DataFrame, big: DataFrame, small_is_w1: bool) -> DataFrame:
+        """Candidate (u, w) wedges with the delta-derived slot broadcast into
+        the big slot — the m-scale side is streamed, never shuffled."""
+        if small_is_w1:
+            w1 = small.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+            w2 = big.select(F.col("src").alias("v"), F.col("dst").alias("w"))
+            return truncate(w2.join(_bc(w1), "v").select("u", "w"))
+        w1 = big.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+        w2 = small.select(F.col("src").alias("v"), F.col("dst").alias("w"))
+        return truncate(w1.join(_bc(w2), "v").select("u", "w"))
+
+    def _close(wedges: DataFrame, closing: DataFrame) -> int:
+        cl = closing.select(F.col("src").alias("u"), F.col("dst").alias("w"))
+        return int(cl.join(_bc(wedges), ["u", "w"], "inner").count())
+
+    # production path: pass the previous snapshot's cached count as
+    # ``tri_old`` and only the delta-anchored terms below run
+    if tri_old is None:
+        tri_old = _full_count(O)
+    t1 = _close(_delta_wedges(D, U, small_is_w1=True), U)
+    t2 = _close(_delta_wedges(D, O, small_is_w1=False), U)
     # slot-3-only-new: grow outward from each delta closing edge (u, w)
-    cand = (
-        D.select(F.col("src").alias("u"), F.col("dst").alias("w"))
-        .join(O.select(F.col("src").alias("u"), F.col("dst").alias("v")).hint("shuffle_hash"), "u")
-        .select("u", "v", "w")
+    cand = truncate(
+        O.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+        .join(_bc(D.select(F.col("src").alias("u"), F.col("dst").alias("w"))), "u")
+        .select("v", "w")
     )
     t3 = int(
-        cand.join(
-            O.select(F.col("src").alias("v"), F.col("dst").alias("w")).hint("shuffle_hash"),
-            ["v", "w"],
-            "inner",
-        ).count()
+        O.select(F.col("src").alias("v"), F.col("dst").alias("w"))
+        .join(_bc(cand), ["v", "w"], "inner")
+        .count()
     )
     tri_delta = t1 + t2 + t3
     spark = graph.edges.sparkSession
