@@ -202,6 +202,22 @@ def main():
         queries["wl_refine2"] = round(time.time() - t0, 3)
         _phase("wl done")
 
+        # ---- snapshot delta ingest (the 10^12-turn production cadence):
+        # delta-anchored triangle terms with the old count cached, plus CC
+        # warm-restarted from its own converged labels (1 no-op superstep)
+        from kaminpar_spark.operators.triangles import incremental_triangle_count
+
+        delta = gp.edges.where((F.col("src") + F.col("dst")) % 50 == 0).select(
+            "src", "dst"
+        )
+        t0 = time.time()
+        incremental_triangle_count(gp, delta, tri_old=0).first()
+        connected_components(gp, max_iters=30, init_labels=cc_df).agg(
+            F.countDistinct("comp")
+        ).first()
+        queries["delta_ingest"] = round(time.time() - t0, 3)
+        _phase("delta ingest done")
+
     supersteps = pr_iters + lpa_iters
     kernel_sec = pr_sec + lpa_sec
     eps_per_superstep = m * supersteps / kernel_sec if kernel_sec > 0 else 0.0
