@@ -791,6 +791,24 @@ def _q_minhash_near_dups(spark, sf_dir):
     )
 
 
+def _q_minhash_ingest(spark, sf_dir):
+    """Incremental dedup ingest: the doc_id%3==0 shard arrives on top of the
+    standing corpus; only pairs touching the shard are computed (the shard's
+    banded keys broadcast into the corpus LSH index — functions/dedup.
+    minhash_ingest_pairs). Oracle: the full near-dup pair set filtered to
+    pairs with >=1 new id, which the restricted join provably equals."""
+    from kaminpar_spark.functions.dedup import minhash_ingest_pairs
+
+    docs = _load(spark, sf_dir, "documents")
+    return minhash_ingest_pairs(
+        docs.where(F.col("doc_id") % 3 != 0),
+        docs.where(F.col("doc_id") % 3 == 0),
+        threshold=MINHASH_THRESH,
+        num_hashes=MINHASH_K,
+        bands=MINHASH_BANDS,
+    )
+
+
 def _q_simhash_near_dups(spark, sf_dir):
     """124-bit SimHash near-dup pairs at max_hamming=8: 9 covering bands of
     >=13 bits each (>=8192 buckets/band — the 62-bit sketch's <=128-bucket
@@ -2347,6 +2365,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": _q_ngram_jaccard,
         # sketch family (cross-engine polynomial hashing -> full oracles)
         "minhash_near_dups": _q_minhash_near_dups,
+        "minhash_ingest": _q_minhash_ingest,
         "simhash_near_dups": _q_simhash_near_dups,
         "lsh_topk": _q_lsh_topk,
         "ivf_topk": _q_ivf_topk,
@@ -5503,6 +5522,10 @@ FROM documents""",
         "tfidf_top_terms": _TFIDF_SQL,
         "ngram_topk": _NGRAM_TOPK_SQL,
         "minhash_near_dups": _minhash_sql(),
+        "minhash_ingest": (
+            f"SELECT id_a, id_b, est_jaccard FROM ({_minhash_sql()}) "
+            "WHERE id_a % 3 = 0 OR id_b % 3 = 0"
+        ),
         "simhash_near_dups": _simhash_sql(),
         "lsh_topk": _lsh_topk_sql(),
         "ivf_topk": _ivf_topk_sql(),

@@ -100,6 +100,30 @@ def minhash_signatures(
     )
 
 
+def banded_signatures(sigs: DataFrame, bands: int) -> DataFrame:
+    """(id, band, band_key): the signature split into ``bands`` equal slices,
+    each rendered as a portable comma-joined key (the LSH bucket key). This
+    is the stored form of a production dedup index — new shards band once
+    and join against it."""
+    k = bands
+    r = F.size("sig") / k
+    return sigs.select(
+        "id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(k - 1)),
+                lambda b: F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.slice(F.col("sig"), b * r.cast("int") + 1, r.cast("int")),
+                        lambda x: x.cast("string"),
+                    ),
+                ),
+            )
+        ).alias("band", "band_key"),
+    )
+
+
 def lsh_candidate_pairs(
     sigs: DataFrame, bands: int = 16, max_bucket_size: int | None = None
 ) -> DataFrame:
@@ -124,23 +148,7 @@ def lsh_candidate_pairs(
     mutually reachable through the representative, which is what
     keep-one-representative dedup / near_dup_clusters' transitive closure
     consume."""
-    k = bands
-    r = F.size("sig") / k
-    banded = sigs.select(
-        "id",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(k - 1)),
-                lambda b: F.concat_ws(
-                    ",",
-                    F.transform(
-                        F.slice(F.col("sig"), b * r.cast("int") + 1, r.cast("int")),
-                        lambda x: x.cast("string"),
-                    ),
-                ),
-            )
-        ).alias("band", "band_key"),
-    )
+    banded = banded_signatures(sigs, bands)
     if max_bucket_size is not None:
         ok = (
             banded.groupBy("band", "band_key")
@@ -212,6 +220,51 @@ def minhash_dedup_pairs(
     sh = shingles(docs, id_col, text_col, n=shingle_n, portable=True)
     sigs = minhash_signatures(sh, num_hashes=num_hashes, seed=seed)
     cand = lsh_candidate_pairs(sigs, bands=bands)
+    return minhash_jaccard(sigs, cand).where(F.col("est_jaccard") >= threshold)
+
+
+def minhash_ingest_pairs(
+    docs_old: DataFrame,
+    docs_new: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    seed: int = 42,
+    broadcast_new: bool = True,
+) -> DataFrame:
+    """Incremental dedup ingest: near-dup pairs (id_a, id_b, est_jaccard)
+    touching at least one NEW document — the per-shard production cadence
+    (dedup the incoming shard against the standing corpus, never re-pair the
+    corpus against itself). Signatures are computed for the new shard only
+    at ingest time; the corpus side is the stored banded index
+    (``banded_signatures`` is its on-disk form — recomputed here because the
+    test harness has no persisted index). With ``broadcast_new`` the shard's
+    bucket keys broadcast into the corpus banding, so the corpus index is
+    STREAMED, never shuffled, per ingest. The emitted set equals the full
+    LSH near-dup pairs filtered to pairs with >=1 new id (co-bucketing is
+    pairwise, so restricting one join side to the shard loses nothing)."""
+    sh_old = shingles(docs_old, id_col, text_col, n=shingle_n, portable=True)
+    sh_new = shingles(docs_new, id_col, text_col, n=shingle_n, portable=True)
+    sigs_old = minhash_signatures(sh_old, num_hashes=num_hashes, seed=seed)
+    sigs_new = minhash_signatures(sh_new, num_hashes=num_hashes, seed=seed)
+    sigs = sigs_old.unionByName(sigs_new)
+    b_all = banded_signatures(sigs, bands)
+    b_new = banded_signatures(sigs_new, bands).select(
+        F.col("id").alias("id_n"), "band", "band_key"
+    )
+    nb = F.broadcast(b_new) if broadcast_new else b_new.hint("shuffle_hash")
+    cand = (
+        b_all.join(nb, ["band", "band_key"])
+        .where(F.col("id") != F.col("id_n"))
+        .select(
+            F.least("id", "id_n").alias("id_a"),
+            F.greatest("id", "id_n").alias("id_b"),
+        )
+        .distinct()
+    )
     return minhash_jaccard(sigs, cand).where(F.col("est_jaccard") >= threshold)
 
 

@@ -444,3 +444,29 @@ def test_prefix_filter_exact_vs_bruteforce(spark):
             for r in prefix_filter_jaccard_pairs(docs, threshold=thr).collect()
         }
         assert got == want, thr
+
+
+def test_minhash_ingest_equals_filtered_full(spark, docs):
+    """Shard-ingest dedup = the full near-dup pair set restricted to pairs
+    touching a new doc; an empty shard yields no pairs."""
+    full = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.minhash_dedup_pairs(
+            docs, threshold=0.5, num_hashes=32, bands=8
+        ).collect()
+    }
+    new_pred = F.col("doc_id") % 2 == 0
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.minhash_ingest_pairs(
+            docs.where(~new_pred), docs.where(new_pred),
+            threshold=0.5, num_hashes=32, bands=8,
+        ).collect()
+    }
+    want = {(a, b) for a, b in full if a % 2 == 0 or b % 2 == 0}
+    assert got == want and got  # non-trivial: doc 0/1/2 overlap spans the split
+
+    empty = dedup.minhash_ingest_pairs(
+        docs, docs.limit(0), threshold=0.5, num_hashes=32, bands=8
+    )
+    assert empty.count() == 0
