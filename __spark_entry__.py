@@ -482,6 +482,47 @@ def _q_digraph_stats(spark, sf_dir):
     )
 
 
+def _q_role_assortativity(spark, sf_dir):
+    """Newman nominal assortativity over actor TYPES (user/agent/tool — the
+    prefix of the actor key): r = (m*Σc_ii - Σ row_i*col_i) / (m² - Σ
+    row_i*col_i) over weighted half-edge type-pair counts. All counting is
+    exact int64 (m < 3e9 keeps m² in range); ONE final IEEE division,
+    round(6). Two n-scale type joins + a 9-row mixing matrix — trivially
+    100 TB-shaped."""
+    g, amap = _graph(spark, sf_dir)
+    typ = amap.select("id", F.split("actor", "_").getItem(0).alias("t"))
+    e = (
+        g.edges.join(
+            typ.select(F.col("id").alias("src"), F.col("t").alias("ts")).hint("shuffle_hash"),
+            "src",
+        )
+        .join(
+            typ.select(F.col("id").alias("dst"), F.col("t").alias("td")).hint("shuffle_hash"),
+            "dst",
+        )
+        .groupBy("ts", "td")
+        .agg(F.sum("weight").alias("c"))
+    )
+    mix = e.collect()  # <= |types|^2 = 9 rows by construction
+    m = sum(r["c"] for r in mix)
+    diag = sum(r["c"] for r in mix if r["ts"] == r["td"])
+    row = {}
+    col = {}
+    for r in mix:
+        row[r["ts"]] = row.get(r["ts"], 0) + r["c"]
+        col[r["td"]] = col.get(r["td"], 0) + r["c"]
+    ab = sum(row[t] * col.get(t, 0) for t in row)
+    r_val = float(m * diag - ab) / float(m * m - ab)
+    return spark.createDataFrame(
+        [(m, diag, r_val)],
+        "total_weight long, same_type_weight long, assortativity double",
+    ).select(
+        "total_weight",
+        "same_type_weight",
+        F.round("assortativity", 6).alias("assortativity"),
+    )
+
+
 def _q_triangle_count(spark, sf_dir):
     from kaminpar_spark.operators.triangles import triangle_count
 
@@ -2314,6 +2355,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "adjacency_jaccard": _q_adjacency_jaccard,
         "resource_alloc": _q_resource_alloc,
         "assortativity": _q_assortativity,
+        "role_assortativity": _q_role_assortativity,
         "truss_edges5": _q_truss_edges,
         "harmonic4": _q_harmonic,
         "diameter_sweep": _q_diameter,
@@ -2878,6 +2920,23 @@ oe AS MATERIALIZED (
 SELECT CAST(count(*) AS BIGINT) AS triangles
 FROM oe e1 JOIN oe e2 ON e1.dst = e2.src
            JOIN oe e3 ON e3.src = e1.src AND e3.dst = e2.dst"""
+
+_ROLE_ASSORT_SQL = f"""WITH {_EDGES_CTE},
+typ AS (SELECT id, string_split(actor, '_')[1] AS t FROM nodes),
+mix AS MATERIALIZED (
+  SELECT a.t AS ts, b.t AS td, CAST(sum(e.weight) AS BIGINT) AS c
+  FROM edges e JOIN typ a ON e.src = a.id JOIN typ b ON e.dst = b.id
+  GROUP BY a.t, b.t),
+s AS (SELECT CAST(sum(c) AS BIGINT) AS m,
+             CAST(sum(CASE WHEN ts = td THEN c ELSE 0 END) AS BIGINT) AS diag
+      FROM mix),
+rw AS (SELECT ts AS t, CAST(sum(c) AS BIGINT) AS rc FROM mix GROUP BY ts),
+cl AS (SELECT td AS t, CAST(sum(c) AS BIGINT) AS cc FROM mix GROUP BY td),
+ab AS (SELECT CAST(sum(rw.rc * cl.cc) AS BIGINT) AS v FROM rw JOIN cl ON rw.t = cl.t)
+SELECT s.m AS total_weight, s.diag AS same_type_weight,
+       round(CAST(s.m * s.diag - ab.v AS DOUBLE)
+             / CAST(s.m * s.m - ab.v AS DOUBLE), 6) AS assortativity
+FROM s, ab"""
 
 _TRI_INCR_SQL = f"""WITH {_EDGES_CTE},
 oe AS MATERIALIZED (
@@ -5415,6 +5474,7 @@ FROM parts p JOIN idx i ON p.block = i.block""",
         "adjacency_jaccard": _ADJ_JACCARD_SQL,
         "resource_alloc": _RA_SQL,
         "assortativity": _ASSORT_SQL,
+        "role_assortativity": _ROLE_ASSORT_SQL,
         "truss_edges5": f"WITH {_EDGES_CTE}"
         + _TRUSS_SQL_TEMPLATE.format(min_support=TRUSS_K - 2),
         "harmonic4": _harmonic_sql(),
