@@ -62,6 +62,9 @@ def main(argv=None):
     ap.add_argument("--save-partition", "--save", dest="save", default=None)
     ap.add_argument("--workdir", default="/tmp/kaminpar_spark_work")
     ap.add_argument("--max-iters", type=int, default=50)
+    ap.add_argument("--warm", default=None,
+                    help="[pagerank|components] parquet of a previous snapshot's "
+                         "result ((id, rank) / (id, comp)) to warm-start from")
     ap.add_argument("--no-symmetrize", action="store_true")
     ap.add_argument("--contraction-limit", type=int, default=2000)
     ap.add_argument("--scheme", choices=["deep", "rb"], default="deep",
@@ -122,7 +125,8 @@ def main(argv=None):
         from kaminpar_spark.plans.superstep import SuperstepRunner
 
         runner = SuperstepRunner(spark, args.workdir)
-        pr = pagerank(g, max_iters=args.max_iters, runner=runner)
+        warm = spark.read.parquet(args.warm).select("id", "rank") if args.warm else None
+        pr = pagerank(g, max_iters=args.max_iters, runner=runner, warm_start=warm)
         if args.save:
             pr.write.mode("overwrite").parquet(args.save)
         top = pr.orderBy("rank", ascending=False).limit(5).collect()
@@ -139,7 +143,8 @@ def main(argv=None):
     elif args.command == "components":
         from kaminpar_spark.operators.components import connected_components
 
-        cc = connected_components(g, max_iters=args.max_iters)
+        init = spark.read.parquet(args.warm).select("id", "comp") if args.warm else None
+        cc = connected_components(g, max_iters=args.max_iters, init_labels=init)
         n_comp = cc.select("comp").distinct().count()
         if args.save:
             cc.write.mode("overwrite").parquet(args.save)

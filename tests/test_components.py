@@ -96,3 +96,35 @@ def test_cc_incremental_matches_full(spark):
     got = {r["id"]: r["comp"] for r in again.collect()}
     assert got == cold
     assert len(rounds) == 1 and rounds[0]["moved"] == 0
+
+
+def test_cli_warm_start_roundtrip(spark, tmp_path, capsys):
+    """--save then --warm round-trip for components and pagerank (cli.py):
+    the warm components run matches the cold labels."""
+    from pyspark.sql import functions as F
+
+    from kaminpar_spark import cli
+
+    g = fixtures.isolated12(spark)
+    edges = tmp_path / "edges.parquet"
+    g.edges.select("src", "dst", "weight").write.parquet(str(edges))
+
+    cold = tmp_path / "cc.parquet"
+    assert cli.main(["components", "-G", str(edges), "--save", str(cold)]) == 0
+    capsys.readouterr()
+    warm_out = tmp_path / "cc2.parquet"
+    assert cli.main([
+        "components", "-G", str(edges), "--warm", str(cold), "--save", str(warm_out),
+    ]) == 0
+    assert "RESULT" in capsys.readouterr().out
+    a = spark.read.parquet(str(cold))
+    b = spark.read.parquet(str(warm_out)).withColumnRenamed("comp", "comp2")
+    assert a.join(b, "id").where(F.col("comp") != F.col("comp2")).count() == 0
+
+    pr1 = tmp_path / "pr.parquet"
+    assert cli.main(["pagerank", "-G", str(edges), "--save", str(pr1),
+                     "--workdir", str(tmp_path / "w1")]) == 0
+    capsys.readouterr()
+    assert cli.main(["pagerank", "-G", str(edges), "--warm", str(pr1),
+                     "--workdir", str(tmp_path / "w2")]) == 0
+    assert "RESULT" in capsys.readouterr().out
