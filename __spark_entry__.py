@@ -14,7 +14,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 N_AGENTS = 7
 PR_ITERS = 5
@@ -1968,6 +1968,43 @@ def _q_wl_classes(spark, sf_dir):
     return wl_refine(g, rounds=WL_ROUNDS)
 
 
+VOCAB_BUCKETS = 8
+
+
+def _q_vocab_growth(spark, sf_dir):
+    """Heaps-law-style novelty curve: distinct 3-gram SHINGLES first seen in
+    each 1/8th corpus prefix (doc_id order) — the saturation curve a dedup /
+    tokenizer-coverage plan reads before fixing a vocabulary (the fixture's
+    word vocab is 31 tokens, so word-level growth is degenerate; shingles
+    carry the combinatorial diversity). Scale shape: the shared portable
+    shingle kernel, ONE groupBy(shingle) computing the first-occurrence
+    bucket, an 8-row histogram, and an 8-row cumulative sum — never a
+    per-prefix distinct over the corpus."""
+    from kaminpar_spark.functions.dedup import shingles
+
+    docs = _load(spark, sf_dir, "documents")
+    nb = VOCAB_BUCKETS
+    max_id = docs.agg(F.max("doc_id")).first()[0]
+    width = (max_id + nb) // nb  # ceil((max_id+1)/nb)
+    sh = shingles(docs, "doc_id", "text", n=3, portable=True)
+    first = (
+        sh.select(
+            F.expr(f"CAST(id DIV {width} AS INT)").alias("bucket"), "shingle_hash"
+        )
+        .groupBy("shingle_hash")
+        .agg(F.min("bucket").alias("first_bucket"))
+    )
+    hist = first.groupBy("first_bucket").agg(F.count("*").alias("new_tokens"))
+    w = Window.orderBy("first_bucket").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        hist.select(
+            F.col("first_bucket").cast("int").alias("prefix_bucket"),
+            F.col("new_tokens").cast("long").alias("new_tokens"),
+            F.sum("new_tokens").over(w).cast("long").alias("vocab"),
+        )
+    )
+
+
 def _q_oov_rate(spark, sf_dir):
     """Per-document OOV rate vs the corpus' own top-OOV_VOCAB token
     vocabulary (tokenizer-coverage gate)."""
@@ -2339,6 +2376,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rich_club": _q_rich_club,
         "wl_quotient": _q_wl_quotient,
         "oov_rate": _q_oov_rate,
+        "vocab_growth": _q_vocab_growth,
         "feature_smooth2": _q_feature_smooth,
         "sq8_topk": _q_sq8_topk,
         "sq8_recall": _q_sq8_recall,
@@ -2920,6 +2958,28 @@ oe AS MATERIALIZED (
 SELECT CAST(count(*) AS BIGINT) AS triangles
 FROM oe e1 JOIN oe e2 ON e1.dst = e2.src
            JOIN oe e3 ON e3.src = e1.src AND e3.dst = e2.dst"""
+
+def _vocab_growth_sql() -> str:
+    from kaminpar_spark.functions.hashing import char_poly_hash_sql
+
+    gh = char_poly_hash_sql("gram")
+    return f"""WITH
+mx AS (SELECT max(doc_id) AS m FROM documents),
+w AS (SELECT ((SELECT m FROM mx) + {VOCAB_BUCKETS}) // {VOCAB_BUCKETS} AS width),
+toks AS (SELECT doc_id AS id, string_split(lower(text), ' ') AS wds FROM documents),
+idx AS (SELECT id, wds, unnest(range(greatest(len(wds) - 2, 1))) AS i FROM toks),
+grams AS (SELECT DISTINCT id, array_to_string(array_slice(wds, i + 1, i + 3), ' ') AS gram
+          FROM idx WHERE array_to_string(array_slice(wds, i + 1, i + 3), ' ') <> ''),
+sh AS MATERIALIZED (SELECT DISTINCT id, {gh} AS h FROM grams),
+first AS MATERIALIZED (
+  SELECT h, min(CAST(id // (SELECT width FROM w) AS INT)) AS first_bucket
+  FROM sh GROUP BY h),
+hist AS (SELECT first_bucket, CAST(count(*) AS BIGINT) AS new_tokens
+         FROM first GROUP BY first_bucket)
+SELECT CAST(first_bucket AS INT) AS prefix_bucket, new_tokens,
+       CAST(sum(new_tokens) OVER (ORDER BY first_bucket
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS vocab
+FROM hist"""
 
 _ROLE_ASSORT_SQL = f"""WITH {_EDGES_CTE},
 typ AS (SELECT id, string_split(actor, '_')[1] AS t FROM nodes),
@@ -5456,6 +5516,7 @@ FROM parts p JOIN idx i ON p.block = i.block""",
         "rich_club": _rich_club_sql(),
         "wl_quotient": _wl_quotient_sql(),
         "oov_rate": _OOV_SQL,
+        "vocab_growth": _vocab_growth_sql(),
         "feature_smooth2": _feature_smooth_sql(),
         "sq8_topk": _sq8_topk_sql(),
         "sq8_recall": _recall_sql(_sq8_topk_sql()),
