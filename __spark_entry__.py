@@ -1324,6 +1324,20 @@ def _q_scc(spark, sf_dir):
     return strongly_connected_components(edges)
 
 
+def _q_bowtie(spark, sf_dir):
+    """Broder bow-tie macro-structure of the directed turn graph
+    (operators/scc.bowtie_classes): CORE = largest SCC, OUT = reachable from
+    it, IN = reaching it, OTHER = tendrils/tubes/disconnected — the classic
+    web-link-graph decomposition, per node. Oracle: the SCC transitive
+    closure reused for membership plus EXISTS probes against it."""
+    from kaminpar_spark.operators.scc import bowtie_classes
+    from kaminpar_spark.sources.transcripts import synth_transcripts, transcript_digraph
+
+    n = _n_convs(spark, sf_dir)
+    edges, _ = transcript_digraph(synth_transcripts(spark, n), n, stable_ids=True)
+    return bowtie_classes(edges)
+
+
 STRESS_HOPS = 8
 LOUVAIN_ROUNDS = 2
 
@@ -2341,6 +2355,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "component_sizes": _q_component_sizes,
         "digraph_stats": _q_digraph_stats,
         "scc": _q_scc,
+        "bowtie": _q_bowtie,
         "condensation_levels": _q_condensation,
         "nbr_mean_features": _q_nbr_mean,
         "brandes_stress4": _q_brandes_stress,
@@ -5389,6 +5404,28 @@ mutual AS (
 SELECT n.id, CAST(least(n.id, coalesce(min(m.w), n.id)) AS BIGINT) AS scc
 FROM nodes n LEFT JOIN mutual m ON n.id = m.v
 GROUP BY n.id""",
+        "bowtie": f"""WITH RECURSIVE {_EDGES_CTE},
+dedges AS MATERIALIZED (SELECT DISTINCT src, dst FROM pairs),
+closure AS (
+  SELECT src AS a, dst AS b FROM dedges
+  UNION
+  SELECT c.a, e.dst AS b FROM closure c JOIN dedges e ON c.b = e.src),
+mutual AS (
+  SELECT c1.a AS v, c1.b AS w
+  FROM closure c1 JOIN closure c2 ON c1.a = c2.b AND c1.b = c2.a),
+labels AS MATERIALIZED (
+  SELECT n.id, CAST(least(n.id, coalesce(min(m.w), n.id)) AS BIGINT) AS scc
+  FROM nodes n LEFT JOIN mutual m ON n.id = m.v GROUP BY n.id),
+core AS (SELECT scc FROM labels GROUP BY scc ORDER BY count(*) DESC, scc ASC LIMIT 1),
+members AS MATERIALIZED (SELECT id FROM labels WHERE scc = (SELECT scc FROM core))
+SELECT l.id,
+       CASE WHEN l.scc = (SELECT scc FROM core) THEN 'CORE'
+            WHEN EXISTS (SELECT 1 FROM closure c JOIN members m ON c.a = m.id
+                         WHERE c.b = l.id) THEN 'OUT'
+            WHEN EXISTS (SELECT 1 FROM closure c JOIN members m ON c.b = m.id
+                         WHERE c.a = l.id) THEN 'IN'
+            ELSE 'OTHER' END AS klass
+FROM labels l""",
         "condensation_levels": f"""WITH RECURSIVE {_EDGES_CTE},
 dedges AS MATERIALIZED (
   SELECT src, dst FROM pairs GROUP BY src, dst HAVING count(*) >= {CONDENSE_MIN_W}),

@@ -248,3 +248,65 @@ def condensation_levels(edges: DataFrame, max_iters: int = 100) -> DataFrame:
         state.select(F.col("id").alias("scc"), F.col("lev").alias("level")),
         "scc",
     ).select("scc", "n_members", "level")
+
+
+def _directed_reach(dedges: DataFrame, seeds: DataFrame, max_rounds: int = 100) -> DataFrame:
+    """Set of node ids reachable from ``seeds`` (id) along directed edges,
+    seeds included — frontier BFS to fixpoint: per round one hinted
+    shuffle-hash join of the (shrinking) frontier against the edge table
+    plus an anti-join against the visited set, both truncated. Converges in
+    O(reachable-set diameter) rounds; raises if the budget is exhausted."""
+    reached = truncate(seeds.select("id").distinct())
+    frontier = reached
+    for _ in range(max_rounds):
+        nxt = truncate(
+            dedges.join(
+                frontier.select(F.col("id").alias("src")).hint("shuffle_hash"), "src"
+            )
+            .select(F.col("dst").alias("id"))
+            .distinct()
+            .join(reached.hint("shuffle_hash"), "id", "left_anti")
+        )
+        if nxt.limit(1).count() == 0:
+            return reached
+        reached = truncate(reached.unionByName(nxt))
+        frontier = nxt
+    raise RuntimeError("_directed_reach: round budget exhausted before fixpoint")
+
+
+def bowtie_classes(edges: DataFrame, max_iters: int = 50) -> DataFrame:
+    """Broder bow-tie decomposition of a directed graph (the classic
+    web-link-graph macro structure): (id, klass) with klass in
+    {'CORE', 'IN', 'OUT', 'OTHER'} — CORE = the largest SCC (ties broken by
+    smallest label), OUT = reachable FROM the core (excluding it), IN =
+    reaching the core, OTHER = tendrils/tubes/disconnected. IN and OUT are
+    disjoint by construction (a node in both would be mutually reachable
+    with the core, hence in it). Scale shape: one SCC run + two frontier
+    BFS fixpoints (forward, backward) from the core set."""
+    labels = truncate(strongly_connected_components(edges, max_iters=max_iters))
+    top = (
+        labels.groupBy("scc")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("scc"))
+        .limit(1)
+        .first()
+    )
+    core = labels.where(F.col("scc") == top["scc"]).select("id")
+    dedges = truncate(edges.select("src", "dst").distinct())
+    fwd = _directed_reach(dedges, core)
+    bwd = _directed_reach(
+        dedges.select(F.col("dst").alias("src"), F.col("src").alias("dst")), core
+    )
+    return (
+        labels.select("id", "scc")
+        .join(fwd.withColumn("f", F.lit(1)).hint("shuffle_hash"), "id", "left")
+        .join(bwd.withColumn("b", F.lit(1)).hint("shuffle_hash"), "id", "left")
+        .select(
+            "id",
+            F.when(F.col("scc") == top["scc"], F.lit("CORE"))
+            .when(F.col("f") == 1, F.lit("OUT"))
+            .when(F.col("b") == 1, F.lit("IN"))
+            .otherwise(F.lit("OTHER"))
+            .alias("klass"),
+        )
+    )

@@ -145,3 +145,15 @@ def test_resource_allocation_star_values(spark):
     }
     want = (1, RA_SCALE // 3)
     assert got == {(0, 2): want, (0, 3): want, (2, 3): want}
+
+
+def test_bowtie_classes_hand_graph(spark):
+    """Core 3-cycle {1,2,3}, IN node 0, OUT node 4, tendril 6 (hangs off IN,
+    never reaches the core -> OTHER)."""
+    from kaminpar_spark.operators.scc import bowtie_classes
+
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 1), (3, 4), (0, 6)], "src long, dst long"
+    )
+    got = {r["id"]: r["klass"] for r in bowtie_classes(edges).collect()}
+    assert got == {0: "IN", 1: "CORE", 2: "CORE", 3: "CORE", 4: "OUT", 6: "OTHER"}
