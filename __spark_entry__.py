@@ -189,6 +189,21 @@ def _q_hits(spark, sf_dir):
     return hits(edges, iters=HITS_ITERS)
 
 
+def _q_salsa(spark, sf_dir):
+    """Closed-form SALSA hubs/authorities on the DIRECTED turn graph
+    (operators/hits.salsa): Lempel & Moran's structure theorem makes the
+    stationary scores exact rationals — in-/out-degree share within each
+    connected component of the bipartite support graph — so ONE CC run
+    replaces the whole power iteration. Oracle: recursive-CTE component
+    closure on the bipartite copies + degree-share joins."""
+    from kaminpar_spark.operators.hits import salsa
+    from kaminpar_spark.sources.transcripts import synth_transcripts, transcript_digraph
+
+    n = _n_convs(spark, sf_dir)
+    edges, _ = transcript_digraph(synth_transcripts(spark, n), n, stable_ids=True)
+    return salsa(edges)
+
+
 HEM_ROUNDS = 3
 
 
@@ -2416,6 +2431,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "luby_mis6": _q_luby_mis,
         "hem_matching3": _q_hem_matching,
         "hits3": _q_hits,
+        "salsa": _q_salsa,
         "butterflies": _q_butterflies,
         "char_diversity": _q_char_diversity,
         "random_walks4": _q_random_walks,
@@ -5091,6 +5107,42 @@ SELECT comp, CAST(count(*) AS BIGINT) AS size FROM {prev} GROUP BY comp"""
 
 
 
+# Closed-form SALSA: connected components of the bipartite support graph
+# (hub copy 2*u -- authority copy 2*v+1 iff u->v, distinct edges) via a
+# recursive min-label closure, then per-(component, side) degree shares.
+_SALSA_SQL = f"""WITH RECURSIVE {_EDGES_CTE},
+dedges AS MATERIALIZED (SELECT DISTINCT src, dst FROM pairs),
+und AS MATERIALIZED (
+  SELECT src*2 AS a, dst*2+1 AS b FROM dedges
+  UNION ALL
+  SELECT dst*2+1 AS a, src*2 AS b FROM dedges),
+bnodes AS MATERIALIZED (SELECT DISTINCT a AS v FROM und),
+reach AS (
+  SELECT v, v AS r FROM bnodes
+  UNION
+  SELECT u.b AS v, w.r FROM reach w JOIN und u ON u.a = w.v WHERE w.r < u.b),
+comp AS MATERIALIZED (SELECT v, min(r) AS comp FROM reach GROUP BY v),
+bdeg AS MATERIALIZED (
+  SELECT src*2 AS bid, src AS orig, 'hub' AS side, count(*) AS num
+  FROM dedges GROUP BY src
+  UNION ALL
+  SELECT dst*2+1 AS bid, dst AS orig, 'auth' AS side, count(*) AS num
+  FROM dedges GROUP BY dst),
+st AS MATERIALIZED (
+  SELECT d.orig, d.side, d.num, c.comp FROM bdeg d JOIN comp c ON d.bid = c.v),
+den AS (SELECT comp, side, sum(num) AS den FROM st GROUP BY comp, side),
+shares AS (
+  SELECT st.orig, st.side, st.num, den.den
+  FROM st JOIN den ON st.comp = den.comp AND st.side = den.side)
+SELECT n.id,
+  CAST(coalesce(a.num, 0) AS BIGINT) AS auth_num,
+  CAST(coalesce(a.den, 1) AS BIGINT) AS auth_den,
+  CAST(coalesce(h.num, 0) AS BIGINT) AS hub_num,
+  CAST(coalesce(h.den, 1) AS BIGINT) AS hub_den
+FROM nodes n
+LEFT JOIN (SELECT orig, num, den FROM shares WHERE side = 'auth') a ON n.id = a.orig
+LEFT JOIN (SELECT orig, num, den FROM shares WHERE side = 'hub') h ON n.id = h.orig"""
+
 _CYCLE_STATS_SQL = f"""WITH RECURSIVE {_EDGES_CTE},
 dedges AS MATERIALIZED (SELECT DISTINCT src, dst FROM pairs),
 closure AS (
@@ -5581,6 +5633,7 @@ FROM parts p JOIN idx i ON p.block = i.block""",
         "luby_mis6": _luby_sql(),
         "hem_matching3": _hem_sql(),
         "hits3": _hits_sql(),
+        "salsa": _SALSA_SQL,
         "butterflies": _BUTTERFLIES_SQL,
         "char_diversity": _CHAR_DIVERSITY_SQL,
         "random_walks4": _walks_sql(),

@@ -60,3 +60,110 @@ def test_transcript_digraph_direction(spark):
     )
     asym = edges.join(rev, ["src", "dst"], "left_anti").count()
     assert asym > 0
+
+
+# ---------------------------------------------------------------- SALSA
+
+
+def _salsa_brute(edge_list, weighted=False):
+    """Closed-form SALSA via union-find over the bipartite support graph."""
+    from collections import defaultdict
+
+    w = defaultdict(int)
+    for s, d, ww in edge_list:
+        if s != d:
+            if weighted:
+                w[(s, d)] += ww
+            else:
+                w[(s, d)] = 1
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+
+    for (s, d) in w:
+        union(("h", s), ("a", d))
+    hub_num, auth_num = defaultdict(int), defaultdict(int)
+    den = defaultdict(int)
+    for (s, d), ww in w.items():
+        hub_num[s] += ww
+        auth_num[d] += ww
+        den[find(("h", s))] += ww
+    out = {}
+    nodes = {x for s, d, _ in edge_list if s != d for x in (s, d)}
+    for v in nodes:
+        an = auth_num.get(v, 0)
+        ad = den[find(("a", v))] if an else 1
+        hn = hub_num.get(v, 0)
+        hd = den[find(("h", v))] if hn else 1
+        out[v] = (an, ad, hn, hd)
+    return out
+
+
+def test_salsa_two_components(spark):
+    """Two disjoint hub->auth stars score within their own components."""
+    from kaminpar_spark.operators.hits import salsa
+
+    rows = [(0, 1, 1), (0, 2, 1), (5, 6, 1), (5, 7, 1), (5, 8, 1)]
+    got = {r["id"]: (r["auth_num"], r["auth_den"], r["hub_num"], r["hub_den"])
+           for r in salsa(_edges(spark, rows)).collect()}
+    assert got == _salsa_brute(rows)
+    # star centers are pure hubs with full component mass
+    assert got[0] == (0, 1, 2, 2)
+    assert got[5] == (0, 1, 3, 3)
+    # leaves split authority mass evenly inside their star only
+    assert got[1] == (1, 2, 0, 1) and got[6] == (1, 3, 0, 1)
+
+
+def test_salsa_vs_brute_random(spark):
+    from kaminpar_spark.operators.hits import salsa
+
+    rows = [((i * 7 + 3) % 13, (i * 5 + 1) % 13, 1 + i % 3) for i in range(60)]
+    rows = [r for r in rows if r[0] != r[1]]
+    got = {r["id"]: (r["auth_num"], r["auth_den"], r["hub_num"], r["hub_den"])
+           for r in salsa(_edges(spark, rows)).collect()}
+    assert got == _salsa_brute(rows)
+
+
+def test_salsa_shares_sum_to_one(spark):
+    """Within every component the auth shares (and hub shares) sum to 1."""
+    from fractions import Fraction
+
+    from kaminpar_spark.operators.hits import salsa
+
+    rows = [((i * 11 + 2) % 17, (i * 3 + 5) % 17, 1) for i in range(40)]
+    rows = [r for r in rows if r[0] != r[1]]
+    res = {r["id"]: r for r in salsa(_edges(spark, rows)).collect()}
+    # recover the true bipartite components with union-find, then check
+    # that each side's shares sum to exactly 1 per component
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for s, d, _ in rows:
+        ra, rb = find(("h", s)), find(("a", d))
+        if ra != rb:
+            parent[ra] = rb
+    sums = {}
+    for v, r in res.items():
+        if r["auth_num"]:
+            k = ("a", find(("a", v)))
+            sums[k] = sums.get(k, 0) + Fraction(r["auth_num"], r["auth_den"])
+        if r["hub_num"]:
+            k = ("h", find(("h", v)))
+            sums[k] = sums.get(k, 0) + Fraction(r["hub_num"], r["hub_den"])
+    assert sums and all(s == 1 for s in sums.values())
