@@ -2042,6 +2042,16 @@ def _q_oov_rate(spark, sf_dir):
     return oov_stats(_load(spark, sf_dir, "documents"), vocab_size=OOV_VOCAB)
 
 
+def _q_zipf(spark, sf_dir):
+    """Corpus Zipf rank-frequency profile (functions/text.zipf_profile):
+    vocabulary ranked by (tf desc, token asc) with the scalable sorted_rank
+    (no single-partition window), bucketed into power-of-2 rank octaves via
+    a broadcast integer-bound table — exact int64 stats per bucket."""
+    from kaminpar_spark.functions.text import zipf_profile
+
+    return zipf_profile(_load(spark, sf_dir, "documents"))
+
+
 def _q_feature_smooth(spark, sf_dir):
     """SGC-style 2-round degree-normalized feature smoothing on the exact
     int64 lattice (operators/gnn.smoothed_features); features = first
@@ -2406,6 +2416,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rich_club": _q_rich_club,
         "wl_quotient": _q_wl_quotient,
         "oov_rate": _q_oov_rate,
+        "zipf_profile": _q_zipf,
         "vocab_growth": _q_vocab_growth,
         "feature_smooth2": _q_feature_smooth,
         "sq8_topk": _q_sq8_topk,
@@ -4950,6 +4961,24 @@ FROM tk2 t LEFT JOIN vocab v ON t.tok = v.tok
 GROUP BY id"""
 
 
+_ZIPF_SQL = """
+WITH tk AS (
+  SELECT unnest(string_split(lower(text), ' ')) AS tok FROM documents),
+tf AS (SELECT tok, CAST(count(*) AS BIGINT) AS tf
+       FROM tk WHERE tok <> '' GROUP BY tok),
+rk AS (SELECT tf, row_number() OVER (ORDER BY tf DESC, tok ASC) AS zrank
+       FROM tf),
+b AS (SELECT CAST(g AS BIGINT) AS bucket FROM generate_series(0, 30) s(g))
+SELECT b.bucket,
+       CAST(count(*) AS BIGINT) AS n_types,
+       CAST(sum(tf) AS BIGINT) AS tf_sum,
+       CAST(max(tf) AS BIGINT) AS tf_max,
+       CAST(min(tf) AS BIGINT) AS tf_min
+FROM rk JOIN b ON rk.zrank >= (CAST(1 AS BIGINT) << CAST(b.bucket AS INT))
+              AND rk.zrank <  (CAST(1 AS BIGINT) << (CAST(b.bucket AS INT) + 1))
+GROUP BY b.bucket"""
+
+
 def _feature_smooth_sql() -> str:
     """Unrolled SGC smoothing twin: same floor(x*2^20) lattice, same
     positive-mod floor division — integer-exact at every round."""
@@ -5605,6 +5634,7 @@ FROM parts p JOIN idx i ON p.block = i.block""",
         "rich_club": _rich_club_sql(),
         "wl_quotient": _wl_quotient_sql(),
         "oov_rate": _OOV_SQL,
+        "zipf_profile": _ZIPF_SQL,
         "vocab_growth": _vocab_growth_sql(),
         "feature_smooth2": _feature_smooth_sql(),
         "sq8_topk": _sq8_topk_sql(),

@@ -318,3 +318,59 @@ def oov_stats(
             (F.col("n_oov") / F.col("n_tokens")).alias("oov_share"),
         )
     )
+
+
+def zipf_profile(
+    docs: DataFrame,
+    text_col: str = "text",
+    max_bucket: int = 31,
+) -> DataFrame:
+    """Rank-frequency (Zipf) profile of the corpus vocabulary — the standard
+    corpus-health plot (Zipf's law: tf(r) ~ 1/r, so every octave of rank
+    carries roughly equal token mass).
+
+    Shape: token frequencies are ONE hash aggregate over the exploded
+    corpus; the GLOBAL frequency rank uses ids.sorted_rank over
+    (tf desc, token asc) — range partition + broadcast offsets, never a
+    single-partition window — and ranks only the VOCABULARY (types), not
+    the corpus; power-of-2 rank buckets come from a broadcast ~31-row
+    bucket table joined on [2^b, 2^{b+1}) (integer shiftleft bounds, no
+    float log2, so bucket ids are cross-engine exact); the profile is one
+    final hash aggregate of exact int64 sufficient statistics.
+
+    Returns (bucket, n_types, tf_sum, tf_max, tf_min), bucket = floor(log2
+    of 1-based rank), all BIGINT.
+    """
+    from kaminpar_spark.ids import sorted_rank
+
+    spark = docs.sparkSession
+    tf = (
+        docs.select(
+            F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("tok")
+        )
+        .where(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count("*").cast("long").alias("tf"))
+        .withColumn("neg_tf", -F.col("tf"))
+    )
+    ranked = sorted_rank(tf, ["neg_tf", "tok"], out="r").select(
+        "tok", "tf", (F.col("r") + 1).alias("zrank")
+    )
+    buckets = spark.range(max_bucket).select(
+        F.col("id").cast("long").alias("bucket"),
+        F.expr("shiftleft(1L, CAST(id AS INT))").alias("lo"),
+        F.expr("shiftleft(1L, CAST(id AS INT) + 1)").alias("hi"),
+    )
+    return (
+        ranked.join(
+            F.broadcast(buckets),
+            (F.col("zrank") >= F.col("lo")) & (F.col("zrank") < F.col("hi")),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count("*").cast("long").alias("n_types"),
+            F.sum("tf").cast("long").alias("tf_sum"),
+            F.max("tf").cast("long").alias("tf_max"),
+            F.min("tf").cast("long").alias("tf_min"),
+        )
+    )

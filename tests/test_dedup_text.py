@@ -470,3 +470,33 @@ def test_minhash_ingest_equals_filtered_full(spark, docs):
         docs, docs.limit(0), threshold=0.5, num_hashes=32, bands=8
     )
     assert empty.count() == 0
+
+
+def test_zipf_profile_exact(spark):
+    """Hand-computable corpus: tf ranks and octave buckets are exact."""
+    from collections import Counter
+
+    from kaminpar_spark.functions.text import zipf_profile
+
+    texts = [
+        "a a a a b b c",          # a:4 b:2 c:1
+        "a a b d",                # a:6 b:3 d:1
+        "e",                      # singletons pad the tail octaves
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r["bucket"]: (r["n_types"], r["tf_sum"], r["tf_max"], r["tf_min"])
+        for r in zipf_profile(docs).collect()
+    }
+    tf = Counter(" ".join(texts).split())
+    ranked = sorted(tf.items(), key=lambda kv: (-kv[1], kv[0]))
+    want = {}
+    for i, (_, n) in enumerate(ranked):
+        b = (i + 1).bit_length() - 1
+        t, s, mx, mn = want.get(b, (0, 0, 0, 1 << 62))
+        want[b] = (t + 1, s + n, max(mx, n), min(mn, n))
+    assert got == want
+    # total mass check: bucket sums add up to the corpus token count
+    assert sum(v[1] for v in got.values()) == sum(tf.values())
