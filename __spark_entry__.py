@@ -2244,6 +2244,24 @@ def _q_linkpred_negatives(spark, sf_dir):
 
 
 
+LP_TRAIN_HOLDOUT = 5
+LP_TRAIN_PROBES = 4
+
+
+def _q_linkpred_training(spark, sf_dir):
+    """Leakage-free link-prediction TRAINING SET (operators/linkpred.
+    training_pairs): hash-gated holdout positives, features recomputed on
+    the residual graph (held edges removed first), mixer-probed negatives
+    anti-joined against the full edge set, per-pair CN/RA/degree/PA/Jaccard
+    features — the complete ML data-prep protocol as one plan."""
+    from kaminpar_spark.operators.linkpred import training_pairs
+
+    g, _ = _graph(spark, sf_dir)
+    return training_pairs(
+        g, g.num_nodes(), holdout_mod=LP_TRAIN_HOLDOUT, probes=LP_TRAIN_PROBES
+    )
+
+
 SSJOIN_THRESH = 0.4
 
 
@@ -2410,6 +2428,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gn_split": _q_gn_split,
         "cycle_stats": _q_cycle_stats,
         "linkpred_negatives": _q_linkpred_negatives,
+        "linkpred_training": _q_linkpred_training,
         "ssjoin_prefix": _q_ssjoin,
         "seeded_labels3": _q_seeded_labels,
         "rank_movers": _q_rank_movers,
@@ -3145,6 +3164,69 @@ wed AS MATERIALIZED (
   GROUP BY l.dst, r.dst HAVING count(*) >= {JACCARD_MIN_COMMON})
 SELECT u, w, common, ra FROM wed
 ORDER BY ra DESC, u, w LIMIT {JACCARD_TOPK}"""
+
+
+def _linkpred_training_sql() -> str:
+    """Twin of operators/linkpred.training_pairs: same mixer gates, same
+    residual-graph features, same RA lattice and round(4) Jaccard."""
+    from kaminpar_spark.operators.linkpred import (
+        LP_MIX_K,
+        LP_MIX_MOD,
+        LP_MIX_MULT,
+        RA_SCALE,
+    )
+
+    p = LP_TRAIN_PROBES
+    return f"""WITH {_EDGES_CTE},
+pos AS MATERIALIZED (
+  SELECT src AS u, dst AS w FROM edges
+  WHERE src < dst
+    AND (((src * {LP_MIX_K} + dst) % {LP_MIX_MOD}) * {LP_MIX_MULT})
+        % {LP_MIX_MOD} % {LP_TRAIN_HOLDOUT} = 0),
+held AS (SELECT u AS src, w AS dst FROM pos
+         UNION ALL SELECT w AS src, u AS dst FROM pos),
+res AS MATERIALIZED (
+  SELECT e.src, e.dst FROM edges e
+  WHERE NOT EXISTS (SELECT 1 FROM held h WHERE h.src = e.src AND h.dst = e.dst)),
+rdeg AS MATERIALIZED (
+  SELECT src AS id, CAST(count(*) AS BIGINT) AS degree FROM res GROUP BY src),
+seeds AS (SELECT u AS id FROM pos UNION SELECT w AS id FROM pos),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+negraw AS (
+  SELECT s.id,
+         ((s.id * {p} + g.j + 1) * {LP_MIX_MULT}) % {LP_MIX_MOD}
+           % (SELECT n FROM nn) AS neg_id
+  FROM seeds s, generate_series(0, {p - 1}) g(j)),
+negd AS (SELECT DISTINCT id, neg_id FROM negraw WHERE neg_id <> id),
+nega AS (SELECT id, neg_id FROM negd
+         WHERE NOT EXISTS (SELECT 1 FROM edges e
+                           WHERE e.src = negd.id AND e.dst = negd.neg_id)),
+negc AS (SELECT DISTINCT least(id, neg_id) AS u, greatest(id, neg_id) AS w
+         FROM nega),
+cand AS MATERIALIZED (
+  SELECT u, w, 1 AS label FROM pos
+  UNION ALL SELECT u, w, 0 AS label FROM negc),
+inter AS MATERIALIZED (
+  SELECT c.u, c.w, CAST(count(*) AS BIGINT) AS common,
+         CAST(sum({RA_SCALE} // d.degree) AS BIGINT) AS ra
+  FROM cand c JOIN res a ON a.src = c.u
+              JOIN res b ON b.src = c.w AND b.dst = a.dst
+              JOIN rdeg d ON d.id = a.dst
+  GROUP BY c.u, c.w)
+SELECT c.u, c.w, CAST(c.label AS INT) AS label,
+  CAST(coalesce(i.common, 0) AS BIGINT) AS common,
+  CAST(coalesce(i.ra, 0) AS BIGINT) AS ra,
+  CAST(coalesce(du.degree, 0) AS BIGINT) AS deg_u,
+  CAST(coalesce(dw.degree, 0) AS BIGINT) AS deg_w,
+  CAST(coalesce(du.degree, 0) * coalesce(dw.degree, 0) AS BIGINT) AS pa,
+  CASE WHEN coalesce(i.common, 0) > 0
+       THEN round(CAST(i.common AS DOUBLE)
+                  / (du.degree + dw.degree - i.common), 4)
+       ELSE 0.0 END AS jaccard
+FROM cand c
+LEFT JOIN inter i ON i.u = c.u AND i.w = c.w
+LEFT JOIN rdeg du ON du.id = c.u
+LEFT JOIN rdeg dw ON dw.id = c.w"""
 
 
 _LPA_MODULARITY_SQL = f"""WITH {_EDGES_CTE},
@@ -5628,6 +5710,7 @@ FROM parts p JOIN idx i ON p.block = i.block""",
         "gn_split": _gn_split_sql(),
         "cycle_stats": _CYCLE_STATS_SQL,
         "linkpred_negatives": _linkpred_negatives_sql(),
+        "linkpred_training": _linkpred_training_sql(),
         "ssjoin_prefix": _SSJOIN_SQL,
         "seeded_labels3": _seeded_lp_sql(),
         "rank_movers": _rank_movers_sql(),

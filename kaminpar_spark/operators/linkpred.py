@@ -157,3 +157,128 @@ def negative_samples(
     cand = cand.where(F.col("neg_id") != F.col("id")).distinct()
     pos = graph.edges.select(F.col("src").alias("id"), F.col("dst").alias("neg_id"))
     return cand.join(pos, ["id", "neg_id"], "left_anti")
+
+
+LP_MIX_K = 1_000_003
+LP_MIX_MULT = 1_103_515_245
+LP_MIX_MOD = 2_147_483_647
+
+
+def training_pairs(
+    graph: GraphFrame,
+    n_nodes: int,
+    holdout_mod: int = 5,
+    probes: int = 4,
+    scale: int = RA_SCALE,
+    round_digits: int = 4,
+) -> DataFrame:
+    """End-to-end LABELED training set for link prediction — the full ML
+    data-prep protocol as one declarative plan:
+
+    1. **Holdout positives**: a deterministic 1/holdout_mod hash gate over
+       canonical undirected edges (arithmetic mixer, reproducible in ANSI
+       SQL — no xxhash in the contract) marks label-1 pairs.
+    2. **Leakage-free features**: the held-out edges are REMOVED from the
+       graph before any feature is computed (the classic evaluation
+       protocol — features must not see the edges the model must predict).
+    3. **Negatives**: negative_samples() hash-probes per positive endpoint,
+       anti-joined against the FULL edge set (a held-out true edge must
+       never be labeled 0), canonicalized to u < w.
+    4. **Features on the residual graph**, per candidate pair: common
+       neighbors, Resource-Allocation on the x{scale} int lattice,
+       residual degrees, preferential attachment deg_u*deg_w, and
+       Jaccard (one final IEEE round({round_digits}) division).
+
+    Returns (u, w, label, common, ra, deg_u, deg_w, pa, jaccard).
+
+    Scale shape: per-pair intersections are computed by fanning each
+    candidate over ONE endpoint's residual adjacency and equi-joining the
+    other side — cost = sum over candidates of deg_res(u), never an
+    all-pairs wedge enumeration, so the candidate set (not the graph)
+    bounds the work. Every join is an equi-join with shuffle-hash hints on
+    the stats-less edge legs; the rest is hash aggregates.
+    """
+    edges = graph.edges.select("src", "dst")
+    mix = (
+        ((F.col("u") * LP_MIX_K + F.col("w")) % LP_MIX_MOD) * LP_MIX_MULT
+    ) % LP_MIX_MOD
+    pos = (
+        edges.where(F.col("src") < F.col("dst"))
+        .select(F.col("src").alias("u"), F.col("dst").alias("w"))
+        .where(mix % holdout_mod == 0)
+    )
+    held = pos.unionByName(
+        pos.select(F.col("w").alias("u"), F.col("u").alias("w"))
+    ).select(F.col("u").alias("src"), F.col("w").alias("dst"))
+    res = edges.join(held, ["src", "dst"], "left_anti")
+    rdeg = res.groupBy(F.col("src").alias("id")).agg(
+        F.count("*").cast("long").alias("degree")
+    )
+
+    seeds = (
+        pos.select(F.col("u").alias("id"))
+        .unionByName(pos.select(F.col("w").alias("id")))
+        .distinct()
+    )
+    negc = (
+        negative_samples(graph, seeds, n_nodes, probes=probes)
+        .select(
+            F.least("id", "neg_id").alias("u"),
+            F.greatest("id", "neg_id").alias("w"),
+        )
+        .distinct()
+    )
+    cand = pos.withColumn("label", F.lit(1).cast("int")).unionByName(
+        negc.withColumn("label", F.lit(0).cast("int"))
+    )
+
+    term = rdeg.select(
+        F.col("id").alias("v"),
+        (F.lit(scale) / F.col("degree")).cast("long").alias("term"),
+    )
+    a_u = res.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+    a_w = res.select(F.col("src").alias("w"), F.col("dst").alias("v"))
+    inter = (
+        cand.select("u", "w")
+        .join(a_u.hint("shuffle_hash"), "u")
+        .join(a_w.hint("shuffle_hash"), ["w", "v"])
+        .join(term.hint("shuffle_hash"), "v")
+        .groupBy("u", "w")
+        .agg(F.count("*").cast("long").alias("common"), F.sum("term").alias("ra"))
+    )
+    du = rdeg.select(F.col("id").alias("u"), F.col("degree").alias("deg_u"))
+    dw = rdeg.select(F.col("id").alias("w"), F.col("degree").alias("deg_w"))
+    base = (
+        cand.join(inter.hint("shuffle_hash"), ["u", "w"], "left")
+        .join(du.hint("shuffle_hash"), "u", "left")
+        .join(dw.hint("shuffle_hash"), "w", "left")
+        .select(
+            "u",
+            "w",
+            "label",
+            F.coalesce("common", F.lit(0)).cast("long").alias("common"),
+            F.coalesce("ra", F.lit(0)).cast("long").alias("ra"),
+            F.coalesce("deg_u", F.lit(0)).cast("long").alias("deg_u"),
+            F.coalesce("deg_w", F.lit(0)).cast("long").alias("deg_w"),
+        )
+    )
+    return base.select(
+        "u",
+        "w",
+        "label",
+        "common",
+        "ra",
+        "deg_u",
+        "deg_w",
+        (F.col("deg_u") * F.col("deg_w")).cast("long").alias("pa"),
+        F.when(
+            F.col("common") > 0,
+            F.round(
+                F.col("common")
+                / (F.col("deg_u") + F.col("deg_w") - F.col("common")),
+                round_digits,
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("jaccard"),
+    )
