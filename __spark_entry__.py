@@ -2379,6 +2379,21 @@ def _q_triad_census(spark, sf_dir):
     return directed_triad_census(g, dedges.select("src", "dst"))
 
 
+TRI_CC_STEPS = 8
+
+
+def _q_clique_percolation(spark, sf_dir):
+    """k=3 clique-percolation communities (Palla CPM restricted to
+    triangles): hash-to-min + path-halving CC (TRI_CC_STEPS fixed
+    supersteps) over the triangle-edge adjacency graph keyed by canonical
+    edge keys a*n + b (operators/triangles.triangle_communities). One row
+    per triangle-participating edge with its community label."""
+    from kaminpar_spark.operators.triangles import triangle_communities
+
+    g, _ = _graph(spark, sf_dir)
+    return triangle_communities(g, max_iters=TRI_CC_STEPS)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "transcript_turns": _q_transcript_turns,
@@ -2534,6 +2549,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "densest_peel6": _q_densest_peel,
         "four_cliques": _q_four_cliques,
         "triad_census": _q_triad_census,
+        "clique_percolation8": _q_clique_percolation,
     }
 
 
@@ -5507,6 +5523,52 @@ SELECT CAST(count(*) AS BIGINT) AS triangles,
 FROM tm"""
 
 
+def _clique_percolation_sql() -> str:
+    """Unrolled hash-to-min + pointer-jump chain (same per-step shape as
+    _cc_sql) over the triangle-edge adjacency graph: canonical edge keys
+    a*n + b, 3 pairwise links per degree-oriented triangle."""
+    prev = "p0"
+    steps = ""
+    for i in range(1, TRI_CC_STEPS + 1):
+        steps += f""",
+p{i}a AS MATERIALIZED (
+  SELECT n.id, least(n.comp, coalesce(m.mn, n.comp)) AS comp
+  FROM {prev} n LEFT JOIN (
+    SELECT e.dst AS id, min(c.comp) AS mn
+    FROM ledges e JOIN {prev} c ON e.src = c.id GROUP BY e.dst) m
+  ON n.id = m.id),
+p{i} AS MATERIALIZED (
+  SELECT a.id, coalesce(b.comp, a.comp) AS comp
+  FROM p{i}a a LEFT JOIN p{i}a b ON a.comp = b.id)"""
+        prev = f"p{i}"
+    return f"""WITH {_EDGES_CTE},
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+oe AS MATERIALIZED (
+  SELECT e.src, e.dst
+  FROM edges e JOIN deg a ON e.src = a.id JOIN deg b ON e.dst = b.id
+  WHERE (a.degree < b.degree) OR (a.degree = b.degree AND e.src < e.dst)),
+tri AS MATERIALIZED (
+  SELECT e1.src AS u, e1.dst AS v, e2.dst AS w
+  FROM oe e1 JOIN oe e2 ON e1.dst = e2.src
+             JOIN oe e3 ON e3.src = e1.src AND e3.dst = e2.dst),
+tk AS (SELECT
+    least(u, v) * (SELECT n FROM nn) + greatest(u, v) AS k1,
+    least(v, w) * (SELECT n FROM nn) + greatest(v, w) AS k2,
+    least(u, w) * (SELECT n FROM nn) + greatest(u, w) AS k3
+  FROM tri),
+lraw AS (SELECT k1 AS src, k2 AS dst FROM tk
+         UNION SELECT k2, k3 FROM tk
+         UNION SELECT k1, k3 FROM tk),
+ledges AS MATERIALIZED (
+  SELECT src, dst FROM lraw UNION SELECT dst AS src, src AS dst FROM lraw),
+lnodes AS (SELECT DISTINCT src AS id FROM ledges),
+p0 AS (SELECT id, CAST(id AS BIGINT) AS comp FROM lnodes){steps}
+SELECT CAST(id // (SELECT n FROM nn) AS BIGINT) AS a,
+       CAST(id % (SELECT n FROM nn) AS BIGINT) AS b,
+       CAST(comp AS BIGINT) AS community
+FROM {prev}"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "transcript_turns": f"WITH {_TRANSCRIPTS_CTE} "
@@ -5881,4 +5943,5 @@ FROM documents""",
         "densest_peel6": _densest_sql(),
         "four_cliques": _FOUR_CLIQUES_SQL,
         "triad_census": _triad_census_sql(),
+        "clique_percolation8": _clique_percolation_sql(),
     }

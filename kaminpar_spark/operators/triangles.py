@@ -473,3 +473,56 @@ def directed_triad_census(graph: GraphFrame, directed_edges: DataFrame) -> DataF
         F.coalesce(F.sum(ff), F.lit(0)).cast("long").alias("ff_ordered"),
         F.coalesce(F.sum(cyc), F.lit(0)).cast("long").alias("cycles"),
     )
+
+
+def triangle_communities(graph: GraphFrame, max_iters: int = 8) -> DataFrame:
+    """k=3 clique-percolation communities (Palla-style CPM restricted to
+    triangles): two triangles belong to the same community iff they are
+    connected through a chain of shared edges. Returns one row per
+    triangle-participating edge — (a, b, community) with a < b by id and
+    community = the minimum canonical edge key reachable through triangle
+    adjacency.
+
+    Distributed shape: the canonical key of edge {a,b} is a*n + b (n = |V|,
+    dense ids), each enumerated triangle links its three edge keys pairwise
+    (3 rows per triangle), and the percolation communities are the connected
+    components of that derived key graph — computed by the existing
+    hash-to-min + path-halving superstep kernel. Triangle enumeration is the
+    arboricity-bounded oriented wedge join (same kernel as triangle_count),
+    so nothing in the plan is wider than the triangle set itself and no
+    per-triangle state ever lands on the driver.
+
+    Reference analog: none (beyond-reference community operator); the CC
+    kernel mirrors the reference's component semantics
+    (apps/tools/graph_tools.cc:91-126).
+    """
+    from kaminpar_spark.operators.components import connected_components
+    from kaminpar_spark.plans.lineage import truncate
+
+    tri, _ = _enumerate_triangles(graph)
+    n = graph.num_nodes()
+
+    def key(x: str, y: str) -> F.Column:
+        return (
+            F.least(F.col(x), F.col(y)).cast("long") * F.lit(n)
+            + F.greatest(F.col(x), F.col(y)).cast("long")
+        )
+
+    ks = tri.select(
+        key("u", "v").alias("k1"),
+        key("v", "w").alias("k2"),
+        key("u", "w").alias("k3"),
+    )
+    links = truncate(
+        ks.select(F.col("k1").alias("src"), F.col("k2").alias("dst"))
+        .unionByName(ks.select(F.col("k2").alias("src"), F.col("k3").alias("dst")))
+        .unionByName(ks.select(F.col("k1").alias("src"), F.col("k3").alias("dst")))
+        .distinct()
+    )
+    dg = GraphFrame.from_edge_pairs(links)
+    comp = connected_components(dg, max_iters=max_iters)
+    return comp.select(
+        F.expr(f"id div {n}").cast("long").alias("a"),
+        (F.col("id") % F.lit(n)).cast("long").alias("b"),
+        F.col("comp").alias("community"),
+    )

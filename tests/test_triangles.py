@@ -100,3 +100,25 @@ def test_incremental_triangle_count_matches_full(spark):
     empty = delta.limit(0)
     row0 = incremental_triangle_count(g, empty).first()
     assert row0["tri_delta"] == 0 and row0["tri_total"] == row0["tri_old"]
+
+
+def test_triangle_communities_shared_edge_merges(spark):
+    # {0,1,2} and {1,2,3} share edge (1,2) -> one community; {4,5,6} is its
+    # own; the bridge 3-4 carries no triangle and must not merge them.
+    from kaminpar_spark.graph import GraphFrame
+    from kaminpar_spark.operators.triangles import triangle_communities
+
+    pairs = spark.createDataFrame(
+        [(0, 1), (0, 2), (1, 2), (1, 3), (2, 3), (3, 4), (4, 5), (4, 6), (5, 6)],
+        "src long, dst long",
+    )
+    g = GraphFrame.from_edge_pairs(pairs)
+    rows = triangle_communities(g).collect()
+    n = 7
+    comm = {(r["a"], r["b"]): r["community"] for r in rows}
+    # every triangle edge labeled, bridge (3,4) absent
+    assert set(comm) == {(0, 1), (0, 2), (1, 2), (1, 3), (2, 3), (4, 5), (4, 6), (5, 6)}
+    k01 = 0 * n + 1
+    k45 = 4 * n + 5
+    assert {comm[e] for e in [(0, 1), (0, 2), (1, 2), (1, 3), (2, 3)]} == {k01}
+    assert {comm[e] for e in [(4, 5), (4, 6), (5, 6)]} == {k45}
