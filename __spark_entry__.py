@@ -2382,6 +2382,54 @@ def _q_triad_census(spark, sf_dir):
 TRI_CC_STEPS = 8
 
 
+def _q_clustering_spectrum(spark, sf_dir):
+    """Degree-dependent clustering spectrum c(k): per degree k >= 2, the
+    node count and exact incident-triangle mass (int64), and
+    c(k) = 2*sum_triangles / (n_nodes*k*(k-1)) as the single final IEEE
+    division (round 6) — the hierarchical-structure signature curve.
+    Composition of triangles_per_node + degrees; one hash aggregate."""
+    from kaminpar_spark.operators.triangles import triangles_per_node
+
+    g, _ = _graph(spark, sf_dir)
+    j = (
+        g.degrees()
+        .select("id", "degree")
+        .join(triangles_per_node(g).hint("shuffle_hash"), "id", "left")
+        .select("degree", F.coalesce("triangles", F.lit(0)).alias("t"))
+        .where(F.col("degree") >= 2)
+    )
+    return (
+        j.groupBy("degree")
+        .agg(
+            F.count("*").cast("long").alias("n_nodes"),
+            F.sum("t").cast("long").alias("sum_triangles"),
+        )
+        .select(
+            "degree",
+            "n_nodes",
+            "sum_triangles",
+            F.round(
+                2.0 * F.col("sum_triangles")
+                / (F.col("n_nodes") * F.col("degree") * (F.col("degree") - 1)),
+                6,
+            ).alias("ck"),
+        )
+    )
+
+
+def _q_dedup_keep_best(spark, sf_dir):
+    """Keep-one-per-cluster dedup decision: MinHash near-dup clusters ->
+    struct-max representative by (longest n_chars, lowest doc_id) ->
+    (cluster_id, kept_doc, n_members, n_dropped). Non-trivial clusters only
+    (singletons carry no decision)."""
+    from kaminpar_spark.functions.pipeline import dedup_keep_best
+
+    return dedup_keep_best(
+        _load(spark, sf_dir, "documents"),
+        threshold=MINHASH_THRESH, num_hashes=MINHASH_K, bands=MINHASH_BANDS,
+    ).where(F.col("n_members") >= 2)
+
+
 def _q_clique_percolation(spark, sf_dir):
     """k=3 clique-percolation communities (Palla CPM restricted to
     triangles): hash-to-min + path-halving CC (TRI_CC_STEPS fixed
@@ -2550,6 +2598,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "four_cliques": _q_four_cliques,
         "triad_census": _q_triad_census,
         "clique_percolation8": _q_clique_percolation,
+        "clustering_spectrum": _q_clustering_spectrum,
+        "dedup_keep_best": _q_dedup_keep_best,
     }
 
 
@@ -5523,6 +5573,42 @@ SELECT CAST(count(*) AS BIGINT) AS triangles,
 FROM tm"""
 
 
+_CLUSTERING_SPECTRUM_SQL = f"""WITH {_EDGES_CTE},
+oe AS MATERIALIZED (
+  SELECT e.src, e.dst
+  FROM edges e JOIN deg a ON e.src = a.id JOIN deg b ON e.dst = b.id
+  WHERE (a.degree < b.degree) OR (a.degree = b.degree AND e.src < e.dst)),
+tri AS MATERIALIZED (
+  SELECT e1.src AS u, e1.dst AS v, e2.dst AS w
+  FROM oe e1 JOIN oe e2 ON e1.dst = e2.src
+             JOIN oe e3 ON e3.src = e1.src AND e3.dst = e2.dst),
+pern AS (
+  SELECT id, count(*) AS t FROM (
+    SELECT u AS id FROM tri UNION ALL SELECT v FROM tri UNION ALL SELECT w FROM tri) x
+  GROUP BY id)
+SELECT d.degree, CAST(count(*) AS BIGINT) AS n_nodes,
+       CAST(sum(coalesce(p.t, 0)) AS BIGINT) AS sum_triangles,
+       round(2.0 * sum(coalesce(p.t, 0))
+             / (count(*) * d.degree * (d.degree - 1)), 6) AS ck
+FROM deg d LEFT JOIN pern p ON d.id = p.id
+WHERE d.degree >= 2
+GROUP BY d.degree"""
+
+
+def _dedup_keep_best_sql() -> str:
+    """Keep-best over the near-dup clusters chain: arg_max on the unique
+    integer key n_chars*10^12 - doc_id (max length, then min id)."""
+    return f"""
+WITH clusters AS ({_near_dup_clusters_sql()}),
+m AS (SELECT c.cluster_id, c.doc_id, d.n_chars
+      FROM clusters c JOIN documents d ON c.doc_id = d.doc_id)
+SELECT CAST(cluster_id AS BIGINT) AS cluster_id,
+       CAST(arg_max(doc_id, n_chars * 1000000000000 - doc_id) AS BIGINT) AS kept_doc,
+       CAST(count(*) AS BIGINT) AS n_members,
+       CAST(count(*) - 1 AS BIGINT) AS n_dropped
+FROM m GROUP BY cluster_id HAVING count(*) >= 2"""
+
+
 def _clique_percolation_sql() -> str:
     """Unrolled hash-to-min + pointer-jump chain (same per-step shape as
     _cc_sql) over the triangle-edge adjacency graph: canonical edge keys
@@ -5944,4 +6030,6 @@ FROM documents""",
         "four_cliques": _FOUR_CLIQUES_SQL,
         "triad_census": _triad_census_sql(),
         "clique_percolation8": _clique_percolation_sql(),
+        "clustering_spectrum": _CLUSTERING_SPECTRUM_SQL,
+        "dedup_keep_best": _dedup_keep_best_sql(),
     }

@@ -301,3 +301,51 @@ def curriculum_batches(
             F.max("n_tokens").cast("long").alias("max_tokens"),
         )
     )
+
+
+def dedup_keep_best(
+    docs: DataFrame,
+    threshold: float = 0.7,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    length_col: str = "n_chars",
+) -> DataFrame:
+    """(cluster_id, kept_doc, n_members, n_dropped) — the keep-one-per-
+    cluster decision a production dedup actually ships: cluster the MinHash
+    near-dup pair graph (near_dup_clusters), then keep the single best
+    document per cluster by (longest ``length_col``, then lowest id) and
+    drop the rest.
+
+    The representative pick is a struct-max hash aggregate (max over
+    (length, -id) pairs), never a window — one map-side-combinable groupBy
+    over the cluster table, so a pathological mega-cluster costs one
+    combiner cell, not a sorted partition.
+    """
+    clusters = near_dup_clusters(
+        docs, threshold=threshold, num_hashes=num_hashes, bands=bands,
+        shingle_n=shingle_n, id_col=id_col, text_col=text_col,
+    )
+    member = clusters.join(
+        docs.select(F.col(id_col), F.col(length_col)), id_col
+    )
+    return (
+        member.groupBy("cluster_id")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col(length_col).cast("long").alias("len"),
+                    (-F.col(id_col)).cast("long").alias("neg_id"),
+                )
+            ).alias("best"),
+            F.count("*").cast("long").alias("n_members"),
+        )
+        .select(
+            "cluster_id",
+            (-F.col("best.neg_id")).cast("long").alias("kept_doc"),
+            "n_members",
+            (F.col("n_members") - 1).cast("long").alias("n_dropped"),
+        )
+    )

@@ -114,3 +114,27 @@ def test_tfidf_top_terms_idf_downweights_common(spark):
     # "common" appears in every doc -> idf = ln(1) = 0 -> never the top term
     assert top == {0: "rare0", 1: "other1", 2: "other2"}
     assert all(r["score"] > 0 for r in out)
+
+
+def test_dedup_keep_best_picks_longest_then_lowest_id(spark):
+    from kaminpar_spark.functions.pipeline import dedup_keep_best
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (0, base, "en", 50),
+        (1, base + " mu", "en", 80),   # near-dup of 0, longer -> kept
+        (2, base + " nu", "en", 80),   # near-dup, same length, higher id -> dropped
+        (3, "totally different words nothing shared here at all ok", "en", 10),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, n_chars long"
+    )
+    out = {
+        r["cluster_id"]: r
+        for r in dedup_keep_best(
+            docs, threshold=0.5, num_hashes=32, bands=16
+        ).collect()
+    }
+    big = out[0]
+    assert big["kept_doc"] == 1 and big["n_members"] == 3 and big["n_dropped"] == 2
+    assert out[3]["kept_doc"] == 3 and out[3]["n_dropped"] == 0
