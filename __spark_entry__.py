@@ -2417,6 +2417,65 @@ def _q_clustering_spectrum(spark, sf_dir):
     )
 
 
+def _q_knn_spectrum(spark, sf_dir):
+    """Average-neighbor-degree spectrum knn(k) (degree-weighted Pastor-
+    Satorras variant): per degree k, the node count, exact int64 sum of
+    neighbor-degree sums, and knn(k) = sum / (k * n_k) as ONE final IEEE
+    division (round 6). The degree-correlation companion curve to
+    assortativity; two hash joins + one aggregate."""
+    g, _ = _graph(spark, sf_dir)
+    deg = g.degrees().select("id", "degree")
+    s = (
+        g.edges.select("src", "dst")
+        .join(
+            deg.select(F.col("id").alias("dst"), F.col("degree").alias("ddeg")).hint(
+                "shuffle_hash"
+            ),
+            "dst",
+        )
+        .groupBy("src")
+        .agg(F.sum("ddeg").cast("long").alias("s"))
+    )
+    return (
+        deg.join(s.withColumnRenamed("src", "id").hint("shuffle_hash"), "id")
+        .groupBy("degree")
+        .agg(
+            F.count("*").cast("long").alias("n_nodes"),
+            F.sum("s").cast("long").alias("sum_nbr_deg"),
+        )
+        .select(
+            "degree",
+            "n_nodes",
+            "sum_nbr_deg",
+            F.round(
+                1.0 * F.col("sum_nbr_deg") / (F.col("degree") * F.col("n_nodes")), 6
+            ).alias("knn"),
+        )
+    )
+
+
+def _q_pagerank_by_role(spark, sf_dir):
+    """PageRank mass by actor class (user/agent/tool): the per-node rounded
+    ranks (already cross-engine exact, see pagerank5) scaled to e6 integers
+    and summed exactly per role — where the attention mass sits
+    structurally. Summing doubles cross-engine would be order-sensitive;
+    the scaled-int sum is not."""
+    from kaminpar_spark.operators.pagerank import pagerank
+
+    g, amap = _graph(spark, sf_dir)
+    pr = pagerank(g, tol=0.0, max_iters=PR_ITERS)
+    role = amap.select("id", F.split("actor", "_").getItem(0).alias("role"))
+    return (
+        pr.select("id", F.round(F.col("rank") * 1000000, 0).cast("long").alias("e6"))
+        .join(role.hint("shuffle_hash"), "id")
+        .groupBy("role")
+        .agg(
+            F.count("*").cast("long").alias("n_actors"),
+            F.sum("e6").cast("long").alias("rank_mass_e6"),
+        )
+    )
+
+
 def _q_dedup_keep_best(spark, sf_dir):
     """Keep-one-per-cluster dedup decision: MinHash near-dup clusters ->
     struct-max representative by (longest n_chars, lowest doc_id) ->
@@ -2600,6 +2659,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clique_percolation8": _q_clique_percolation,
         "clustering_spectrum": _q_clustering_spectrum,
         "dedup_keep_best": _q_dedup_keep_best,
+        "knn_spectrum": _q_knn_spectrum,
+        "pagerank_by_role": _q_pagerank_by_role,
     }
 
 
@@ -5595,6 +5656,32 @@ WHERE d.degree >= 2
 GROUP BY d.degree"""
 
 
+_KNN_SPECTRUM_SQL = f"""WITH {_EDGES_CTE},
+s AS (SELECT e.src AS id, CAST(sum(d.degree) AS BIGINT) AS s
+      FROM edges e JOIN deg d ON e.dst = d.id GROUP BY e.src)
+SELECT d.degree, CAST(count(*) AS BIGINT) AS n_nodes,
+       CAST(sum(s.s) AS BIGINT) AS sum_nbr_deg,
+       round(1.0 * sum(s.s) / (d.degree * count(*)), 6) AS knn
+FROM deg d JOIN s ON d.id = s.id
+GROUP BY d.degree"""
+
+
+def _pagerank_by_role_sql() -> str:
+    """Splices a role aggregation onto the pagerank5 chain: the final
+    per-node round(rank,6) values are cross-engine exact, so the e6
+    scaled-int sum per role is exact too."""
+    base = _pagerank_sql()
+    final = "SELECT id, round(rank, 6) AS rank FROM "
+    head, tail = base.rsplit(final, 1)
+    last = tail.strip()
+    return f"""{head.rstrip().rstrip(',')},
+typx AS (SELECT id, string_split(actor, '_')[1] AS role FROM nodes)
+SELECT t.role, CAST(count(*) AS BIGINT) AS n_actors,
+       CAST(sum(CAST(round(r.rank * 1000000, 0) AS BIGINT)) AS BIGINT) AS rank_mass_e6
+FROM {last} r JOIN typx t ON r.id = t.id
+GROUP BY t.role"""
+
+
 def _dedup_keep_best_sql() -> str:
     """Keep-best over the near-dup clusters chain: arg_max on the unique
     integer key n_chars*10^12 - doc_id (max length, then min id)."""
@@ -6032,4 +6119,6 @@ FROM documents""",
         "clique_percolation8": _clique_percolation_sql(),
         "clustering_spectrum": _CLUSTERING_SPECTRUM_SQL,
         "dedup_keep_best": _dedup_keep_best_sql(),
+        "knn_spectrum": _KNN_SPECTRUM_SQL,
+        "pagerank_by_role": _pagerank_by_role_sql(),
     }
