@@ -2476,6 +2476,64 @@ def _q_pagerank_by_role(spark, sf_dir):
     )
 
 
+def _q_degree_gini(spark, sf_dir):
+    """Gini coefficient of the degree distribution — hub concentration in
+    one number. Sorted-rank formulation G = (2*Σ r_i*d_i - (n+1)*Σd) /
+    (n*Σd) with ranks 1..n by (degree, id): every term exact int64 via the
+    scalable range-partitioned sort rank (ids.sorted_rank — no
+    single-partition window), ONE final IEEE division (round 6)."""
+    from kaminpar_spark.ids import sorted_rank
+
+    g, _ = _graph(spark, sf_dir)
+    deg = g.degrees().select("id", "degree")
+    ranked = sorted_rank(deg, ["degree", "id"], out="r")
+    agg = ranked.agg(
+        F.count("*").cast("long").alias("n_nodes"),
+        F.sum("degree").cast("long").alias("total_degree"),
+        F.sum((F.col("r") + 1) * F.col("degree")).cast("long").alias("rd"),
+    )
+    return agg.select(
+        "n_nodes",
+        "total_degree",
+        F.round(
+            (2.0 * F.col("rd") - (F.col("n_nodes") + 1) * F.col("total_degree"))
+            / (F.col("n_nodes") * F.col("total_degree")),
+            6,
+        ).alias("gini"),
+    )
+
+
+def _q_source_dup_rate(spark, sf_dir):
+    """Per-source near-duplication rate: share of each source's documents
+    that sit in a non-singleton MinHash near-dup cluster — the contamination
+    dashboard a corpus curator watches per ingest feed. Counts exact int64,
+    one final division (round 6)."""
+    from kaminpar_spark.functions.pipeline import near_dup_clusters
+
+    docs = _load(spark, sf_dir, "documents")
+    clusters = near_dup_clusters(
+        docs, threshold=MINHASH_THRESH, num_hashes=MINHASH_K, bands=MINHASH_BANDS,
+    )
+    sizes = clusters.groupBy("cluster_id").agg(F.count("*").alias("csz"))
+    j = (
+        clusters.join(sizes.hint("shuffle_hash"), "cluster_id")
+        .join(docs.select("doc_id", "source").hint("shuffle_hash"), "doc_id")
+    )
+    return (
+        j.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum((F.col("csz") >= 2).cast("long")).cast("long").alias("n_near_dup"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_near_dup",
+            F.round(1.0 * F.col("n_near_dup") / F.col("n_docs"), 6).alias("dup_share"),
+        )
+    )
+
+
 def _q_dedup_keep_best(spark, sf_dir):
     """Keep-one-per-cluster dedup decision: MinHash near-dup clusters ->
     struct-max representative by (longest n_chars, lowest doc_id) ->
@@ -2661,6 +2719,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keep_best": _q_dedup_keep_best,
         "knn_spectrum": _q_knn_spectrum,
         "pagerank_by_role": _q_pagerank_by_role,
+        "degree_gini": _q_degree_gini,
+        "source_dup_rate": _q_source_dup_rate,
     }
 
 
@@ -5682,6 +5742,31 @@ FROM {last} r JOIN typx t ON r.id = t.id
 GROUP BY t.role"""
 
 
+_DEGREE_GINI_SQL = f"""WITH {_EDGES_CTE},
+rk AS (SELECT degree, row_number() OVER (ORDER BY degree, id) AS r FROM deg),
+a AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+             CAST(sum(degree) AS BIGINT) AS total_degree,
+             CAST(sum(r * degree) AS BIGINT) AS rd
+      FROM rk)
+SELECT n_nodes, total_degree,
+       round((2.0 * rd - (n_nodes + 1) * total_degree)
+             / (n_nodes * total_degree), 6) AS gini
+FROM a"""
+
+
+def _source_dup_rate_sql() -> str:
+    return f"""
+WITH clusters AS ({_near_dup_clusters_sql()}),
+sizes AS (SELECT cluster_id, count(*) AS csz FROM clusters GROUP BY cluster_id)
+SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN s.csz >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_near_dup,
+       round(1.0 * sum(CASE WHEN s.csz >= 2 THEN 1 ELSE 0 END) / count(*), 6)
+         AS dup_share
+FROM clusters c JOIN sizes s ON c.cluster_id = s.cluster_id
+                JOIN documents d ON c.doc_id = d.doc_id
+GROUP BY d.source"""
+
+
 def _dedup_keep_best_sql() -> str:
     """Keep-best over the near-dup clusters chain: arg_max on the unique
     integer key n_chars*10^12 - doc_id (max length, then min id)."""
@@ -6121,4 +6206,6 @@ FROM documents""",
         "dedup_keep_best": _dedup_keep_best_sql(),
         "knn_spectrum": _KNN_SPECTRUM_SQL,
         "pagerank_by_role": _pagerank_by_role_sql(),
+        "degree_gini": _DEGREE_GINI_SQL,
+        "source_dup_rate": _source_dup_rate_sql(),
     }
