@@ -2476,6 +2476,26 @@ def _q_pagerank_by_role(spark, sf_dir):
     )
 
 
+def _q_community_size_hist(spark, sf_dir):
+    """Power-of-2 community-size histogram of the step-1 LP labels — the
+    convergence-shape diagnostic (does LP collapse into a giant label or
+    fragment?). bucket = floor(log2(size)); counts exact int64."""
+    from kaminpar_spark.operators.labelprop import lp_step
+
+    g, _ = _graph(spark, sf_dir)
+    state = g.nodes.select("id", F.col("id").alias("label"), "weight")
+    labels = lp_step(g, state, semi_sync=False).select("id", "label")
+    sizes = labels.groupBy("label").agg(F.count("*").alias("size"))
+    return (
+        sizes.select(F.floor(F.log2("size")).cast("int").alias("bucket"), "size")
+        .groupBy("bucket")
+        .agg(
+            F.count("*").cast("long").alias("n_communities"),
+            F.sum("size").cast("long").alias("n_members"),
+        )
+    )
+
+
 def _q_degree_gini(spark, sf_dir):
     """Gini coefficient of the degree distribution — hub concentration in
     one number. Sorted-rank formulation G = (2*Σ r_i*d_i - (n+1)*Σd) /
@@ -2720,6 +2740,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_spectrum": _q_knn_spectrum,
         "pagerank_by_role": _q_pagerank_by_role,
         "degree_gini": _q_degree_gini,
+        "community_size_hist": _q_community_size_hist,
         "source_dup_rate": _q_source_dup_rate,
     }
 
@@ -5742,6 +5763,13 @@ FROM {last} r JOIN typx t ON r.id = t.id
 GROUP BY t.role"""
 
 
+_COMMUNITY_SIZE_HIST_SQL = _LPA_MODULARITY_SQL[: _LPA_MODULARITY_SQL.index("tm AS")] + """sizes AS (SELECT label, CAST(count(*) AS BIGINT) AS size FROM lab GROUP BY label)
+SELECT CAST(floor(log2(size)) AS INT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_communities,
+       CAST(sum(size) AS BIGINT) AS n_members
+FROM sizes GROUP BY 1"""
+
+
 _DEGREE_GINI_SQL = f"""WITH {_EDGES_CTE},
 rk AS (SELECT degree, row_number() OVER (ORDER BY degree, id) AS r FROM deg),
 a AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes,
@@ -6207,5 +6235,6 @@ FROM documents""",
         "knn_spectrum": _KNN_SPECTRUM_SQL,
         "pagerank_by_role": _pagerank_by_role_sql(),
         "degree_gini": _DEGREE_GINI_SQL,
+        "community_size_hist": _COMMUNITY_SIZE_HIST_SQL,
         "source_dup_rate": _source_dup_rate_sql(),
     }
