@@ -2476,6 +2476,48 @@ def _q_pagerank_by_role(spark, sf_dir):
     )
 
 
+ROBUST_KS = (0, 8, 32)
+
+
+def _q_hub_robustness(spark, sf_dir):
+    """Attack-robustness curve: remove the top-k hubs (degree desc, id asc
+    — deterministic) and measure the surviving giant component, for k in
+    ROBUST_KS. The resilience dashboard for an agent-tool network: how much
+    connectivity rides on the few busiest actors. Each point is a hub
+    anti-join + the standard CC_STEPS hash-to-min chain; k is a handful of
+    scalars, so the per-k loop is driver-side control flow, not data
+    movement."""
+    from kaminpar_spark.graph import GraphFrame
+    from kaminpar_spark.operators.components import connected_components
+
+    g, _ = _graph(spark, sf_dir)
+    deg = g.degrees().select("id", "degree")
+    rows = []
+    for k in ROBUST_KS:
+        if k == 0:
+            sub = g
+        else:
+            hubs = deg.orderBy(F.desc("degree"), F.asc("id")).limit(k).select("id")
+            e = (
+                g.edges.join(hubs.withColumnRenamed("id", "src"), "src", "left_anti")
+                .join(hubs.withColumnRenamed("id", "dst"), "dst", "left_anti")
+            )
+            n = g.nodes.join(hubs, "id", "left_anti")
+            sub = GraphFrame(edges=e, nodes=n)
+        cc = connected_components(sub, max_iters=CC_STEPS)
+        agg = cc.groupBy("comp").agg(F.count("*").alias("sz")).agg(
+            F.count("*").alias("n_components"),
+            F.max("sz").alias("giant"),
+            F.sum("sz").alias("n_nodes"),
+        ).first()
+        rows.append(
+            (k, int(agg["n_nodes"]), int(agg["n_components"]), int(agg["giant"]))
+        )
+    return spark.createDataFrame(
+        rows, "k_removed int, n_nodes long, n_components long, giant_size long"
+    )
+
+
 def _q_community_size_hist(spark, sf_dir):
     """Power-of-2 community-size histogram of the step-1 LP labels — the
     convergence-shape diagnostic (does LP collapse into a giant label or
@@ -2741,6 +2783,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_by_role": _q_pagerank_by_role,
         "degree_gini": _q_degree_gini,
         "community_size_hist": _q_community_size_hist,
+        "hub_robustness": _q_hub_robustness,
         "source_dup_rate": _q_source_dup_rate,
     }
 
@@ -5770,6 +5813,49 @@ SELECT CAST(floor(log2(size)) AS INT) AS bucket,
 FROM sizes GROUP BY 1"""
 
 
+def _hub_robustness_sql() -> str:
+    """Per-k hub-removal CC chains (same per-step shape as _cc_sql) over
+    the filtered node/edge sets, one UNION ALL row per k."""
+    parts = []
+    selects = []
+    for k in ROBUST_KS:
+        tag = f"rb{k}"
+        if k == 0:
+            base_nodes, base_edges = "nodes", "edges"
+        else:
+            parts.append(f""",
+{tag}h AS (SELECT id FROM deg ORDER BY degree DESC, id LIMIT {k}),
+{tag}n AS MATERIALIZED (
+  SELECT id FROM nodes WHERE id NOT IN (SELECT id FROM {tag}h)),
+{tag}e AS MATERIALIZED (
+  SELECT src, dst FROM edges
+  WHERE src NOT IN (SELECT id FROM {tag}h)
+    AND dst NOT IN (SELECT id FROM {tag}h))""")
+            base_nodes, base_edges = f"{tag}n", f"{tag}e"
+        parts.append(f""",
+{tag}c0 AS (SELECT id, CAST(id AS BIGINT) AS comp FROM {base_nodes})""")
+        prev = f"{tag}c0"
+        for i in range(1, CC_STEPS + 1):
+            parts.append(f""",
+{tag}c{i}a AS MATERIALIZED (
+  SELECT n.id, least(n.comp, coalesce(m.mn, n.comp)) AS comp
+  FROM {prev} n LEFT JOIN (
+    SELECT e.dst AS id, min(c.comp) AS mn
+    FROM {base_edges} e JOIN {prev} c ON e.src = c.id GROUP BY e.dst) m
+  ON n.id = m.id),
+{tag}c{i} AS MATERIALIZED (
+  SELECT a.id, coalesce(b.comp, a.comp) AS comp
+  FROM {tag}c{i}a a LEFT JOIN {tag}c{i}a b ON a.comp = b.id)""")
+            prev = f"{tag}c{i}"
+        selects.append(f"""SELECT {k} AS k_removed, CAST(sum(sz) AS BIGINT) AS n_nodes,
+       CAST(count(*) AS BIGINT) AS n_components,
+       CAST(max(sz) AS BIGINT) AS giant_size
+FROM (SELECT comp, count(*) AS sz FROM {prev} GROUP BY comp)""")
+    return (
+        f"WITH {_EDGES_CTE}" + "".join(parts) + "\n" + "\nUNION ALL\n".join(selects)
+    )
+
+
 _DEGREE_GINI_SQL = f"""WITH {_EDGES_CTE},
 rk AS (SELECT degree, row_number() OVER (ORDER BY degree, id) AS r FROM deg),
 a AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes,
@@ -6236,5 +6322,6 @@ FROM documents""",
         "pagerank_by_role": _pagerank_by_role_sql(),
         "degree_gini": _DEGREE_GINI_SQL,
         "community_size_hist": _COMMUNITY_SIZE_HIST_SQL,
+        "hub_robustness": _hub_robustness_sql(),
         "source_dup_rate": _source_dup_rate_sql(),
     }
