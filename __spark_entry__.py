@@ -2476,6 +2476,60 @@ def _q_pagerank_by_role(spark, sf_dir):
     )
 
 
+def _q_tool_usage_by_depth(spark, sf_dir):
+    """Tool-call intensity vs conversation depth: per conversation length
+    (n_turns), how many conversations exist and what share of their turns
+    invoke a tool. Counts exact int64; ONE final division (round 6)."""
+    from kaminpar_spark.sources.transcripts import synth_transcripts
+
+    t = synth_transcripts(spark, _n_convs(spark, sf_dir))
+    per_conv = t.groupBy("conv_id").agg(
+        F.count("*").alias("n_turns"),
+        F.sum(F.col("tool").isNotNull().cast("long")).alias("n_tool"),
+    )
+    return (
+        per_conv.groupBy("n_turns")
+        .agg(
+            F.count("*").cast("long").alias("n_convs"),
+            F.sum("n_tool").cast("long").alias("n_tool_turns"),
+        )
+        .select(
+            F.col("n_turns").cast("long").alias("n_turns"),
+            "n_convs",
+            "n_tool_turns",
+            F.round(
+                1.0 * F.col("n_tool_turns") / (F.col("n_convs") * F.col("n_turns")), 6
+            ).alias("tool_share"),
+        )
+    )
+
+
+def _q_coactor_hist(spark, sf_dir):
+    """Histogram of actor-pair co-appearance counts on the conv-actor
+    incidence (the bipartite projection's weight distribution, power-of-2
+    buckets) — how repetitive collaborations are. Same wedge kernel as the
+    butterfly count."""
+    from kaminpar_spark.sources.transcripts import (
+        conv_actor_incidence,
+        synth_transcripts,
+    )
+
+    n = _n_convs(spark, sf_dir)
+    inc = conv_actor_incidence(synth_transcripts(spark, n), n)
+    a, b = inc.alias("a"), inc.alias("b")
+    pc = (
+        a.join(b.hint("shuffle_hash"), F.col("a.conv_id") == F.col("b.conv_id"))
+        .where(F.col("a.actor") < F.col("b.actor"))
+        .groupBy(F.col("a.actor").alias("ra"), F.col("b.actor").alias("rb"))
+        .agg(F.count("*").alias("cnt"))
+    )
+    return (
+        pc.select(F.floor(F.log2("cnt")).cast("int").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").cast("long").alias("n_pairs"))
+    )
+
+
 ROBUST_KS = (0, 8, 32)
 
 
@@ -2784,6 +2838,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "degree_gini": _q_degree_gini,
         "community_size_hist": _q_community_size_hist,
         "hub_robustness": _q_hub_robustness,
+        "tool_usage_by_depth": _q_tool_usage_by_depth,
+        "coactor_hist": _q_coactor_hist,
         "source_dup_rate": _q_source_dup_rate,
     }
 
@@ -5813,6 +5869,25 @@ SELECT CAST(floor(log2(size)) AS INT) AS bucket,
 FROM sizes GROUP BY 1"""
 
 
+_TOOL_USAGE_BY_DEPTH_SQL = f"""WITH {_TRANSCRIPTS_CTE},
+pc AS (SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns,
+              CAST(sum(CASE WHEN tool IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_tool
+       FROM transcripts GROUP BY conv_id)
+SELECT n_turns, CAST(count(*) AS BIGINT) AS n_convs,
+       CAST(sum(n_tool) AS BIGINT) AS n_tool_turns,
+       round(1.0 * sum(n_tool) / (count(*) * n_turns), 6) AS tool_share
+FROM pc GROUP BY n_turns"""
+
+
+_COACTOR_HIST_SQL = f"""WITH {_EDGES_CTE},
+inc AS (SELECT DISTINCT conv_id, actor FROM actor_turns),
+pc AS (SELECT a.actor AS ra, b.actor AS rb, count(*) AS cnt
+       FROM inc a JOIN inc b ON a.conv_id = b.conv_id AND a.actor < b.actor
+       GROUP BY 1, 2)
+SELECT CAST(floor(log2(cnt)) AS INT) AS bucket, CAST(count(*) AS BIGINT) AS n_pairs
+FROM pc GROUP BY 1"""
+
+
 def _hub_robustness_sql() -> str:
     """Per-k hub-removal CC chains (same per-step shape as _cc_sql) over
     the filtered node/edge sets, one UNION ALL row per k."""
@@ -6323,5 +6398,7 @@ FROM documents""",
         "degree_gini": _DEGREE_GINI_SQL,
         "community_size_hist": _COMMUNITY_SIZE_HIST_SQL,
         "hub_robustness": _hub_robustness_sql(),
+        "tool_usage_by_depth": _TOOL_USAGE_BY_DEPTH_SQL,
+        "coactor_hist": _COACTOR_HIST_SQL,
         "source_dup_rate": _source_dup_rate_sql(),
     }
