@@ -52,7 +52,7 @@ def load_graph(spark, path: str, symmetrize: bool):
 
 def main(argv=None):
     ap = argparse.ArgumentParser(prog="kaminpar-spark")
-    ap.add_argument("command", choices=["partition", "pagerank", "ppr", "components", "labelprop", "triangles", "kcore", "stats", "bfs", "diameter", "color", "mis", "walks", "match", "hits", "msf", "truss", "anf", "wl", "ebc", "cascade", "landmark", "tmotifs"])
+    ap.add_argument("command", choices=["partition", "pagerank", "ppr", "components", "labelprop", "triangles", "kcore", "stats", "bfs", "diameter", "color", "mis", "walks", "match", "hits", "msf", "truss", "anf", "wl", "ebc", "cascade", "landmark", "tmotifs", "cpm", "robustness"])
     ap.add_argument("--sources", default="0", help="[ppr] comma-separated teleport node ids")
     ap.add_argument("-G", "--graph", required=True)
     ap.add_argument("-k", type=int, default=2)
@@ -341,6 +341,42 @@ def main(argv=None):
             f"RESULT tri_d{args.max_iters}={row[f'tri_d{args.max_iters}']} "
             f"time={time.time()-t0:.3f}s"
         )
+    elif args.command == "cpm":
+        from kaminpar_spark.operators.triangles import triangle_communities
+
+        tc = triangle_communities(g, max_iters=args.max_iters)
+        if args.save:
+            tc.write.mode("overwrite").parquet(args.save)
+        from pyspark.sql import functions as F
+
+        n_comm = tc.agg(F.countDistinct("community")).first()[0]
+        print(
+            f"RESULT triangle_edges={tc.count()} communities={n_comm} "
+            f"time={time.time()-t0:.3f}s"
+        )
+    elif args.command == "robustness":
+        from pyspark.sql import functions as F
+
+        from kaminpar_spark.graph import GraphFrame
+        from kaminpar_spark.operators.components import connected_components
+
+        deg = g.degrees().select("id", "degree")
+        for k in [0, args.k]:
+            if k == 0:
+                sub = g
+            else:
+                hubs = deg.orderBy(F.desc("degree"), F.asc("id")).limit(k).select("id")
+                e = (
+                    g.edges.join(hubs.withColumnRenamed("id", "src"), "src", "left_anti")
+                    .join(hubs.withColumnRenamed("id", "dst"), "dst", "left_anti")
+                )
+                sub = GraphFrame(edges=e, nodes=g.nodes.join(hubs, "id", "left_anti"))
+            cc = connected_components(sub, max_iters=args.max_iters)
+            giant = (
+                cc.groupBy("comp").agg(F.count("*").alias("sz"))
+                .agg(F.max("sz")).first()[0]
+            )
+            print(f"RESULT k_removed={k} giant={giant} time={time.time()-t0:.3f}s")
     elif args.command == "stats":
         from dataclasses import asdict
 

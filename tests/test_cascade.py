@@ -79,3 +79,23 @@ def test_cli_cascade_landmark_tmotifs(spark, tmp_path, capsys):
     assert cli.main(["tmotifs", "-G", str(tpath), "--max-iters", "60"]) == 0
     out = capsys.readouterr().out
     assert "RESULT" in out and "tri_d60=1" in out, out
+
+
+def test_cli_cpm_robustness(spark, tmp_path, capsys):
+    """CLI round-trip for the cpm (triangle communities) and robustness
+    (top-k hub deletion) subcommands."""
+    from kaminpar_spark import cli, fixtures
+
+    edges = tmp_path / "cedges.parquet"
+    g = fixtures.clique_pendant(spark)
+    g.edges.select("src", "dst", "weight").write.parquet(str(edges))
+
+    assert cli.main(["cpm", "-G", str(edges), "--max-iters", "6"]) == 0
+    out = capsys.readouterr().out
+    assert "RESULT" in out and "communities=1" in out, out
+
+    assert cli.main(
+        ["robustness", "-G", str(edges), "-k", "2", "--max-iters", "8"]
+    ) == 0
+    out = capsys.readouterr().out
+    assert "k_removed=0" in out and "k_removed=2" in out, out
