@@ -194,6 +194,14 @@ def main():
         queries["ktruss_r2"] = round(time.time() - t0, 3)
         _phase("ktruss done")
 
+        # ---- k=3 clique-percolation communities (triangle-edge CC) ----
+        from kaminpar_spark.operators.triangles import triangle_communities
+
+        t0 = time.time()
+        triangle_communities(gp, max_iters=8).count()
+        queries["clique_percolation"] = round(time.time() - t0, 3)
+        _phase("cpm done")
+
         # ---- 1-WL refinement (2 multiset-hash supersteps) ----
         from kaminpar_spark.operators.wl import wl_refine
 
