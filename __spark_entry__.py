@@ -2476,6 +2476,27 @@ def _q_pagerank_by_role(spark, sf_dir):
     )
 
 
+def _q_core_profile(spark, sf_dir):
+    """Core-decomposition profile: per core number, node count and the
+    cumulative k-core size (|{v : core(v) >= k}|) — the engagement-layering
+    curve. Reuses the h-index core chain; the cumulative window runs over
+    the distinct-core table (tens of rows), never the node table."""
+    from kaminpar_spark.operators.kcore import core_numbers
+
+    g, _ = _graph(spark, sf_dir)
+    per = (
+        core_numbers(g, rounds=CORE_ROUNDS)
+        .groupBy("core")
+        .agg(F.count("*").cast("long").alias("n_at_core"))
+    )
+    w = Window.orderBy(F.desc("core")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return per.select(
+        "core", "n_at_core", F.sum("n_at_core").over(w).cast("long").alias("core_ge_size")
+    )
+
+
 def _q_tool_usage_by_depth(spark, sf_dir):
     """Tool-call intensity vs conversation depth: per conversation length
     (n_turns), how many conversations exist and what share of their turns
@@ -2839,6 +2860,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "community_size_hist": _q_community_size_hist,
         "hub_robustness": _q_hub_robustness,
         "tool_usage_by_depth": _q_tool_usage_by_depth,
+        "core_profile": _q_core_profile,
         "coactor_hist": _q_coactor_hist,
         "source_dup_rate": _q_source_dup_rate,
     }
@@ -5869,6 +5891,17 @@ SELECT CAST(floor(log2(size)) AS INT) AS bucket,
 FROM sizes GROUP BY 1"""
 
 
+def _core_profile_sql() -> str:
+    return f"""
+WITH base AS ({_core_hindex_sql()}),
+per AS (SELECT core, CAST(count(*) AS BIGINT) AS n_at_core FROM base GROUP BY core)
+SELECT core, n_at_core,
+       CAST(sum(n_at_core) OVER (ORDER BY core DESC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS core_ge_size
+FROM per"""
+
+
 _TOOL_USAGE_BY_DEPTH_SQL = f"""WITH {_TRANSCRIPTS_CTE},
 pc AS (SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns,
               CAST(sum(CASE WHEN tool IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_tool
@@ -6399,6 +6432,7 @@ FROM documents""",
         "community_size_hist": _COMMUNITY_SIZE_HIST_SQL,
         "hub_robustness": _hub_robustness_sql(),
         "tool_usage_by_depth": _TOOL_USAGE_BY_DEPTH_SQL,
+        "core_profile": _core_profile_sql(),
         "coactor_hist": _COACTOR_HIST_SQL,
         "source_dup_rate": _source_dup_rate_sql(),
     }
