@@ -2476,6 +2476,36 @@ def _q_pagerank_by_role(spark, sf_dir):
     )
 
 
+def _q_pagerank_gini(spark, sf_dir):
+    """Gini coefficient of the PageRank mass — attention inequality across
+    actors. Per-node ranks enter as the cross-engine-exact e6 scaled ints
+    (see pagerank_by_role), ranked by the scalable sort-rank; every moment
+    is exact int64 with ONE final IEEE division (round 6)."""
+    from kaminpar_spark.ids import sorted_rank
+    from kaminpar_spark.operators.pagerank import pagerank
+
+    g, _ = _graph(spark, sf_dir)
+    pr = pagerank(g, tol=0.0, max_iters=PR_ITERS)
+    e6 = pr.select(
+        "id", F.round(F.col("rank") * 1000000, 0).cast("long").alias("e6")
+    )
+    ranked = sorted_rank(e6, ["e6", "id"], out="r")
+    agg = ranked.agg(
+        F.count("*").cast("long").alias("n_nodes"),
+        F.sum("e6").cast("long").alias("rank_mass_e6"),
+        F.sum((F.col("r") + 1) * F.col("e6")).cast("long").alias("rd"),
+    )
+    return agg.select(
+        "n_nodes",
+        "rank_mass_e6",
+        F.round(
+            (2.0 * F.col("rd") - (F.col("n_nodes") + 1) * F.col("rank_mass_e6"))
+            / (F.col("n_nodes") * F.col("rank_mass_e6")),
+            6,
+        ).alias("gini"),
+    )
+
+
 def _q_core_profile(spark, sf_dir):
     """Core-decomposition profile: per core number, node count and the
     cumulative k-core size (|{v : core(v) >= k}|) — the engagement-layering
@@ -2861,6 +2891,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hub_robustness": _q_hub_robustness,
         "tool_usage_by_depth": _q_tool_usage_by_depth,
         "core_profile": _q_core_profile,
+        "pagerank_gini": _q_pagerank_gini,
         "coactor_hist": _q_coactor_hist,
         "source_dup_rate": _q_source_dup_rate,
     }
@@ -5891,6 +5922,25 @@ SELECT CAST(floor(log2(size)) AS INT) AS bucket,
 FROM sizes GROUP BY 1"""
 
 
+def _pagerank_gini_sql() -> str:
+    """Same chain splice as _pagerank_by_role_sql; gini over the e6 ints."""
+    base = _pagerank_sql()
+    final = "SELECT id, round(rank, 6) AS rank FROM "
+    head, tail = base.rsplit(final, 1)
+    last = tail.strip()
+    return f"""{head.rstrip().rstrip(',')},
+e6 AS (SELECT id, CAST(round(rank * 1000000, 0) AS BIGINT) AS e6 FROM {last}),
+rk AS (SELECT e6, row_number() OVER (ORDER BY e6, id) AS r FROM e6),
+a AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+             CAST(sum(e6) AS BIGINT) AS rank_mass_e6,
+             CAST(sum(r * e6) AS BIGINT) AS rd
+      FROM rk)
+SELECT n_nodes, rank_mass_e6,
+       round((2.0 * rd - (n_nodes + 1) * rank_mass_e6)
+             / (n_nodes * rank_mass_e6), 6) AS gini
+FROM a"""
+
+
 def _core_profile_sql() -> str:
     return f"""
 WITH base AS ({_core_hindex_sql()}),
@@ -6433,6 +6483,7 @@ FROM documents""",
         "hub_robustness": _hub_robustness_sql(),
         "tool_usage_by_depth": _TOOL_USAGE_BY_DEPTH_SQL,
         "core_profile": _core_profile_sql(),
+        "pagerank_gini": _pagerank_gini_sql(),
         "coactor_hist": _COACTOR_HIST_SQL,
         "source_dup_rate": _source_dup_rate_sql(),
     }
