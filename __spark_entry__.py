@@ -2476,6 +2476,28 @@ def _q_pagerank_by_role(spark, sf_dir):
     )
 
 
+def _q_tool_stats(spark, sf_dir):
+    """Per-tool usage dashboard: call count, distinct conversations
+    touched, and share of all tool calls (exact int64 counts, ONE final
+    division). Two hash aggregates — countDistinct is a two-phase exact
+    distinct, fine at corpus scale for a bounded tool vocabulary."""
+    from kaminpar_spark.sources.transcripts import synth_transcripts
+
+    t = synth_transcripts(spark, _n_convs(spark, sf_dir))
+    calls = t.where(F.col("tool").isNotNull())
+    per = calls.groupBy("tool").agg(
+        F.count("*").cast("long").alias("n_calls"),
+        F.countDistinct("conv_id").cast("long").alias("n_convs"),
+    )
+    total = calls.agg(F.count("*").cast("long").alias("total"))
+    return per.crossJoin(F.broadcast(total)).select(
+        "tool",
+        "n_calls",
+        "n_convs",
+        F.round(1.0 * F.col("n_calls") / F.col("total"), 6).alias("call_share"),
+    )
+
+
 def _q_pagerank_gini(spark, sf_dir):
     """Gini coefficient of the PageRank mass — attention inequality across
     actors. Per-node ranks enter as the cross-engine-exact e6 scaled ints
@@ -2892,6 +2914,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tool_usage_by_depth": _q_tool_usage_by_depth,
         "core_profile": _q_core_profile,
         "pagerank_gini": _q_pagerank_gini,
+        "tool_stats": _q_tool_stats,
         "coactor_hist": _q_coactor_hist,
         "source_dup_rate": _q_source_dup_rate,
     }
@@ -5922,6 +5945,15 @@ SELECT CAST(floor(log2(size)) AS INT) AS bucket,
 FROM sizes GROUP BY 1"""
 
 
+_TOOL_STATS_SQL = f"""WITH {_TRANSCRIPTS_CTE},
+calls AS (SELECT tool, conv_id FROM transcripts WHERE tool IS NOT NULL),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS total FROM calls)
+SELECT tool, CAST(count(*) AS BIGINT) AS n_calls,
+       CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs,
+       round(1.0 * count(*) / (SELECT total FROM tot), 6) AS call_share
+FROM calls GROUP BY tool"""
+
+
 def _pagerank_gini_sql() -> str:
     """Same chain splice as _pagerank_by_role_sql; gini over the e6 ints."""
     base = _pagerank_sql()
@@ -6484,6 +6516,7 @@ FROM documents""",
         "tool_usage_by_depth": _TOOL_USAGE_BY_DEPTH_SQL,
         "core_profile": _core_profile_sql(),
         "pagerank_gini": _pagerank_gini_sql(),
+        "tool_stats": _TOOL_STATS_SQL,
         "coactor_hist": _COACTOR_HIST_SQL,
         "source_dup_rate": _source_dup_rate_sql(),
     }
