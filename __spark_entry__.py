@@ -2476,6 +2476,83 @@ def _q_pagerank_by_role(spark, sf_dir):
     )
 
 
+SWEEP_J = 13  # power-of-2 prefix sizes 1..4096
+
+
+def _q_ppr_sweep(spark, sf_dir):
+    """Local-community conductance sweep (Andersen-Chung-Lang shape): rank
+    nodes by PPR score (e6 scaled ints desc, id asc — cross-engine exact
+    order), then for each power-of-2 prefix size k report the half-edge cut,
+    the prefix volume, and phi = cut/2 / min(vol, 2m - vol).
+
+    Scale shape: the sweep curve needs NO global cumulative window — cut(k)
+    and vol(k) for all SWEEP_J prefixes come from ONE conditional-sum hash
+    aggregate each (the simhash ladder trick): 13 sums over the edges-with-
+    ranks join and 13 over the node table. The only driver data is 2 scalar
+    rows."""
+    from kaminpar_spark.ids import sorted_rank
+    from kaminpar_spark.operators.pagerank import personalized_pagerank
+
+    g, _ = _graph(spark, sf_dir)
+    pr = personalized_pagerank(
+        g, list(range(PPR_SOURCES)), tol=0.0, max_iters=PR_ITERS
+    )
+    e6 = pr.select(
+        "id",
+        F.round(F.col("rank") * 1000000, 0).cast("long").alias("e6"),
+    )
+    ranked = sorted_rank(
+        e6.select("id", (-F.col("e6")).alias("ne6")), ["ne6", "id"], out="r"
+    ).select("id", "r")
+    nd = ranked.join(g.degrees().select("id", "degree").hint("shuffle_hash"), "id")
+    vol_row = nd.agg(
+        F.sum("degree").cast("long").alias("tot"),
+        *[
+            F.sum(F.when(F.col("r") < 2**j, F.col("degree")).otherwise(0))
+            .cast("long")
+            .alias(f"v{j}")
+            for j in range(SWEEP_J)
+        ],
+    ).first()
+    er = (
+        g.edges.select("src", "dst")
+        .join(
+            ranked.select(F.col("id").alias("src"), F.col("r").alias("rs")).hint(
+                "shuffle_hash"
+            ),
+            "src",
+        )
+        .join(
+            ranked.select(F.col("id").alias("dst"), F.col("r").alias("rd")).hint(
+                "shuffle_hash"
+            ),
+            "dst",
+        )
+    )
+    cut_row = er.agg(
+        *[
+            F.sum(
+                ((F.col("rs") < 2**j) != (F.col("rd") < 2**j)).cast("long")
+            )
+            .cast("long")
+            .alias(f"c{j}")
+            for j in range(SWEEP_J)
+        ]
+    ).first()
+    rows = [
+        (2**j, int(cut_row[f"c{j}"]), int(vol_row[f"v{j}"]), int(vol_row["tot"]))
+        for j in range(SWEEP_J)
+    ]
+    raw = spark.createDataFrame(rows, "k long, cut_he long, vol long, tot long")
+    mn = F.least(F.col("vol"), F.col("tot") - F.col("vol"))
+    return raw.select(
+        "k",
+        "cut_he",
+        "vol",
+        F.when(mn > 0, F.round(1.0 * F.col("cut_he") / (2 * mn), 6)).alias("phi"),
+    )
+
+
 def _q_tool_stats(spark, sf_dir):
     """Per-tool usage dashboard: call count, distinct conversations
     touched, and share of all tool calls (exact int64 counts, ONE final
@@ -2915,6 +2992,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "core_profile": _q_core_profile,
         "pagerank_gini": _q_pagerank_gini,
         "tool_stats": _q_tool_stats,
+        "ppr_sweep": _q_ppr_sweep,
         "coactor_hist": _q_coactor_hist,
         "source_dup_rate": _q_source_dup_rate,
     }
@@ -5945,6 +6023,37 @@ SELECT CAST(floor(log2(size)) AS INT) AS bucket,
 FROM sizes GROUP BY 1"""
 
 
+def _ppr_sweep_sql() -> str:
+    """PPR-chain splice + the same conditional-sum sweep ladders as the
+    Spark side (13 power-of-2 prefixes; cross-join form at oracle scale)."""
+    base = _ppr_sql()
+    final = "SELECT id, round(rank, 6) AS rank FROM "
+    head, tail = base.rsplit(final, 1)
+    last = tail.strip()
+    k = "(CAST(1 AS BIGINT) << j.j)"
+    return f"""{head.rstrip().rstrip(',')},
+e6x AS (SELECT id, CAST(round(rank * 1000000, 0) AS BIGINT) AS e6 FROM {last}),
+rk AS (SELECT id, row_number() OVER (ORDER BY e6 DESC, id) - 1 AS r FROM e6x),
+js AS (SELECT unnest(range({SWEEP_J})) AS j),
+nd AS (SELECT rk.r, d.degree FROM rk JOIN deg d ON rk.id = d.id),
+tot AS (SELECT CAST(sum(degree) AS BIGINT) AS tot FROM nd),
+vols AS (SELECT j.j AS j,
+    CAST(sum(CASE WHEN nd.r < {k} THEN nd.degree ELSE 0 END) AS BIGINT) AS vol
+  FROM nd CROSS JOIN js j GROUP BY j.j),
+er AS (SELECT a.r AS rs, b.r AS rd
+       FROM edges e JOIN rk a ON e.src = a.id JOIN rk b ON e.dst = b.id),
+cuts AS (SELECT j.j AS j,
+    CAST(sum(CASE WHEN (er.rs < {k}) <> (er.rd < {k}) THEN 1 ELSE 0 END) AS BIGINT)
+      AS cut_he
+  FROM er CROSS JOIN js j GROUP BY j.j)
+SELECT CAST(CAST(1 AS BIGINT) << v.j AS BIGINT) AS k, c.cut_he, v.vol,
+       CASE WHEN least(v.vol, (SELECT tot FROM tot) - v.vol) > 0
+            THEN round(1.0 * c.cut_he
+                       / (2 * least(v.vol, (SELECT tot FROM tot) - v.vol)), 6)
+            END AS phi
+FROM vols v JOIN cuts c ON v.j = c.j"""
+
+
 _TOOL_STATS_SQL = f"""WITH {_TRANSCRIPTS_CTE},
 calls AS (SELECT tool, conv_id FROM transcripts WHERE tool IS NOT NULL),
 tot AS (SELECT CAST(count(*) AS BIGINT) AS total FROM calls)
@@ -6517,6 +6626,7 @@ FROM documents""",
         "core_profile": _core_profile_sql(),
         "pagerank_gini": _pagerank_gini_sql(),
         "tool_stats": _TOOL_STATS_SQL,
+        "ppr_sweep": _ppr_sweep_sql(),
         "coactor_hist": _COACTOR_HIST_SQL,
         "source_dup_rate": _source_dup_rate_sql(),
     }
