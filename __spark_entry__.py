@@ -731,6 +731,19 @@ def _q_kcore_peel8(spark, sf_dir):
     return edges.select(F.col("src").alias("id")).distinct()
 
 
+ONION_ROUNDS = 6
+
+
+def _q_onion_layers(spark, sf_dir):
+    """Onion decomposition: ONION_ROUNDS ratcheting peel passes, each node
+    stamped with its removal layer and the core threshold at removal
+    (operators/kcore.onion_layers; fixed rounds for oracle lockstep)."""
+    from kaminpar_spark.operators.kcore import onion_layers
+
+    g, _ = _graph(spark, sf_dir)
+    return onion_layers(g, ONION_ROUNDS)
+
+
 SCORE_S = 19
 
 
@@ -2942,6 +2955,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "windowed_event_counts": _q_windowed_events,
         "sessionized_events": _q_sessionized_events,
         "kcore_peel8": _q_kcore_peel8,
+        "onion_layers6": _q_onion_layers,
         "score_peel8": _q_score_peel8,
         "lp_capped_step": _q_lp_capped_step,
         "contraction_edges": _q_contraction_edges,
@@ -3856,6 +3870,38 @@ e{i} AS MATERIALIZED (
     return f"""WITH {_EDGES_CTE},
 e0 AS (SELECT src, dst, weight FROM edges){steps}
 SELECT DISTINCT src AS id FROM {prev}"""
+
+
+def _onion_sql() -> str:
+    steps = ""
+    prev_k = None
+    union = []
+    for i in range(1, ONION_ROUNDS + 1):
+        kexpr = (
+            f"(SELECT min(d) FROM d{i})"
+            if prev_k is None
+            else f"greatest((SELECT k FROM k{prev_k}), (SELECT min(d) FROM d{i}))"
+        )
+        steps += f""",
+d{i} AS MATERIALIZED (
+  SELECT n.id, CAST(coalesce(c.c, 0) AS BIGINT) AS d
+  FROM n{i - 1} n LEFT JOIN (SELECT src, count(*) AS c FROM e{i - 1} GROUP BY src) c
+  ON n.id = c.src),
+k{i} AS MATERIALIZED (SELECT {kexpr} AS k),
+v{i} AS MATERIALIZED (
+  SELECT id, {i} AS layer, (SELECT k FROM k{i}) AS core
+  FROM d{i} WHERE d <= (SELECT k FROM k{i})),
+n{i} AS MATERIALIZED (SELECT id FROM n{i - 1} WHERE id NOT IN (SELECT id FROM v{i})),
+e{i} AS MATERIALIZED (
+  SELECT * FROM e{i - 1}
+  WHERE src NOT IN (SELECT id FROM v{i}) AND dst NOT IN (SELECT id FROM v{i}))"""
+        prev_k = i
+        union.append(f"SELECT * FROM v{i}")
+    u = " UNION ALL ".join(union)
+    return f"""WITH {_EDGES_CTE},
+n0 AS (SELECT id FROM nodes),
+e0 AS (SELECT src, dst FROM edges){steps}
+SELECT id, CAST(layer AS INT) AS layer, CAST(core AS BIGINT) AS core FROM ({u})"""
 
 
 _LP_CAPPED_SQL = f"""WITH {_EDGES_CTE},
@@ -6560,6 +6606,7 @@ SELECT user_id, min(ts) AS session_start,
        round(sum(value), 6) AS sum_value
 FROM sess GROUP BY user_id, session_id""",
         "kcore_peel8": _kcore_sql(),
+        "onion_layers6": _onion_sql(),
         "score_peel8": _score_sql(),
         "lp_capped_step": _LP_CAPPED_SQL,
         "contraction_edges": _CONTRACTION_EDGES_SQL,

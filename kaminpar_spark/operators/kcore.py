@@ -58,6 +58,55 @@ def k_core_members(
     return edges.select(F.col("src").alias("id")).distinct()
 
 
+def onion_layers(graph: GraphFrame, rounds: int) -> DataFrame:
+    """Onion decomposition (Hébert-Dufresne, Grochow & Allard, "Multi-scale
+    structure and topological anomaly detection via a new network statistic:
+    the onion decomposition", Sci. Rep. 6:31708, 2016) — a strict refinement
+    of the k-core peel the reference exposes (apps/tools/graph_tools.cc:7-55):
+    every peel pass gets its own layer index, giving per-node centrality at
+    sub-core resolution.
+
+    Round r: k ratchets to max(k, min remaining degree), then EVERY node with
+    remaining degree <= k is removed and assigned layer r with core number k
+    (nodes removed in the same pass share both). Fixed ``rounds`` for oracle
+    lockstep; nodes not peeled within the budget are simply absent.
+
+    Scale shape: each round is one hash aggregate for degrees (map-side
+    partial agg), one O(1)-row scalar aggregate for the min-degree ratchet,
+    and two anti-joins against the victim set — the same superstep skeleton
+    as ``k_core_members``; no windows, no per-row Python. Returns
+    (id, layer, core)."""
+    nodes = truncate(graph.nodes.select("id"))
+    edges = truncate(graph.edges.select("src", "dst"))
+    out: DataFrame | None = None
+    k: int | None = None
+    for r in range(1, rounds + 1):
+        d = edges.groupBy("src").agg(F.count("*").alias("d")).withColumnRenamed("src", "id")
+        deg = nodes.join(d, "id", "left").select(
+            "id", F.coalesce("d", F.lit(0)).cast("long").alias("d")
+        )
+        kmin = deg.agg(F.min("d")).first()[0]
+        if kmin is None:
+            break  # graph fully peeled
+        k = int(kmin) if k is None else max(k, int(kmin))
+        victims = truncate(deg.where(F.col("d") <= k).select("id"))
+        layer_rows = victims.select(
+            "id",
+            F.lit(r).cast("int").alias("layer"),
+            F.lit(k).cast("long").alias("core"),
+        )
+        out = layer_rows if out is None else out.unionByName(layer_rows)
+        nodes = truncate(nodes.join(victims, "id", "left_anti"))
+        edges = truncate(
+            edges.join(victims.withColumnRenamed("id", "src"), "src", "left_anti")
+            .join(victims.withColumnRenamed("id", "dst"), "dst", "left_anti")
+        )
+    if out is None:
+        spark = graph.nodes.sparkSession
+        return spark.createDataFrame([], "id long, layer int, core long")
+    return out
+
+
 def hindex_round(graph: GraphFrame, state: DataFrame) -> DataFrame:
     """One h-index superstep: c'(v) = H({c(u) : u ∈ N(v)}).
 
