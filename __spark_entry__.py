@@ -2055,6 +2055,15 @@ def _q_oov_rate(spark, sf_dir):
     return oov_stats(_load(spark, sf_dir, "documents"), vocab_size=OOV_VOCAB)
 
 
+def _q_surprisal(spark, sf_dir):
+    """Rank-based unigram surprisal quality scores (functions/text.
+    surprisal_scores): exact integer floor(log2(vocab rank)) per token,
+    summed per document — the perplexity-filter stand-in."""
+    from kaminpar_spark.functions.text import surprisal_scores
+
+    return surprisal_scores(_load(spark, sf_dir, "documents"))
+
+
 def _q_zipf(spark, sf_dir):
     """Corpus Zipf rank-frequency profile (functions/text.zipf_profile):
     vocabulary ranked by (tf desc, token asc) with the scalable sorted_rank
@@ -2895,6 +2904,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wl_quotient": _q_wl_quotient,
         "oov_rate": _q_oov_rate,
         "zipf_profile": _q_zipf,
+        "surprisal_scores": _q_surprisal,
         "vocab_growth": _q_vocab_growth,
         "feature_smooth2": _q_feature_smooth,
         "sq8_topk": _q_sq8_topk,
@@ -5550,6 +5560,23 @@ FROM tk2 t LEFT JOIN vocab v ON t.tok = v.tok
 GROUP BY id"""
 
 
+_SURPRISAL_SQL = """
+WITH tk AS MATERIALIZED (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents),
+tk2 AS MATERIALIZED (SELECT doc_id, tok FROM tk WHERE tok <> ''),
+tf AS (SELECT tok, count(*) AS tf FROM tk2 GROUP BY tok),
+vocab AS MATERIALIZED (
+  SELECT tok,
+         CAST(length(bin(row_number() OVER (ORDER BY tf DESC, tok ASC))) - 1 AS BIGINT) AS surp
+  FROM tf)
+SELECT t.doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(v.surp) AS BIGINT) AS surp_sum,
+       round(CAST(sum(v.surp) AS DOUBLE) / count(*), 6) AS surp_mean
+FROM tk2 t JOIN vocab v ON t.tok = v.tok
+GROUP BY t.doc_id"""
+
+
 _ZIPF_SQL = """
 WITH tk AS (
   SELECT unnest(string_split(lower(text), ' ')) AS tok FROM documents),
@@ -6497,6 +6524,7 @@ FROM parts p JOIN idx i ON p.block = i.block""",
         "wl_quotient": _wl_quotient_sql(),
         "oov_rate": _OOV_SQL,
         "zipf_profile": _ZIPF_SQL,
+        "surprisal_scores": _SURPRISAL_SQL,
         "vocab_growth": _vocab_growth_sql(),
         "feature_smooth2": _feature_smooth_sql(),
         "sq8_topk": _sq8_topk_sql(),

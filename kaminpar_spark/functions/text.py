@@ -374,3 +374,50 @@ def zipf_profile(
             F.min("tf").cast("long").alias("tf_min"),
         )
     )
+
+
+def surprisal_scores(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Rank-based unigram surprisal — a cheap cross-engine-exact stand-in for
+    the unigram-LM perplexity filters of large-corpus pipelines (CCNet-style
+    quality scoring): under Zipf's law tf(r) ~ 1/r, so -log2 p(token) ~
+    log2(rank) + const, and floor(log2(rank)) = length(bin(rank)) - 1 is an
+    exact integer in every engine (no transcendental log in checked columns).
+
+    Per document: n_tokens, the exact int64 sum of per-token surprisal, and
+    one final IEEE division for the mean. High mean = rare-token-heavy
+    (jargon/noise/other-language), low mean = stopword-heavy boilerplate —
+    both tails are the usual cut candidates.
+
+    Scale shape: token frequencies are one hash aggregate over the exploded
+    corpus; the global frequency rank uses ids.sorted_rank (range partition +
+    broadcast offsets, never a single-partition window); scoring is an
+    equi-join of the exploded corpus against the (tok, surp) vocabulary and
+    one final hash aggregate per doc. No windows over doc-scale data, no
+    Python rows.
+    """
+    from kaminpar_spark.ids import sorted_rank
+
+    tok_expr = F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("tok")
+    tf = (
+        docs.select(tok_expr)
+        .where(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count("*").cast("long").alias("tf"))
+        .withColumn("neg_tf", -F.col("tf"))
+    )
+    vocab = sorted_rank(tf, ["neg_tf", "tok"], out="r").select(
+        "tok",
+        (F.length(F.bin(F.col("r") + 1)) - 1).cast("long").alias("surp"),
+    )
+    toks = docs.select(F.col(id_col), tok_expr).where(F.col("tok") != "")
+    return (
+        toks.join(vocab.hint("shuffle_hash"), "tok")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.sum("surp").cast("long").alias("surp_sum"),
+        )
+        .withColumn("surp_mean", F.round(F.col("surp_sum") / F.col("n_tokens"), 6))
+    )

@@ -500,3 +500,26 @@ def test_zipf_profile_exact(spark):
     assert got == want
     # total mass check: bucket sums add up to the corpus token count
     assert sum(v[1] for v in got.values()) == sum(tf.values())
+
+
+def test_surprisal_scores(spark, docs):
+    """Python oracle: rank tokens by (tf desc, tok asc), surprisal =
+    floor(log2(rank)); per-doc sums must match exactly."""
+    import math
+    from collections import Counter
+
+    rows = docs.collect()
+    tf = Counter(t for r in rows for t in r["text"].lower().split() if t)
+    ranked = sorted(tf.items(), key=lambda kv: (-kv[1], kv[0]))
+    surp = {tok: int(math.floor(math.log2(i + 1))) for i, (tok, _) in enumerate(ranked)}
+    got = {r["doc_id"]: r for r in text.surprisal_scores(docs).collect()}
+    for r in rows:
+        toks = [t for t in r["text"].lower().split() if t]
+        exp_sum = sum(surp[t] for t in toks)
+        assert got[r["doc_id"]]["n_tokens"] == len(toks)
+        assert got[r["doc_id"]]["surp_sum"] == exp_sum
+        assert got[r["doc_id"]]["surp_mean"] == round(exp_sum / len(toks), 6)
+    # 'the' is the most frequent token -> rank 1 -> surprisal 0; the all-dup
+    # English docs should score strictly below the one-off Spanish doc
+    assert surp["the"] == 0
+    assert got[0]["surp_mean"] < got[4]["surp_mean"]
