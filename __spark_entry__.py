@@ -860,6 +860,18 @@ def _q_minhash_near_dups(spark, sf_dir):
     )
 
 
+def _q_minhash_calibration(spark, sf_dir):
+    """Dedup-threshold calibration: exact-Jaccard histogram (20 integer
+    buckets) + summed MinHash match counts over the LSH candidate pairs
+    (functions/dedup.minhash_calibration_hist)."""
+    from kaminpar_spark.functions.dedup import minhash_calibration_hist
+
+    docs = _load(spark, sf_dir, "documents")
+    return minhash_calibration_hist(
+        docs, num_hashes=MINHASH_K, bands=MINHASH_BANDS
+    )
+
+
 def _q_minhash_ingest(spark, sf_dir):
     """Incremental dedup ingest: the doc_id%3==0 shard arrives on top of the
     standing corpus; only pairs touching the shard are computed (the shard's
@@ -2976,6 +2988,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": _q_ngram_jaccard,
         # sketch family (cross-engine polynomial hashing -> full oracles)
         "minhash_near_dups": _q_minhash_near_dups,
+        "minhash_calibration20": _q_minhash_calibration,
         "minhash_ingest": _q_minhash_ingest,
         "simhash_near_dups": _q_simhash_near_dups,
         "lsh_topk": _q_lsh_topk,
@@ -4053,6 +4066,57 @@ SELECT id_a, id_b, est_jaccard FROM (
   SELECT c.id_a, c.id_b, CAST({eq_sum} AS DOUBLE) / {MINHASH_K} AS est_jaccard
   FROM cand c JOIN sig sa ON c.id_a = sa.id JOIN sig sb ON c.id_b = sb.id) t
 WHERE est_jaccard >= {MINHASH_THRESH}"""
+
+
+def _minhash_calibration_sql() -> str:
+    from kaminpar_spark.functions.hashing import POLY_MOD, char_poly_hash_sql, minhash_perms
+
+    a, b = minhash_perms(MINHASH_K)
+    gh = char_poly_hash_sql("gram")
+    mins = ",\n       ".join(
+        f"min(({a[i]} * h + {b[i]}) % {POLY_MOD}) AS s{i}" for i in range(MINHASH_K)
+    )
+    r = MINHASH_K // MINHASH_BANDS
+    band_rows = "\nUNION ALL ".join(
+        "SELECT id, {i} AS band, {key} AS key FROM sig".format(
+            i=i,
+            key="||','||".join(f"CAST(s{i * r + j} AS VARCHAR)" for j in range(r)),
+        )
+        for i in range(MINHASH_BANDS)
+    )
+    eq_sum = " + ".join(
+        f"(CASE WHEN ga.s{i} = gb.s{i} THEN 1 ELSE 0 END)" for i in range(MINHASH_K)
+    )
+    return f"""
+WITH toks AS (SELECT doc_id AS id, string_split(lower(text), ' ') AS w FROM documents),
+idx AS (SELECT id, w, unnest(range(greatest(len(w) - 2, 1))) AS i FROM toks),
+grams AS (SELECT DISTINCT id, array_to_string(array_slice(w, i + 1, i + 3), ' ') AS gram
+          FROM idx WHERE array_to_string(array_slice(w, i + 1, i + 3), ' ') <> ''),
+sh AS MATERIALIZED (SELECT DISTINCT id, {gh} AS h FROM grams),
+sig AS MATERIALIZED (SELECT id,
+       {mins}
+       FROM sh GROUP BY id),
+bands AS MATERIALIZED ({band_rows}),
+cand AS MATERIALIZED (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.id < b.id),
+sizes AS (SELECT id, CAST(count(*) AS BIGINT) AS sz FROM sh GROUP BY id),
+inter AS (
+  SELECT c.id_a, c.id_b, CAST(count(*) AS BIGINT) AS n_inter
+  FROM cand c JOIN sh sa ON sa.id = c.id_a
+              JOIN sh sb ON sb.id = c.id_b AND sb.h = sa.h
+  GROUP BY c.id_a, c.id_b),
+per AS (
+  SELECT coalesce(i.n_inter, 0) AS ni,
+         za.sz + zb.sz - coalesce(i.n_inter, 0) AS u,
+         {eq_sum} AS eqm
+  FROM cand c LEFT JOIN inter i ON c.id_a = i.id_a AND c.id_b = i.id_b
+       JOIN sizes za ON za.id = c.id_a JOIN sizes zb ON zb.id = c.id_b
+       JOIN sig ga ON ga.id = c.id_a JOIN sig gb ON gb.id = c.id_b)
+SELECT CAST((20 * ni) // u AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum(eqm) AS BIGINT) AS est_match_sum
+FROM per GROUP BY 1"""
 
 
 def _near_dup_clusters_sql() -> str:
@@ -6654,6 +6718,7 @@ FROM documents""",
         "tfidf_top_terms": _TFIDF_SQL,
         "ngram_topk": _NGRAM_TOPK_SQL,
         "minhash_near_dups": _minhash_sql(),
+        "minhash_calibration20": _minhash_calibration_sql(),
         "minhash_ingest": (
             f"SELECT id_a, id_b, est_jaccard FROM ({_minhash_sql()}) "
             "WHERE id_a % 3 = 0 OR id_b % 3 = 0"

@@ -805,3 +805,65 @@ def prefix_filter_jaccard_pairs(
         )
         .where(F.col("jaccard") >= threshold)
     )
+
+
+def minhash_calibration_hist(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    seed: int = 42,
+    buckets: int = 20,
+) -> DataFrame:
+    """Dedup-threshold calibration curve: the distribution of EXACT shingle
+    Jaccard over the LSH candidate pairs, in ``buckets`` integer-exact
+    similarity buckets, alongside the summed MinHash match counts — the two
+    sufficient statistics for picking a production threshold (per bucket the
+    empirical estimator mean is est_match_sum / (num_hashes * n_pairs), so
+    estimator bias and the candidate-survival curve read off one small
+    result).
+
+    Scale shape: candidates come from the banded LSH join (never all-pairs);
+    exact intersections are computed ONLY for candidates by routing the
+    candidate list through the per-doc shingle table (two shuffle-hash
+    equi-joins, work proportional to candidate count x doc shingle size —
+    the standard post-LSH verify cost); the bucket id is pure int64
+    arithmetic ((buckets * |A∩B|) div |A∪B|), so the histogram is
+    cross-engine exact. Returns (bucket, n_pairs, est_match_sum)."""
+    sh = shingles(docs, id_col, text_col, n=shingle_n, portable=True)
+    sigs = minhash_signatures(sh, num_hashes=num_hashes, seed=seed)
+    cand = lsh_candidate_pairs(sigs, bands=bands)
+    sizes = sh.groupBy("id").agg(F.count("*").cast("long").alias("sz"))
+    sh_a = sh.select(F.col("id").alias("id_a"), "shingle_hash")
+    sh_b = sh.select(F.col("id").alias("id_b"), "shingle_hash")
+    inter = (
+        cand.join(sh_a.hint("shuffle_hash"), "id_a")
+        .join(sh_b.hint("shuffle_hash"), ["id_b", "shingle_hash"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").cast("long").alias("n_inter"))
+    )
+    sa = sigs.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
+    sb = sigs.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
+    eqm = F.aggregate(
+        F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    per = (
+        cand.join(inter, ["id_a", "id_b"], "left")
+        .withColumn("ni", F.coalesce("n_inter", F.lit(0)).cast("long"))
+        .join(sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a")), "id_a")
+        .join(sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b")), "id_b")
+        .join(sa.hint("shuffle_hash"), "id_a")
+        .join(sb.hint("shuffle_hash"), "id_b")
+        .select(
+            F.expr(f"({buckets} * ni) div (sz_a + sz_b - ni)").alias("bucket"),
+            eqm.alias("eqm"),
+        )
+    )
+    return per.groupBy("bucket").agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.sum("eqm").cast("long").alias("est_match_sum"),
+    )

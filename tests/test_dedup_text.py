@@ -523,3 +523,52 @@ def test_surprisal_scores(spark, docs):
     # English docs should score strictly below the one-off Spanish doc
     assert surp["the"] == 0
     assert got[0]["surp_mean"] < got[4]["surp_mean"]
+
+
+def test_minhash_calibration_hist(spark, docs):
+    """Python brute-force twin: same shingles, same affine permutations, same
+    banded candidates, exact-Jaccard integer buckets, summed match counts."""
+    from kaminpar_spark.functions.hashing import POLY_MOD, minhash_perms
+
+    K, B = 16, 4
+    rows = {r["doc_id"]: r["text"] for r in docs.collect()}
+
+    def poly(s):
+        h = 0
+        for ch in s:
+            h = (h * 31 + ord(ch)) % POLY_MOD
+        return h
+
+    def shingle_set(t):
+        w = t.lower().split(" ")
+        n = max(len(w) - 2, 1)
+        return {poly(" ".join(w[i : i + 3])) for i in range(n) if " ".join(w[i : i + 3])}
+
+    a, b = minhash_perms(K)
+    sigs = {}
+    for d, t in rows.items():
+        hs = shingle_set(t)
+        sigs[d] = [min((a[i] * x + b[i]) % POLY_MOD for x in hs) for i in range(K)]
+    r = K // B
+    cand = set()
+    ids = sorted(rows)
+    for i, da in enumerate(ids):
+        for db in ids[i + 1 :]:
+            for bi in range(B):
+                if sigs[da][bi * r : (bi + 1) * r] == sigs[db][bi * r : (bi + 1) * r]:
+                    cand.add((da, db))
+                    break
+    exp = {}
+    for da, db in cand:
+        sa, sb = shingle_set(rows[da]), shingle_set(rows[db])
+        ni = len(sa & sb)
+        bucket = (20 * ni) // (len(sa) + len(sb) - ni)
+        eqm = sum(1 for i in range(K) if sigs[da][i] == sigs[db][i])
+        n, s = exp.get(bucket, (0, 0))
+        exp[bucket] = (n + 1, s + eqm)
+    got = {
+        r["bucket"]: (r["n_pairs"], r["est_match_sum"])
+        for r in dedup.minhash_calibration_hist(docs, num_hashes=K, bands=B).collect()
+    }
+    assert got == exp
+    assert len(cand) > 0  # the dup/near-dup fixture must produce candidates
