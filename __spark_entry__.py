@@ -709,6 +709,20 @@ def _q_sessionized_events(spark, sf_dir):
     return s.select("user_id", "session_start", "n_events", "sum_value")
 
 
+VCUT_K = 16
+VCUT_HUB = 32
+
+
+def _q_vertex_cut(spark, sf_dir):
+    """Vertex-cut edge-partitioner evaluation (plans/edge_partition): the
+    PowerGraph replication-factor objective for src/dst/grid/hybrid hash
+    placement at k=VCUT_K over the transcript graph's unique edges."""
+    from kaminpar_spark.plans.edge_partition import edge_partition_eval
+
+    g, _ = _graph(spark, sf_dir)
+    return edge_partition_eval(g, k=VCUT_K, hub_threshold=VCUT_HUB)
+
+
 KCORE_K = 9
 KCORE_ROUNDS = 8
 
@@ -2978,6 +2992,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionized_events": _q_sessionized_events,
         "kcore_peel8": _q_kcore_peel8,
         "onion_layers6": _q_onion_layers,
+        "vertex_cut16": _q_vertex_cut,
         "score_peel8": _q_score_peel8,
         "lp_capped_step": _q_lp_capped_step,
         "contraction_edges": _q_contraction_edges,
@@ -3893,6 +3908,46 @@ e{i} AS MATERIALIZED (
     return f"""WITH {_EDGES_CTE},
 e0 AS (SELECT src, dst, weight FROM edges){steps}
 SELECT DISTINCT src AS id FROM {prev}"""
+
+
+def _vertex_cut_sql() -> str:
+    from kaminpar_spark.plans.edge_partition import EP_MIX_MOD, EP_MIX_MULT
+
+    def mx(c: str) -> str:
+        return f"(({c} * {EP_MIX_MULT}) % {EP_MIX_MOD})"
+
+    k, r = VCUT_K, int(VCUT_K**0.5)
+    return f"""WITH {_EDGES_CTE},
+ue AS MATERIALIZED (SELECT src, dst FROM edges WHERE src < dst),
+asg AS MATERIALIZED (
+  SELECT 'src' AS strategy, src, dst, CAST({mx('src')} % {k} AS BIGINT) AS block FROM ue
+  UNION ALL
+  SELECT 'dst', src, dst, CAST({mx('dst')} % {k} AS BIGINT) FROM ue
+  UNION ALL
+  SELECT 'grid', src, dst,
+         CAST(({mx('src')} % {r}) * {r} + {mx('dst')} % {r} AS BIGINT) FROM ue
+  UNION ALL
+  SELECT 'hybrid', e.src, e.dst,
+         CAST(CASE WHEN d.degree > {VCUT_HUB} THEN {mx('e.src')} % {k}
+                   ELSE {mx('e.dst')} % {k} END AS BIGINT)
+  FROM ue e JOIN deg d ON e.dst = d.id),
+reps AS MATERIALIZED (
+  SELECT DISTINCT strategy, v, block FROM (
+    SELECT strategy, src AS v, block FROM asg
+    UNION ALL SELECT strategy, dst, block FROM asg)),
+rs AS (SELECT strategy, CAST(count(*) AS BIGINT) AS n_replicas,
+              CAST(count(DISTINCT v) AS BIGINT) AS n_vertices
+       FROM reps GROUP BY strategy),
+loads AS (SELECT strategy, block, count(*) AS load FROM asg GROUP BY strategy, block),
+ls AS (SELECT strategy, CAST(sum(load) AS BIGINT) AS n_edges,
+              CAST(max(load) AS BIGINT) AS max_load,
+              CAST(min(load) AS BIGINT) AS min_load,
+              count(*) AS n_blocks
+       FROM loads GROUP BY strategy)
+SELECT rs.strategy, n_replicas, n_vertices, n_edges, max_load, min_load,
+       round(CAST(n_replicas AS DOUBLE) / n_vertices, 6) AS replication,
+       round(CAST(max_load * n_blocks AS DOUBLE) / n_edges, 6) AS imbalance
+FROM rs JOIN ls ON rs.strategy = ls.strategy"""
 
 
 def _onion_sql() -> str:
@@ -6699,6 +6754,7 @@ SELECT user_id, min(ts) AS session_start,
 FROM sess GROUP BY user_id, session_id""",
         "kcore_peel8": _kcore_sql(),
         "onion_layers6": _onion_sql(),
+        "vertex_cut16": _vertex_cut_sql(),
         "score_peel8": _score_sql(),
         "lp_capped_step": _LP_CAPPED_SQL,
         "contraction_edges": _CONTRACTION_EDGES_SQL,
