@@ -832,6 +832,31 @@ def _q_pagerank_weighted5(spark, sf_dir):
     return pr.select("id", F.round("rank", 6).alias("rank"))
 
 
+PR_HALF_LIFE_S = 3600
+PR_MAX_OCT = 16
+
+
+def _q_pagerank_recency(spark, sf_dir):
+    """Recency-decayed weighted PageRank: edge weights halve per half-life
+    octave of link age (exact dyadic int64 weights, sources/transcripts.
+    decayed_transcript_edges), then PR_ITERS weighted supersteps — 'who is
+    central NOW', the freshness-aware variant of pagerank_weighted5."""
+    from kaminpar_spark.graph import GraphFrame
+    from kaminpar_spark.operators.pagerank import pagerank
+    from kaminpar_spark.plans.lineage import truncate
+    from kaminpar_spark.sources.transcripts import decayed_transcript_edges, synth_transcripts
+
+    g, amap = _graph(spark, sf_dir)
+    t = synth_transcripts(spark, _n_convs(spark, sf_dir))
+    e = decayed_transcript_edges(
+        t, _n_convs(spark, sf_dir), amap,
+        half_life_s=PR_HALF_LIFE_S, max_octaves=PR_MAX_OCT,
+    )
+    gd = GraphFrame(edges=truncate(e), nodes=g.nodes)
+    pr = pagerank(gd, tol=0.0, max_iters=PR_ITERS, weighted=True)
+    return pr.select("id", F.round("rank", 6).alias("rank"))
+
+
 def _q_language_id(spark, sf_dir):
     from kaminpar_spark.functions.text import language_id
 
@@ -2998,6 +3023,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contraction_edges": _q_contraction_edges,
         "contraction_nodes": _q_contraction_nodes,
         "pagerank_weighted5": _q_pagerank_weighted5,
+        "pagerank_recency5": _q_pagerank_recency,
         "language_id": _q_language_id,
         "bpe_token_counts": _q_bpe_tokens,
         "ngram_jaccard": _q_ngram_jaccard,
@@ -4049,6 +4075,49 @@ r{i} AS MATERIALIZED (
     return f"""WITH {_EDGES_CTE},
 nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
 r0 AS (SELECT id, 1.0 / (SELECT n FROM nn) AS rank FROM deg){steps}
+SELECT id, round(rank, 6) AS rank FROM {prev}"""
+
+
+def _pagerank_recency_sql() -> str:
+    hl, mo = PR_HALF_LIFE_S, PR_MAX_OCT
+    prev = "r0"
+    steps = ""
+    for i in range(1, PR_ITERS + 1):
+        steps += f""",
+r{i} AS MATERIALIZED (
+  SELECT d.id,
+         (0.15 / (SELECT n FROM nn)) + 0.85 * coalesce(s.x, 0) AS rank
+  FROM ddeg d LEFT JOIN (
+    SELECT e.dst AS id, sum(r.rank * e.weight / dg.weighted_degree) AS x
+    FROM dedges e JOIN {prev} r ON e.src = r.id JOIN ddeg dg ON e.src = dg.id
+    GROUP BY e.dst) s
+  ON d.id = s.id)"""
+        prev = f"r{i}"
+    return f"""WITH {_EDGES_CTE},
+dlinks AS MATERIALIZED (
+  SELECT a_src, a_dst, ts_s FROM (
+    SELECT lag(actor) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS a_src,
+           actor AS a_dst, ts_s
+    FROM actor_turns
+    QUALIFY a_src IS NOT NULL AND a_src <> a_dst)),
+tm AS (SELECT max(ts_s) AS tmax FROM dlinks),
+dpairs AS MATERIALIZED (
+  SELECT ns.id AS src, nd.id AS dst,
+         (CAST(1 AS BIGINT) << ({mo} - least(
+            CAST(length(bin((((SELECT tmax FROM tm) - l.ts_s) // {hl}) + 1)) - 1 AS INT),
+            {mo}))) AS w
+  FROM dlinks l JOIN nodes ns ON l.a_src = ns.actor
+                JOIN nodes nd ON l.a_dst = nd.actor),
+dedges AS MATERIALIZED (
+  SELECT src, dst, CAST(sum(w) AS BIGINT) AS weight
+  FROM (SELECT src, dst, w FROM dpairs UNION ALL SELECT dst, src, w FROM dpairs)
+  GROUP BY src, dst),
+ddeg AS MATERIALIZED (
+  SELECT n.id, CAST(coalesce(d.wd, 0) AS BIGINT) AS weighted_degree
+  FROM nodes n LEFT JOIN (
+    SELECT src AS id, sum(weight) AS wd FROM dedges GROUP BY src) d ON n.id = d.id),
+nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+r0 AS (SELECT id, 1.0 / (SELECT n FROM nn) AS rank FROM ddeg){steps}
 SELECT id, round(rank, 6) AS rank FROM {prev}"""
 
 
@@ -6760,6 +6829,7 @@ FROM sess GROUP BY user_id, session_id""",
         "contraction_edges": _CONTRACTION_EDGES_SQL,
         "contraction_nodes": _CONTRACTION_NODES_SQL,
         "pagerank_weighted5": _pagerank_weighted_sql(),
+        "pagerank_recency5": _pagerank_recency_sql(),
         "language_id": _LANGID_SQL,
         "bpe_token_counts": r"""
 SELECT doc_id,

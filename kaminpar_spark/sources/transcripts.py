@@ -367,3 +367,41 @@ def response_latency_quantiles(transcripts: DataFrame, n_convs: int) -> DataFram
             ).cast("long").alias("p90_s"),
         )
     )
+
+
+def decayed_transcript_edges(
+    transcripts: DataFrame,
+    n_convs: int,
+    actor_ids: DataFrame,
+    half_life_s: int = 3600,
+    max_octaves: int = 16,
+) -> DataFrame:
+    """Recency-decayed symmetric edge table (src, dst, weight): each turn
+    link contributes 2^(max_octaves - min(max_octaves, octave)) where octave
+    = floor(log2(1 + age/half_life_s)) and age is seconds before the
+    corpus's LATEST link — i.e. weight halves per half-life octave, floored
+    at 1 after ``max_octaves``. The dyadic decay is computed as pure int64
+    arithmetic (octave = length(bin(x)) - 1, weight = shiftleft), so the
+    edge table is cross-engine exact; the 2^max_octaves scale cancels inside
+    any degree-normalized consumer (PageRank divides by weighted degree).
+
+    One extra scalar aggregate (the corpus max timestamp) plus the same
+    lag-window/groupBy shape as the plain derivation. ``actor_ids`` is the
+    (id, actor) map returned by transcript_graph."""
+    links = temporal_turn_links(transcripts, n_convs)
+    tmax = int(links.agg(F.max("ts")).first()[0])
+    w_expr = F.expr(
+        f"shiftleft(CAST(1 AS BIGINT), {max_octaves} - least("
+        f"CAST(length(bin((({tmax} - ts) div {half_life_s}) + 1)) - 1 AS INT),"
+        f" {max_octaves}))"
+    )
+    src_ids = actor_ids.select(F.col("actor").alias("a_src"), F.col("id").alias("src"))
+    dst_ids = actor_ids.select(F.col("actor").alias("a_dst"), F.col("id").alias("dst"))
+    pairs = (
+        links.withColumn("w", w_expr)
+        .join(src_ids.hint("shuffle_hash"), "a_src")
+        .join(dst_ids.hint("shuffle_hash"), "a_dst")
+        .select("src", "dst", "w")
+    )
+    sym = pairs.unionAll(pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w"))
+    return sym.groupBy("src", "dst").agg(F.sum("w").cast("long").alias("weight"))

@@ -177,3 +177,35 @@ def test_incremental_etl_matches_full_rebuild(spark):
         .first()[0]
     )
     assert diff < 1e-6
+
+
+def test_decayed_transcript_edges_python_mirror(spark):
+    """Dyadic recency weights: recompute expected symmetric weights in python
+    from the (trusted) temporal link table and compare exactly."""
+    from kaminpar_spark.sources.transcripts import (
+        decayed_transcript_edges,
+        synth_transcripts,
+        temporal_turn_links,
+        transcript_graph,
+    )
+
+    n = 50
+    t = synth_transcripts(spark, n)
+    g, amap = transcript_graph(t, n, stable_ids=True)
+    ids = {r["actor"]: r["id"] for r in amap.collect()}
+    links = temporal_turn_links(t, n).collect()
+    tmax = max(r["ts"] for r in links)
+    HL, MO = 3600, 16
+    exp = {}
+    for r in links:
+        oct_ = ((tmax - r["ts"]) // HL + 1).bit_length() - 1
+        w = 1 << (MO - min(oct_, MO))
+        a, b = ids[r["a_src"]], ids[r["a_dst"]]
+        exp[(a, b)] = exp.get((a, b), 0) + w
+        exp[(b, a)] = exp.get((b, a), 0) + w
+    got = {
+        (r["src"], r["dst"]): r["weight"]
+        for r in decayed_transcript_edges(t, n, amap, HL, MO).collect()
+    }
+    assert got == exp
+    assert max(got.values()) > min(got.values())  # decay actually varies
