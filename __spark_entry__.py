@@ -609,6 +609,17 @@ def _q_edge_cut_mod4(spark, sf_dir):
     return spark.createDataFrame([(cut,)], "cut long")
 
 
+def _q_comm_volume_mod4(spark, sf_dir):
+    """Per-block communication volume of the id%4 partition (operators/
+    metrics.comm_volume) — the superstep send-traffic objective that
+    edge-cut under-approximates."""
+    from kaminpar_spark.operators.metrics import comm_volume
+
+    g, _ = _graph(spark, sf_dir)
+    part = g.nodes.select("id", (F.col("id") % 4).cast("int").alias("block"))
+    return comm_volume(g, part)
+
+
 def _q_block_weights_mod4(spark, sf_dir):
     from kaminpar_spark.operators import metrics
 
@@ -2992,6 +3003,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_summary": _q_graph_summary,
         "domain_mix": _q_domain_mix,
         "edge_cut_mod4": _q_edge_cut_mod4,
+        "comm_volume_mod4": _q_comm_volume_mod4,
         "block_weights_mod4": _q_block_weights_mod4,
         "dedup_exact": _q_dedup_exact,
         "clean_corpus": _q_clean_corpus,
@@ -6756,6 +6768,18 @@ FROM base b JOIN nc ON b.center = nc.center JOIN nx ON b.context = nx.context, t
         "conductance_mod4": _CONDUCTANCE_SQL,
         "graph_summary": _GRAPH_SUMMARY_SQL,
         "domain_mix": _domain_mix_sql(),
+        "comm_volume_mod4": f"""WITH {_EDGES_CTE},
+remote AS (
+  SELECT DISTINCT e.src, CAST(e.src % 4 AS INT) AS src_block,
+         CAST(e.dst % 4 AS INT) AS dst_block
+  FROM edges e WHERE e.src % 4 <> e.dst % 4),
+cv AS (SELECT src, src_block, count(*) AS cv FROM remote GROUP BY src, src_block),
+vols AS (SELECT src_block AS block, CAST(sum(cv) AS BIGINT) AS send_volume
+         FROM cv GROUP BY src_block),
+sizes AS (SELECT CAST(id % 4 AS INT) AS block, CAST(count(*) AS BIGINT) AS n_nodes
+          FROM nodes GROUP BY 1)
+SELECT s.block, CAST(coalesce(v.send_volume, 0) AS BIGINT) AS send_volume, s.n_nodes
+FROM sizes s LEFT JOIN vols v ON s.block = v.block""",
         "edge_cut_mod4": f"""WITH {_EDGES_CTE}
 SELECT CAST(sum(weight) / 2 AS BIGINT) AS cut FROM edges WHERE src % 4 <> dst % 4""",
         "block_weights_mod4": f"""WITH {_EDGES_CTE}

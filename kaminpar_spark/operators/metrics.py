@@ -171,3 +171,39 @@ def modularity(graph: GraphFrame, labels: DataFrame) -> float:
         .first()
     )
     return float(row["q"] or 0.0)
+
+
+def comm_volume(graph, partition) -> "DataFrame":
+    """Per-block communication (send) volume of a k-way partition — the
+    objective edge-cut under-approximates (Hendrickson & Kolda, "Graph
+    partitioning models for parallel computing", 2000; the reference scores
+    cut only, kaminpar/metrics.cc): in a superstep a vertex sends its state
+    ONCE per remote block its neighborhood spans, not once per cut edge.
+
+    cv(v) = #distinct blocks b != block(v) with a neighbor of v in b;
+    send_volume(b) = sum of cv(v) over v in b. Two hash aggregates over the
+    edge table (distinct (v, remote-block) incidences, then per-block sums)
+    plus a broadcast-sized partition join — no windows, no collect.
+    Returns (block, send_volume, n_nodes)."""
+    from pyspark.sql import functions as F
+
+    p_src = partition.select(F.col("id").alias("src"), F.col("block").alias("src_block"))
+    p_dst = partition.select(F.col("id").alias("dst"), F.col("block").alias("dst_block"))
+    remote = (
+        graph.edges.join(p_src.hint("shuffle_hash"), "src")
+        .join(p_dst.hint("shuffle_hash"), "dst")
+        .where(F.col("src_block") != F.col("dst_block"))
+        .select("src", "src_block", "dst_block")
+        .distinct()
+    )
+    cv = remote.groupBy("src", "src_block").agg(F.count("*").alias("cv"))
+    vols = cv.groupBy("src_block").agg(F.sum("cv").cast("long").alias("send_volume"))
+    sizes = partition.groupBy("block").agg(F.count("*").cast("long").alias("n_nodes"))
+    return (
+        sizes.join(vols.withColumnRenamed("src_block", "block"), "block", "left")
+        .select(
+            F.col("block").cast("int").alias("block"),
+            F.coalesce("send_volume", F.lit(0)).cast("long").alias("send_volume"),
+            "n_nodes",
+        )
+    )

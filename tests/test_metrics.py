@@ -96,3 +96,24 @@ def test_modularity_two_triangles(spark):
     # everyone in one community -> Q = 0
     one = g.nodes.select("id", F.lit(0).cast("long").alias("label"))
     assert abs(modularity(g, one)) < 1e-12
+
+
+def test_comm_volume_k3(spark):
+    """Triangle split across 3 blocks: every vertex sends to 2 remote blocks
+    -> send_volume 2 per block; merging two vertices into one block drops
+    volume below 2x edge-cut (the objective divergence)."""
+    from pyspark.sql import functions as F
+
+    from kaminpar_spark import fixtures
+    from kaminpar_spark.operators.metrics import comm_volume, edge_cut
+
+    g = fixtures.k3(spark)
+    p3 = g.nodes.select("id", F.col("id").cast("int").alias("block"))
+    got = {r["block"]: r["send_volume"] for r in comm_volume(g, p3).collect()}
+    assert got == {0: 2, 1: 2, 2: 2}
+    # blocks {0} and {1,2}: vertex 0 spans one remote block (cv=1) though it
+    # has TWO cut edges — comm volume < edge cut, the objective divergence
+    p2 = g.nodes.select("id", F.least(F.col("id"), F.lit(1)).cast("int").alias("block"))
+    got2 = {r["block"]: r["send_volume"] for r in comm_volume(g, p2).collect()}
+    assert got2 == {0: 1, 1: 2}
+    assert sum(got2.values()) < 2 * edge_cut(g, p2)
