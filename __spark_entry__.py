@@ -734,6 +734,21 @@ def _q_vertex_cut(spark, sf_dir):
     return edge_partition_eval(g, k=VCUT_K, hub_threshold=VCUT_HUB)
 
 
+SAGE_FANOUTS = (3, 2)
+SAGE_SEED = 11
+
+
+def _q_sage_sample(spark, sf_dir):
+    """Two-layer GraphSAGE neighbor sampling (fanouts 3,2) from the id%37
+    root set — deterministic argmin draws, dedup'd frontier
+    (operators/gnn.sage_sample)."""
+    from kaminpar_spark.operators.gnn import sage_sample
+
+    g, _ = _graph(spark, sf_dir)
+    roots = g.nodes.where(F.col("id") % 37 == 0).select("id")
+    return sage_sample(g, roots, fanouts=SAGE_FANOUTS, seed=SAGE_SEED)
+
+
 KCORE_K = 9
 KCORE_ROUNDS = 8
 
@@ -3030,6 +3045,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kcore_peel8": _q_kcore_peel8,
         "onion_layers6": _q_onion_layers,
         "vertex_cut16": _q_vertex_cut,
+        "sage_sample32": _q_sage_sample,
         "score_peel8": _q_score_peel8,
         "lp_capped_step": _q_lp_capped_step,
         "contraction_edges": _q_contraction_edges,
@@ -3946,6 +3962,36 @@ e{i} AS MATERIALIZED (
     return f"""WITH {_EDGES_CTE},
 e0 AS (SELECT src, dst, weight FROM edges){steps}
 SELECT DISTINCT src AS id FROM {prev}"""
+
+
+def _sage_sample_sql() -> str:
+    from kaminpar_spark.functions.hashing import POLY_MOD, minhash_perms
+
+    layers = []
+    prev_frontier = "f0"
+    steps = """,
+f0 AS (SELECT id AS src FROM nodes WHERE id % 37 = 0)"""
+    for layer, s in enumerate(SAGE_FANOUTS, start=1):
+        a, b = minhash_perms(s, seed=SAGE_SEED + layer)
+        draws = "\n  UNION\n  ".join(
+            f"""SELECT src, dst FROM (
+    SELECT src, dst, row_number() OVER (PARTITION BY src
+      ORDER BY ((dst * {a[j]}) % {POLY_MOD} + (src * {b[j]}) % {POLY_MOD}) % {POLY_MOD}, dst) AS rn
+    FROM e{layer}) WHERE rn = 1"""
+            for j in range(s)
+        )
+        steps += f""",
+e{layer} AS MATERIALIZED (
+  SELECT e.src, e.dst FROM edges e JOIN {prev_frontier} f ON e.src = f.src),
+l{layer} AS MATERIALIZED (
+  SELECT {layer} AS layer, src, dst FROM (
+  {draws})),
+f{layer} AS (SELECT DISTINCT dst AS src FROM l{layer})"""
+        prev_frontier = f"f{layer}"
+        layers.append(f"SELECT * FROM l{layer}")
+    u = " UNION ALL ".join(layers)
+    return f"""WITH {_EDGES_CTE}{steps}
+SELECT CAST(layer AS INT) AS layer, src, dst FROM ({u})"""
 
 
 def _vertex_cut_sql() -> str:
@@ -6848,6 +6894,7 @@ FROM sess GROUP BY user_id, session_id""",
         "kcore_peel8": _kcore_sql(),
         "onion_layers6": _onion_sql(),
         "vertex_cut16": _vertex_cut_sql(),
+        "sage_sample32": _sage_sample_sql(),
         "score_peel8": _score_sql(),
         "lp_capped_step": _LP_CAPPED_SQL,
         "contraction_edges": _CONTRACTION_EDGES_SQL,

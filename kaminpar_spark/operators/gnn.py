@@ -155,3 +155,67 @@ def smoothed_features(
         ]
         state = truncate(tmp.select("id", F.array(*comps).alias("q")))
     return state
+
+
+def sage_sample(
+    graph: GraphFrame,
+    roots: DataFrame,
+    fanouts: tuple[int, ...] = (3, 2),
+    seed: int = 11,
+) -> DataFrame:
+    """Deterministic GraphSAGE-style layer-wise neighbor sampling (Hamilton
+    et al., "Inductive Representation Learning on Large Graphs", NeurIPS
+    2017) — the minibatch-subgraph builder of every distributed GNN trainer,
+    with the dedup'd-frontier formulation (each frontier node is sampled
+    once per layer no matter how many roots reach it — the DGL/GraphBolt
+    shape that bounds layer-l work by |frontier|, not |roots| * fanout^l).
+
+    Each layer draws ``fanout`` neighbors per frontier node via independent
+    affine-keyed argmin draws (sampling with replacement, then dedup): draw j
+    keeps the neighbor minimizing ((dst*a_j) mod M + (src*b_j) mod M) mod M
+    with (a_j, b_j) from the engine's shared permutation stream — ONE hash
+    aggregate per layer (fanout struct-min aggregates, map-side partial agg;
+    no per-src sort window, hub-safe), deterministic and reproducible in
+    ANSI SQL. Returns (layer, src, dst) sampled block edges; layer-l dsts
+    form layer-(l+1)'s frontier.
+    """
+    from kaminpar_spark.functions.hashing import POLY_MOD, minhash_perms
+    from kaminpar_spark.plans.lineage import truncate
+
+    frontier = roots.select(F.col("id").alias("src"))
+    out: DataFrame | None = None
+    for layer, s in enumerate(fanouts, start=1):
+        a, b = minhash_perms(s, seed=seed + layer)
+        e = graph.edges.join(frontier.hint("shuffle_hash"), "src").select("src", "dst")
+        keys = [
+            (
+                (F.col("dst") * F.lit(a[j])) % F.lit(POLY_MOD)
+                + (F.col("src") * F.lit(b[j])) % F.lit(POLY_MOD)
+            )
+            % F.lit(POLY_MOD)
+            for j in range(s)
+        ]
+        keyed = e.select(
+            "src", "dst", *[keys[j].alias(f"k{j}") for j in range(s)]
+        )
+        aggs = [
+            F.min(F.struct(F.col(f"k{j}").alias("k"), F.col("dst").alias("d"))).alias(
+                f"m{j}"
+            )
+            for j in range(s)
+        ]
+        drawn = (
+            keyed.groupBy("src")
+            .agg(*aggs)
+            .select(
+                "src",
+                F.explode(
+                    F.array_distinct(F.array(*[F.col(f"m{j}.d") for j in range(s)]))
+                ).alias("dst"),
+            )
+            .select(F.lit(layer).cast("int").alias("layer"), "src", "dst")
+        )
+        drawn = truncate(drawn)
+        out = drawn if out is None else out.unionByName(drawn)
+        frontier = truncate(drawn.select(F.col("dst").alias("src")).distinct())
+    return out

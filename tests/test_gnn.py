@@ -57,3 +57,31 @@ def test_quantization_is_floor_lattice(spark):
     for r in out:
         assert math.isclose(r["nbr_mean"][0], 0.5, abs_tol=1e-6)
         assert math.isclose(r["nbr_mean"][1], -0.5, abs_tol=1e-6)
+
+
+def test_sage_sample_shapes(spark):
+    """Fanout/frontier invariants on the 8-grid: <=fanout dsts per (layer,
+    src), every sampled dst is a true neighbor, layer-2 srcs are exactly
+    layer-1 dsts, and the draw is deterministic."""
+    from pyspark.sql import functions as F
+
+    from kaminpar_spark import fixtures
+    from kaminpar_spark.operators.gnn import sage_sample
+
+    g = fixtures.grid8(spark)
+    adj = {}
+    for r in g.edges.collect():
+        adj.setdefault(r["src"], set()).add(r["dst"])
+    roots = g.nodes.where(F.col("id") % 2 == 0).select("id")
+    rows = sage_sample(g, roots, fanouts=(2, 1)).collect()
+    per = {}
+    for r in rows:
+        assert r["dst"] in adj[r["src"]]
+        per.setdefault((r["layer"], r["src"]), set()).add(r["dst"])
+    for (layer, _), dsts in per.items():
+        assert len(dsts) <= (2 if layer == 1 else 1)
+    l1_dst = {r["dst"] for r in rows if r["layer"] == 1}
+    l2_src = {r["src"] for r in rows if r["layer"] == 2}
+    assert l2_src == l1_dst
+    rows2 = sage_sample(g, roots, fanouts=(2, 1)).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, rows2))
