@@ -1113,6 +1113,14 @@ def _q_cms_tokens(spark, sf_dir):
 DUP_WINDOW = 8
 
 
+def _q_strip_dup_spans(spark, sf_dir):
+    """Boilerplate-span scrub: rewrite each document with every cross-doc
+    repeated 8-token window removed (functions/dedup.strip_dup_spans)."""
+    from kaminpar_spark.functions.dedup import strip_dup_spans
+
+    return strip_dup_spans(_load(spark, sf_dir, "documents"), window=DUP_WINDOW)
+
+
 def _q_dup_windows(spark, sf_dir):
     """Cross-document repeated token-window stats (exact substring
     repetition, window=8): per-doc share of sliding windows that also occur
@@ -3032,6 +3040,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": _q_repetition_stats,
         "decontaminate": _q_decontaminate,
         "dup_windows8": _q_dup_windows,
+        "strip_dup_spans8": _q_strip_dup_spans,
         "kmv_shingles": _q_kmv_shingles,
         "hll_shingles": _q_hll_shingles,
         "cms_tokens": _q_cms_tokens,
@@ -4566,6 +4575,42 @@ SELECT id AS doc_id,
        CAST(count(*) FILTER (WHERE wh IN (SELECT wh FROM rep)) AS DOUBLE)
          / count(*) AS dup_share
 FROM wins GROUP BY id"""
+
+
+def _strip_dup_spans_sql() -> str:
+    """Twin of dedup.strip_dup_spans: same window hashes, covered positions
+    by +0..window-1 offsets, anti-join against the per-position token table,
+    ordered string_agg re-assembly."""
+    from kaminpar_spark.functions.hashing import char_poly_hash_sql
+
+    w = DUP_WINDOW
+    gh = char_poly_hash_sql("gram")
+    return f"""
+WITH tl AS (SELECT doc_id AS id, string_split(lower(text), ' ') AS w,
+                   string_split(text, ' ') AS wo FROM documents),
+idx AS (SELECT id, w, unnest(range(greatest(len(w) - {w - 1}, 1))) AS i FROM tl),
+wins AS MATERIALIZED (
+  SELECT id, i, {gh} AS wh FROM (
+    SELECT id, i, array_to_string(array_slice(w, i + 1, i + {w}), ' ') AS gram
+    FROM idx) t WHERE gram <> ''),
+rep AS (SELECT wh FROM wins GROUP BY wh HAVING count(DISTINCT id) >= 2),
+cov AS MATERIALIZED (
+  SELECT DISTINCT ws.id, ws.i + g.g AS pos
+  FROM wins ws JOIN rep r ON ws.wh = r.wh
+  CROSS JOIN (SELECT unnest(range({w})) AS g) g),
+tk AS (SELECT id, wo, unnest(range(len(wo))) AS pos FROM tl),
+kept AS (
+  SELECT t.id, t.pos, t.wo[t.pos + 1] AS tok
+  FROM tk t LEFT JOIN cov c ON t.id = c.id AND t.pos = c.pos
+  WHERE c.id IS NULL),
+agg AS (SELECT id, string_agg(tok, ' ' ORDER BY pos) AS text_clean,
+               CAST(count(*) AS BIGINT) AS n_kept
+        FROM kept GROUP BY id)
+SELECT d.doc_id,
+       coalesce(a.text_clean, '') AS text_clean,
+       CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+       CAST(len(string_split(d.text, ' ')) - coalesce(a.n_kept, 0) AS BIGINT) AS n_removed
+FROM documents d LEFT JOIN agg a ON d.doc_id = a.id"""
 
 
 def _decontaminate_sql() -> str:
@@ -6929,6 +6974,7 @@ FROM documents""",
         "repetition_stats": _REPETITION_SQL,
         "decontaminate": _decontaminate_sql(),
         "dup_windows8": _dup_windows_sql(),
+        "strip_dup_spans8": _strip_dup_spans_sql(),
         "kmv_shingles": _kmv_sql(),
         "hll_shingles": _hll_sql(),
         "cms_tokens": _cms_sql(),

@@ -867,3 +867,77 @@ def minhash_calibration_hist(
         F.count("*").cast("long").alias("n_pairs"),
         F.sum("eqm").cast("long").alias("est_match_sum"),
     )
+
+
+def strip_dup_spans(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 8,
+) -> DataFrame:
+    """Cross-document boilerplate SCRUB — the rewriting counterpart of
+    repeated_window_stats (Lee et al., "Deduplicating Training Data Makes
+    Language Models Better", ACL 2022: repeated spans, not whole documents,
+    are what contaminate corpora): every token covered by a sliding
+    ``window``-token span (lowercased) that occurs in >= 2 distinct
+    documents is removed from ALL of them; the survivors are re-joined in
+    original token order and case. Returns
+    (doc_id, text_clean, n_tokens, n_removed).
+
+    Scale shape: identical linear skeleton to repeated_window_stats — one
+    posexplode to (doc, window-pos, window-hash), one hash agg for the
+    cross-doc repeated set, one semi-join back, covered positions by
+    exploding a length-``window`` integer range, one anti-join against the
+    token table and one per-doc ordered re-assembly (collect_list bounded by
+    document length, never corpus-scale). No pairwise joins, pure JVM."""
+    toks_l = F.split(F.lower(F.col(text_col)), " ")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks_l) - window, F.lit(0)))
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks_l, i + 1, window)))
+    wins = (
+        docs.select(F.col(id_col).alias("id"), F.posexplode(grams).alias("i", "gram"))
+        .where(F.col("gram") != "")
+        .select("id", "i", char_poly_hash(F.col("gram")).alias("wh"))
+    )
+    rep = (
+        wins.groupBy("wh")
+        .agg(F.count_distinct("id").alias("nd"))
+        .where(F.col("nd") >= 2)
+        .select("wh")
+    )
+    covered = (
+        wins.join(rep, "wh", "left_semi")
+        .select(
+            "id", F.explode(F.sequence(F.col("i"), F.col("i") + window - 1)).alias("pos")
+        )
+        .distinct()
+    )
+    tk = docs.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "tok"),
+    )
+    kept = tk.join(covered.hint("shuffle_hash"), ["id", "pos"], "left_anti")
+    agg = kept.groupBy("id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s["tok"],
+            ),
+            " ",
+        ).alias("text_clean"),
+        F.count("*").cast("long").alias("n_kept"),
+    )
+    return (
+        docs.select(
+            F.col(id_col),
+            F.size(F.split(F.col(text_col), " ")).cast("long").alias("n_tokens"),
+        )
+        .join(agg.withColumnRenamed("id", id_col), id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("text_clean", F.lit("")).alias("text_clean"),
+            "n_tokens",
+            (F.col("n_tokens") - F.coalesce("n_kept", F.lit(0)))
+            .cast("long")
+            .alias("n_removed"),
+        )
+    )

@@ -572,3 +572,27 @@ def test_minhash_calibration_hist(spark, docs):
     }
     assert got == exp
     assert len(cand) > 0  # the dup/near-dup fixture must produce candidates
+
+
+def test_strip_dup_spans(spark):
+    """Shared 4-token boilerplate across two docs is scrubbed from both;
+    unique text and sub-threshold repeats survive; case/order preserved."""
+    rows = [
+        (0, "Subscribe to our newsletter today folks unique alpha beta"),
+        (1, "gamma delta Subscribe to our newsletter today folks epsilon"),
+        (2, "totally unrelated words here nothing shared at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r
+        for r in dedup.strip_dup_spans(df, window=4).collect()
+    }
+    # windows of 4 lowercased tokens; the shared 6-token run produces shared
+    # windows covering exactly those 6 tokens in each doc
+    assert got[0]["text_clean"] == "unique alpha beta"
+    assert got[0]["n_removed"] == 6
+    assert got[1]["text_clean"] == "gamma delta epsilon"
+    assert got[1]["n_removed"] == 6
+    assert got[2]["text_clean"] == rows[2][1]
+    assert got[2]["n_removed"] == 0
+    assert all(got[i]["n_tokens"] == len(rows[i][1].split(" ")) for i in range(3))
