@@ -734,6 +734,19 @@ def _q_vertex_cut(spark, sf_dir):
     return edge_partition_eval(g, k=VCUT_K, hub_threshold=VCUT_HUB)
 
 
+BW_HOPS = 6
+
+
+def _q_bandwidth_orders(spark, sf_dir):
+    """Adjacency-bandwidth / profile comparison of identity vs
+    degree-descending vs BFS-level node orderings (operators/reorder.
+    ordering_comparison) — the CSR-block locality objective."""
+    from kaminpar_spark.operators.reorder import ordering_comparison
+
+    g, _ = _graph(spark, sf_dir)
+    return ordering_comparison(g, bfs_source=0, bfs_hops=BW_HOPS)
+
+
 SAGE_FANOUTS = (3, 2)
 SAGE_SEED = 11
 
@@ -3055,6 +3068,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "onion_layers6": _q_onion_layers,
         "vertex_cut16": _q_vertex_cut,
         "sage_sample32": _q_sage_sample,
+        "bandwidth_orders": _q_bandwidth_orders,
         "score_peel8": _q_score_peel8,
         "lp_capped_step": _q_lp_capped_step,
         "contraction_edges": _q_contraction_edges,
@@ -3971,6 +3985,45 @@ e{i} AS MATERIALIZED (
     return f"""WITH {_EDGES_CTE},
 e0 AS (SELECT src, dst, weight FROM edges){steps}
 SELECT DISTINCT src AS id FROM {prev}"""
+
+
+def _bandwidth_orders_sql() -> str:
+    steps = ""
+    prev = "b0"
+    for i in range(1, BW_HOPS + 1):
+        steps += f""",
+b{i} AS MATERIALIZED (
+  SELECT a.id,
+         CASE WHEN a.dist IS NULL THEN m.nd WHEN m.nd IS NULL THEN a.dist
+              ELSE least(a.dist, m.nd) END AS dist
+  FROM {prev} a LEFT JOIN (
+    SELECT e.dst AS id, MIN(r.dist + 1) AS nd
+    FROM edges e JOIN {prev} r ON e.src = r.id WHERE r.dist IS NOT NULL
+    GROUP BY e.dst) m ON a.id = m.id)"""
+        prev = f"b{i}"
+    return f"""WITH {_EDGES_CTE},
+ue AS MATERIALIZED (SELECT src, dst FROM edges WHERE src < dst),
+b0 AS (SELECT id, CASE WHEN id = 0 THEN CAST(0 AS BIGINT) END AS dist FROM nodes){steps},
+pid AS (SELECT id, CAST(id AS BIGINT) AS pos FROM nodes),
+pdeg AS (SELECT id, CAST(row_number() OVER (ORDER BY degree DESC, id ASC) - 1 AS BIGINT) AS pos FROM deg),
+lvl AS (SELECT n.id, coalesce(b.dist, {BW_HOPS + 1}) AS lvl
+        FROM nodes n LEFT JOIN {prev} b ON n.id = b.id),
+pbfs AS (SELECT id, CAST(row_number() OVER (ORDER BY lvl ASC, id ASC) - 1 AS BIGINT) AS pos FROM lvl),
+allp AS (
+  SELECT 'identity' AS ordering, id, pos FROM pid
+  UNION ALL SELECT 'degree', id, pos FROM pdeg
+  UNION ALL SELECT 'bfs', id, pos FROM pbfs),
+spans AS (
+  SELECT pu.ordering, abs(pu.pos - pv.pos) AS span
+  FROM ue e
+  JOIN allp pu ON e.src = pu.id
+  JOIN allp pv ON e.dst = pv.id AND pu.ordering = pv.ordering)
+SELECT ordering,
+       CAST(max(span) AS BIGINT) AS bandwidth,
+       CAST(sum(span) AS BIGINT) AS profile_sum,
+       CAST(count(*) AS BIGINT) AS n_edges,
+       round(CAST(sum(span) AS DOUBLE) / count(*), 6) AS mean_span
+FROM spans GROUP BY ordering"""
 
 
 def _sage_sample_sql() -> str:
@@ -6940,6 +6993,7 @@ FROM sess GROUP BY user_id, session_id""",
         "onion_layers6": _onion_sql(),
         "vertex_cut16": _vertex_cut_sql(),
         "sage_sample32": _sage_sample_sql(),
+        "bandwidth_orders": _bandwidth_orders_sql(),
         "score_peel8": _score_sql(),
         "lp_capped_step": _LP_CAPPED_SQL,
         "contraction_edges": _CONTRACTION_EDGES_SQL,

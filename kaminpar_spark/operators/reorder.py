@@ -76,3 +76,69 @@ def permute_partition(partition: DataFrame, perm: DataFrame) -> DataFrame:
         partition.join(inv, "id")
         .select(F.col("new_id").alias("id"), "block")
     )
+
+
+def adjacency_bandwidth(graph: GraphFrame, positions: DataFrame) -> DataFrame:
+    """One-row exact locality statistics of a node ordering: over the unique
+    undirected edges, the adjacency BANDWIDTH max|pos(u)-pos(v)|, the profile
+    sum of spans, edge count, and the mean span (one final division) — the
+    classic envelope objectives of Cuthill-McKee-style reordering. A small
+    bandwidth means neighbors land in the same CSR block / parquet row-group
+    (plans/csr_blocks.py consumes exactly this locality).
+
+    ``positions``: (id, pos). Two shuffle-hash joins + one aggregate."""
+    e = graph.edges.where(F.col("src") < F.col("dst")).select("src", "dst")
+    pu = positions.select(F.col("id").alias("src"), F.col("pos").alias("pu"))
+    pv = positions.select(F.col("id").alias("dst"), F.col("pos").alias("pv"))
+    spans = (
+        e.join(pu.hint("shuffle_hash"), "src")
+        .join(pv.hint("shuffle_hash"), "dst")
+        .select(F.abs(F.col("pu") - F.col("pv")).alias("span"))
+    )
+    return spans.agg(
+        F.max("span").cast("long").alias("bandwidth"),
+        F.sum("span").cast("long").alias("profile_sum"),
+        F.count("*").cast("long").alias("n_edges"),
+    ).select(
+        "bandwidth",
+        "profile_sum",
+        "n_edges",
+        F.round(F.col("profile_sum") / F.col("n_edges"), 6).alias("mean_span"),
+    )
+
+
+def ordering_comparison(
+    graph: GraphFrame, bfs_source: int = 0, bfs_hops: int = 6
+) -> DataFrame:
+    """Locality comparison of three node orderings — identity (the ingest
+    ids), degree-descending, and BFS-level order from ``bfs_source`` (the
+    level-set heart of Cuthill-McKee; unreached nodes sort after level
+    ``bfs_hops``) — one adjacency_bandwidth row per ordering. All positions
+    come from ids.sorted_rank (range partition + broadcast offsets; no
+    single-partition sort)."""
+    from kaminpar_spark.ids import sorted_rank
+    from kaminpar_spark.operators.paths import bfs_levels
+
+    n_orders = []
+    ident = graph.nodes.select("id", F.col("id").cast("long").alias("pos"))
+    n_orders.append(("identity", ident))
+    deg = graph.degrees().select("id", (-F.col("degree")).alias("nd"))
+    n_orders.append(
+        ("degree", sorted_rank(deg, ["nd", "id"], out="pos").select("id", "pos"))
+    )
+    lv = bfs_levels(graph, [bfs_source], max_hops=bfs_hops)
+    lvl = (
+        graph.nodes.select("id")
+        .join(lv, "id", "left")
+        .select("id", F.coalesce("dist", F.lit(bfs_hops + 1)).alias("lvl"))
+    )
+    n_orders.append(
+        ("bfs", sorted_rank(lvl, ["lvl", "id"], out="pos").select("id", "pos"))
+    )
+    out = None
+    for name, pos in n_orders:
+        row = adjacency_bandwidth(graph, pos).select(
+            F.lit(name).alias("ordering"), "*"
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

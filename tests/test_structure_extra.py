@@ -180,3 +180,26 @@ def test_response_latency_quantiles(spark):
         assert out[actor]["n_gaps"] == len(xs)
         assert out[actor]["p50_s"] == lower_quantile(xs, 1, 2)
         assert out[actor]["p90_s"] == lower_quantile(xs, 9, 10)
+
+
+def test_ordering_comparison_path_graph(spark):
+    """On a path graph labeled in order, identity ordering is optimal
+    (bandwidth 1, profile n-1) and BFS order from an endpoint reproduces it;
+    spans are exact."""
+    from pyspark.sql import functions as F
+
+    from kaminpar_spark.graph import GraphFrame
+    from kaminpar_spark.operators.reorder import ordering_comparison
+
+    n = 12
+    e = spark.createDataFrame([(i, i + 1) for i in range(n - 1)], "src long, dst long")
+    g = GraphFrame.from_edge_pairs(e, symmetrize=True)
+    got = {r["ordering"]: r for r in ordering_comparison(g, bfs_source=0, bfs_hops=n).collect()}
+    assert got["identity"]["bandwidth"] == 1
+    assert got["identity"]["profile_sum"] == n - 1
+    assert got["bfs"]["bandwidth"] == 1
+    assert got["bfs"]["profile_sum"] == n - 1
+    assert got["degree"]["bandwidth"] >= 1
+    for r in got.values():
+        assert r["n_edges"] == n - 1
+        assert r["mean_span"] == round(r["profile_sum"] / r["n_edges"], 6)
