@@ -1001,6 +1001,23 @@ IVF_CENTROIDS = 16
 IVF_NPROBE = 4
 
 
+PQ_CODES = 16
+PQ_M = 8
+
+
+def _q_pq_topk(spark, sf_dir):
+    """Product-quantization ANN top-k (functions/similarity.pq_topk): m=8
+    subspace codebooks from a deterministic sample, asymmetric distance
+    computation on an exact int64 lattice."""
+    from kaminpar_spark.functions.similarity import pq_topk
+
+    emb = _load(spark, sf_dir, "embeddings")
+    return pq_topk(
+        emb, emb.where(F.col("vec_id") < 5), k=10,
+        num_codes=PQ_CODES, m=PQ_M, dim=EMB_DIM,
+    )
+
+
 def _q_ivf_topk(spark, sf_dir):
     """IVF-flat ANN top-k: nearest-sampled-centroid binning + nprobe cell
     probe + exact cosine on candidates (the non-LSH scale path)."""
@@ -3085,6 +3102,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_dups": _q_simhash_near_dups,
         "lsh_topk": _q_lsh_topk,
         "ivf_topk": _q_ivf_topk,
+        "pq_topk": _q_pq_topk,
         "kmeans_cells2": _q_kmeans_cells,
         "lsh_recall": _q_lsh_recall,
         "ivf_recall": _q_ivf_recall,
@@ -4755,6 +4773,56 @@ scored AS (
 SELECT qid, nn_id, cos FROM (
   SELECT qid, nn_id, cos,
          row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nn_id ASC) AS rn
+  FROM scored) t WHERE rn <= 10"""
+
+
+def _pq_topk_sql() -> str:
+    from kaminpar_spark.functions.similarity import (
+        IVF_MIX_MOD,
+        IVF_MIX_MULT,
+        PQ_SCALE,
+    )
+
+    sub = EMB_DIM // PQ_M
+
+    def l2(a: str, b: str) -> str:
+        t = (
+            f"(CAST({a}[sd.s*{sub}+i] AS DOUBLE) - CAST({b}[sd.s*{sub}+i] AS DOUBLE))"
+        )
+        return (
+            f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+            f"list_transform(range(1, {sub + 1}), i -> {t} * {t})), "
+            f"(acc, v) -> acc + v)"
+        )
+
+    return f"""
+WITH cent AS MATERIALIZED (
+  SELECT CAST(row_number() OVER (
+           ORDER BY (vec_id * {IVF_MIX_MULT}) % {IVF_MIX_MOD}, vec_id) - 1 AS INT) AS code,
+         embedding AS cv
+  FROM embeddings
+  ORDER BY (vec_id * {IVF_MIX_MULT}) % {IVF_MIX_MOD}, vec_id LIMIT {PQ_CODES}),
+sdim AS (SELECT CAST(unnest(range({PQ_M})) AS INT) AS s),
+enc AS MATERIALIZED (
+  SELECT e.vec_id AS nn_id, sd.s, c.code, {l2('e.embedding', 'c.cv')} AS d2
+  FROM embeddings e CROSS JOIN sdim sd CROSS JOIN cent c),
+codes AS MATERIALIZED (
+  SELECT nn_id, s, code FROM (
+    SELECT nn_id, s, code,
+           row_number() OVER (PARTITION BY nn_id, s ORDER BY d2, code) AS rn
+    FROM enc) t WHERE rn = 1),
+qtab AS MATERIALIZED (
+  SELECT q.vec_id AS qid, sd.s, c.code,
+         CAST(floor(({l2('q.embedding', 'c.cv')}) * {PQ_SCALE}) AS BIGINT) AS q2
+  FROM embeddings q CROSS JOIN sdim sd CROSS JOIN cent c WHERE q.vec_id < 5),
+scored AS (
+  SELECT t.qid, c.nn_id, CAST(sum(t.q2) AS BIGINT) AS adc
+  FROM codes c JOIN qtab t ON c.s = t.s AND c.code = t.code
+  WHERE c.nn_id <> t.qid
+  GROUP BY t.qid, c.nn_id)
+SELECT qid, nn_id, adc FROM (
+  SELECT qid, nn_id, adc,
+         row_number() OVER (PARTITION BY qid ORDER BY adc, nn_id) AS rn
   FROM scored) t WHERE rn <= 10"""
 
 
@@ -7022,6 +7090,7 @@ FROM documents""",
         "simhash_near_dups": _simhash_sql(),
         "lsh_topk": _lsh_topk_sql(),
         "ivf_topk": _ivf_topk_sql(),
+        "pq_topk": _pq_topk_sql(),
         "kmeans_cells2": _kmeans_sql(),
         "fingerprints": _fingerprints_sql(),
         "pii_scrub": _pii_scrub_sql(),

@@ -597,3 +597,137 @@ def sq8_topk(
         .where(F.col("rn") <= k)
         .select("qid", "nn_id", "cos")
     )
+
+
+# --- Product quantization (PQ) ANN ------------------------------------------
+#
+# The third index family next to sign-LSH and IVF-flat: split the vector into
+# m orthogonal subspaces, quantize each subvector to a small per-subspace
+# codebook, and answer queries with asymmetric distance computation (ADC) --
+# the memory-bound workhorse of billion-scale ANN (Jegou, Douze & Schmid,
+# "Product Quantization for Nearest Neighbor Search", TPAMI 2011): an
+# encoded vector is m bytes instead of dim floats, and scoring is m table
+# lookups instead of a dim-length fold.
+
+PQ_SCALE = 1 << 20  # ADC terms land on an int64 lattice so sums are exact
+
+
+def _l2sq(a: str | F.Column, b: str | F.Column) -> F.Column:
+    """Fixed-order L2^2 fold over two array columns (bit-deterministic like
+    _cosine: same index order in every engine)."""
+    d = F.zip_with(
+        a,
+        b,
+        lambda x, y: (x.cast("double") - y.cast("double"))
+        * (x.cast("double") - y.cast("double")),
+    )
+    return F.aggregate(d, F.lit(0.0), lambda acc, v: acc + v)
+
+
+def pq_codebooks(
+    corpus: DataFrame,
+    num_codes: int = 16,
+    m: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(s, code, cvec) — per-subspace codebooks from ONE deterministic
+    mixer-sampled set of ``num_codes`` corpus vectors (same single-pass
+    build rationale as ivf_centroids; subspace s's codebook is the sample's
+    s-th dim/m-wide subvectors; code = rank by (mixer, id)). The sample is
+    collected to the driver — num_codes * dim floats, bounded and tiny —
+    and re-emitted as a broadcast-sized DataFrame."""
+    sub = dim // m
+    mix = (F.col(id_col) * F.lit(IVF_MIX_MULT)) % F.lit(IVF_MIX_MOD)
+    rows = (
+        corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"), mix.alias("mx"))
+        .orderBy("mx", "id")
+        .limit(num_codes)
+        .collect()
+    )
+    data = [
+        (s, code, [float(r["v"][s * sub + j]) for j in range(sub)])
+        for code, r in enumerate(rows)
+        for s in range(m)
+    ]
+    return corpus.sparkSession.createDataFrame(
+        data, "s int, code int, cvec array<double>"
+    )
+
+
+def pq_encode(
+    corpus: DataFrame,
+    cb: DataFrame,
+    m: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, s, code) — nearest-codeword encoding per subspace: posexplode to
+    (id, s, subvector), broadcast-join the codebook, struct-min argmin (ties
+    to the smaller code). m rows per vector; one hash aggregate."""
+    sub = dim // m
+    subs = corpus.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(
+            F.array(*[F.slice(F.col(vec_col), s * sub + 1, sub) for s in range(m)])
+        ).alias("s", "sv"),
+    )
+    scored = subs.join(F.broadcast(cb), "s").select(
+        "id", "s", "code", _l2sq("sv", "cvec").alias("d2")
+    )
+    return (
+        scored.groupBy("id", "s")
+        .agg(F.min(F.struct(F.col("d2"), F.col("code"))).alias("b"))
+        .select("id", "s", F.col("b.code").alias("code"))
+    )
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    num_codes: int = 16,
+    m: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(qid, nn_id, adc) — PQ/ADC approximate top-k by ascending quantized
+    L2^2. The query side precomputes its (s, code) distance table (nq * m *
+    num_codes rows — broadcast), each ADC term is floored onto the PQ_SCALE
+    int64 lattice (the per-term fold is bit-deterministic, so the floor is
+    too, and the m-term sum is then order-independent exact), and scoring is
+    an equi-join of the m-byte codes against the table plus one hash
+    aggregate — no vector math touches the corpus at query time, the PQ
+    promise."""
+    cb = pq_codebooks(corpus, num_codes, m, dim, id_col, vec_col)
+    codes = pq_encode(corpus, cb, m, dim, id_col, vec_col).withColumnRenamed(
+        "id", "nn_id"
+    )
+    sub = dim // m
+    qsubs = queries.select(
+        F.col(id_col).alias("qid"),
+        F.posexplode(
+            F.array(*[F.slice(F.col(vec_col), s * sub + 1, sub) for s in range(m)])
+        ).alias("s", "qsv"),
+    )
+    qtab = qsubs.join(F.broadcast(cb), "s").select(
+        "qid",
+        "s",
+        "code",
+        F.floor(_l2sq("qsv", "cvec") * F.lit(PQ_SCALE)).cast("long").alias("q2"),
+    )
+    scored = (
+        codes.join(F.broadcast(qtab), ["s", "code"])
+        .where(F.col("nn_id") != F.col("qid"))
+        .groupBy("qid", "nn_id")
+        .agg(F.sum("q2").cast("long").alias("adc"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.asc("adc"), F.asc("nn_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select("qid", "nn_id", "adc")
+    )

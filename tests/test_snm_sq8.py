@@ -71,3 +71,31 @@ def test_sq8_quantize_lattice(spark):
     )
     q8 = sq8_quantize(df).first()["q8"]
     assert q8 == [64, -64, 127, -127, 1]  # round-half-away lattice
+
+
+def test_pq_topk_cluster_retrieval(spark):
+    """4 well-separated clusters of 16-dim vectors: PQ/ADC top-3 must stay
+    within the query's cluster; codes are in range; ADC is non-negative and
+    deterministic across runs."""
+    from kaminpar_spark.functions.similarity import pq_codebooks, pq_encode, pq_topk
+
+    rng = np.random.default_rng(7)
+    centers = rng.normal(0, 10, size=(4, 16))
+    rows = []
+    for i in range(48):
+        c = i % 4
+        v = centers[c] + rng.normal(0, 0.05, size=16)
+        rows.append((i, [float(x) for x in v]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    NC, M, DIM = 8, 4, 16
+    cb = pq_codebooks(emb, num_codes=NC, m=M, dim=DIM)
+    codes = pq_encode(emb, cb, m=M, dim=DIM).collect()
+    assert all(0 <= r["code"] < NC for r in codes)
+    assert len(codes) == 48 * M
+    q = emb.where(F.col("vec_id") < 4)
+    out = pq_topk(emb, q, k=3, num_codes=NC, m=M, dim=DIM).collect()
+    assert all(r["adc"] >= 0 for r in out)
+    for r in out:
+        assert r["nn_id"] % 4 == r["qid"] % 4, (r, "crossed clusters")
+    out2 = pq_topk(emb, q, k=3, num_codes=NC, m=M, dim=DIM).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
