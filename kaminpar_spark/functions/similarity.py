@@ -693,6 +693,7 @@ def pq_topk(
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    rerank: int | None = None,
 ) -> DataFrame:
     """(qid, nn_id, adc) — PQ/ADC approximate top-k by ascending quantized
     L2^2. The query side precomputes its (s, code) distance table (nq * m *
@@ -701,7 +702,14 @@ def pq_topk(
     too, and the m-term sum is then order-independent exact), and scoring is
     an equi-join of the m-byte codes against the table plus one hash
     aggregate — no vector math touches the corpus at query time, the PQ
-    promise."""
+    promise.
+
+    ``rerank=R`` appends the production second stage: the top-R ADC
+    candidates per query are re-scored with EXACT cosine against the raw
+    vectors and the final top-k ranks by (cos desc, nn_id) — ADC then only
+    has to get the true neighbors into a short candidate list (recall@k of
+    the pair >> pure ADC), and the exact pass touches R vectors per query
+    instead of the corpus. Returns (qid, nn_id, cos) in that mode."""
     cb = pq_codebooks(corpus, num_codes, m, dim, id_col, vec_col)
     codes = pq_encode(corpus, cb, m, dim, id_col, vec_col).withColumnRenamed(
         "id", "nn_id"
@@ -726,8 +734,27 @@ def pq_topk(
         .agg(F.sum("q2").cast("long").alias("adc"))
     )
     w = Window.partitionBy("qid").orderBy(F.asc("adc"), F.asc("nn_id"))
-    return (
+    if rerank is None:
+        return (
+            scored.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= k)
+            .select("qid", "nn_id", "adc")
+        )
+    cand = (
         scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= rerank)
+        .select("qid", "nn_id")
+    )
+    qv = queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv"))
+    ev = corpus.select(F.col(id_col).alias("nn_id"), F.col(vec_col).alias("ev"))
+    rescored = (
+        cand.join(F.broadcast(qv), "qid")
+        .join(ev.hint("shuffle_hash"), "nn_id")
+        .select("qid", "nn_id", F.round(_cosine("qv", "ev"), 4).alias("cos"))
+    )
+    w2 = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("nn_id"))
+    return (
+        rescored.withColumn("rn", F.row_number().over(w2))
         .where(F.col("rn") <= k)
-        .select("qid", "nn_id", "adc")
+        .select("qid", "nn_id", "cos")
     )

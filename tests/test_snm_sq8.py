@@ -99,3 +99,8 @@ def test_pq_topk_cluster_retrieval(spark):
         assert r["nn_id"] % 4 == r["qid"] % 4, (r, "crossed clusters")
     out2 = pq_topk(emb, q, k=3, num_codes=NC, m=M, dim=DIM).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
+    # rerank mode: exact-cosine second stage returns cos column, stays
+    # in-cluster, and the top hit's cosine is near 1 (tight clusters)
+    rr = pq_topk(emb, q, k=3, num_codes=NC, m=M, dim=DIM, rerank=10).collect()
+    assert all(r["nn_id"] % 4 == r["qid"] % 4 for r in rr)
+    assert max(r["cos"] for r in rr) > 0.999
