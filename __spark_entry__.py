@@ -2198,6 +2198,20 @@ def _q_surprisal(spark, sf_dir):
     return surprisal_scores(_load(spark, sf_dir, "documents"))
 
 
+CHUNK_W = 8
+CHUNK_TH = 2
+
+
+def _q_cohesion_chunks(spark, sf_dir):
+    """TextTiling-style cohesion chunking stats per document
+    (functions/text.cohesion_chunks; window=8, threshold=2)."""
+    from kaminpar_spark.functions.text import cohesion_chunks
+
+    return cohesion_chunks(
+        _load(spark, sf_dir, "documents"), window=CHUNK_W, threshold=CHUNK_TH
+    )
+
+
 def _q_zipf(spark, sf_dir):
     """Corpus Zipf rank-frequency profile (functions/text.zipf_profile):
     vocabulary ranked by (tf desc, token asc) with the scalable sorted_rank
@@ -3039,6 +3053,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "oov_rate": _q_oov_rate,
         "zipf_profile": _q_zipf,
         "surprisal_scores": _q_surprisal,
+        "cohesion_chunks": _q_cohesion_chunks,
         "vocab_growth": _q_vocab_growth,
         "feature_smooth2": _q_feature_smooth,
         "sq8_topk": _q_sq8_topk,
@@ -6028,6 +6043,27 @@ FROM tk2 t JOIN vocab v ON t.tok = v.tok
 GROUP BY t.doc_id"""
 
 
+def _cohesion_chunks_sql() -> str:
+    w, th = CHUNK_W, CHUNK_TH
+    coh = (
+        f"list_transform(range({w}, len(tk) - {w} + 1), p -> "
+        f"len(list_filter(list_distinct(array_slice(tk, p - {w - 1}, p)), "
+        f"x -> list_contains(array_slice(tk, p + 1, p + {w}), x))))"
+    )
+    return f"""
+WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents),
+c AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens,
+             CASE WHEN len(tk) >= {2 * w} THEN {coh} ELSE [] END AS cohs
+      FROM t)
+SELECT doc_id, n_tokens,
+       CAST(len(cohs) AS BIGINT) AS n_candidates,
+       CAST(len(list_filter(cohs, c -> c < {th})) AS BIGINT) AS n_boundaries,
+       CAST(len(list_filter(cohs, c -> c < {th})) + 1 AS BIGINT) AS n_chunks,
+       CAST(coalesce(list_min(cohs), -1) AS BIGINT) AS min_cohesion,
+       CAST(coalesce(list_reduce(list_prepend(0, cohs), (a, v) -> a + v), 0) AS BIGINT) AS coh_sum
+FROM c"""
+
+
 _ZIPF_SQL = """
 WITH tk AS (
   SELECT unnest(string_split(lower(text), ' ')) AS tok FROM documents),
@@ -6976,6 +7012,7 @@ FROM parts p JOIN idx i ON p.block = i.block""",
         "oov_rate": _OOV_SQL,
         "zipf_profile": _ZIPF_SQL,
         "surprisal_scores": _SURPRISAL_SQL,
+        "cohesion_chunks": _cohesion_chunks_sql(),
         "vocab_growth": _vocab_growth_sql(),
         "feature_smooth2": _feature_smooth_sql(),
         "sq8_topk": _sq8_topk_sql(),

@@ -421,3 +421,47 @@ def surprisal_scores(
         )
         .withColumn("surp_mean", F.round(F.col("surp_sum") / F.col("n_tokens"), 6))
     )
+
+
+def cohesion_chunks(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 8,
+    threshold: int = 2,
+) -> DataFrame:
+    """TextTiling-style cohesion chunking stats (Hearst, CL 1997 — the
+    lexical-cohesion segmenter behind RAG/packing chunk boundaries): at each
+    candidate boundary p the cohesion score is the EXACT count of distinct
+    tokens shared by the ``window`` tokens before and after p; a boundary
+    fires where cohesion < ``threshold``. Per doc:
+    (n_tokens, n_candidates, n_boundaries, n_chunks, min_cohesion, coh_sum)
+    — min_cohesion is -1 when the doc is shorter than 2*window.
+
+    Scale shape: ZERO joins and zero explosion — every score is a per-row
+    JVM array expression (slice/distinct/filter/contains over the token
+    array, bounded by document length), so the whole pass is a narrow map
+    the optimizer pipelines into the scan."""
+    w, th = window, threshold
+    tk = F.split(F.lower(F.col(text_col)), " ")
+    expr = (
+        f"CASE WHEN size(tk) >= {2 * w} THEN "
+        f"transform(sequence({w}, size(tk) - {w}), p -> "
+        f"size(filter(array_distinct(slice(tk, p - {w - 1}, {w})), "
+        f"x -> array_contains(slice(tk, p + 1, {w}), x)))) "
+        f"ELSE CAST(array() AS array<int>) END"
+    )
+    d = docs.select(F.col(id_col), tk.alias("tk")).select(
+        id_col,
+        F.size("tk").cast("long").alias("n_tokens"),
+        F.expr(expr).alias("cohs"),
+    )
+    return d.select(
+        id_col,
+        "n_tokens",
+        F.size("cohs").cast("long").alias("n_candidates"),
+        F.size(F.filter("cohs", lambda c: c < th)).cast("long").alias("n_boundaries"),
+        (F.size(F.filter("cohs", lambda c: c < th)) + 1).cast("long").alias("n_chunks"),
+        F.coalesce(F.array_min("cohs"), F.lit(-1)).cast("long").alias("min_cohesion"),
+        F.aggregate("cohs", F.lit(0).cast("long"), lambda a, v: a + v).alias("coh_sum"),
+    )

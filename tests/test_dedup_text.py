@@ -596,3 +596,36 @@ def test_strip_dup_spans(spark):
     assert got[2]["text_clean"] == rows[2][1]
     assert got[2]["n_removed"] == 0
     assert all(got[i]["n_tokens"] == len(rows[i][1].split(" ")) for i in range(3))
+
+
+def test_cohesion_chunks(spark):
+    """Python mirror on a crafted doc: two 12-token topic halves with
+    disjoint vocab must produce a low-cohesion valley at the junction."""
+    a = " ".join(["alpha beta gamma delta"] * 3)      # 12 tokens, topic A
+    b = " ".join(["omega psi chi phi"] * 3)           # 12 tokens, topic B
+    rows = [(0, a + " " + b), (1, "short text only"), (2, a + " " + a)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in text.cohesion_chunks(df, window=4, threshold=1).collect()}
+
+    def mirror(t, w=4, th=1):
+        tk = t.lower().split(" ")
+        cohs = []
+        if len(tk) >= 2 * w:
+            for p in range(w, len(tk) - w + 1):
+                before = set(tk[p - w : p])
+                after = tk[p : p + w]
+                cohs.append(sum(1 for x in before if x in after))
+        return cohs
+
+    for i, (_, t) in enumerate(rows):
+        cohs = mirror(rows[i][1])
+        r = got[i]
+        assert r["n_candidates"] == len(cohs)
+        assert r["n_boundaries"] == sum(1 for c in cohs if c < 1)
+        assert r["n_chunks"] == r["n_boundaries"] + 1
+        assert r["min_cohesion"] == (min(cohs) if cohs else -1)
+        assert r["coh_sum"] == sum(cohs)
+    assert got[0]["n_chunks"] > 1       # the topic shift fires a boundary
+    assert got[1]["n_candidates"] == 0  # too short: single chunk
+    assert got[1]["n_chunks"] == 1
+    assert got[2]["n_chunks"] == 1      # homogeneous doc: no boundary
