@@ -852,7 +852,7 @@ def minhash_calibration_hist(
         lambda acc, v: acc + v,
     )
     per = (
-        cand.join(inter, ["id_a", "id_b"], "left")
+        cand.join(inter.hint("shuffle_hash"), ["id_a", "id_b"], "left")
         .withColumn("ni", F.coalesce("n_inter", F.lit(0)).cast("long"))
         .join(sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a")), "id_a")
         .join(sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b")), "id_b")

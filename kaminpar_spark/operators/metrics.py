@@ -200,7 +200,9 @@ def comm_volume(graph, partition) -> "DataFrame":
     vols = cv.groupBy("src_block").agg(F.sum("cv").cast("long").alias("send_volume"))
     sizes = partition.groupBy("block").agg(F.count("*").cast("long").alias("n_nodes"))
     return (
-        sizes.join(vols.withColumnRenamed("src_block", "block"), "block", "left")
+        sizes.join(
+            F.broadcast(vols.withColumnRenamed("src_block", "block")), "block", "left"
+        )
         .select(
             F.col("block").cast("int").alias("block"),
             F.coalesce("send_volume", F.lit(0)).cast("long").alias("send_volume"),
