@@ -52,7 +52,7 @@ def load_graph(spark, path: str, symmetrize: bool):
 
 def main(argv=None):
     ap = argparse.ArgumentParser(prog="kaminpar-spark")
-    ap.add_argument("command", choices=["partition", "pagerank", "ppr", "components", "labelprop", "triangles", "kcore", "stats", "bfs", "diameter", "color", "mis", "walks", "match", "hits", "msf", "truss", "anf", "wl", "ebc", "cascade", "landmark", "tmotifs", "cpm", "robustness"])
+    ap.add_argument("command", choices=["partition", "pagerank", "ppr", "components", "labelprop", "triangles", "kcore", "stats", "bfs", "diameter", "color", "mis", "walks", "match", "hits", "msf", "truss", "anf", "wl", "ebc", "cascade", "landmark", "tmotifs", "cpm", "robustness", "vcut", "onion", "sample", "reorder"])
     ap.add_argument("--sources", default="0", help="[ppr] comma-separated teleport node ids")
     ap.add_argument("-G", "--graph", required=True)
     ap.add_argument("-k", type=int, default=2)
@@ -377,6 +377,54 @@ def main(argv=None):
                 .agg(F.max("sz")).first()[0]
             )
             print(f"RESULT k_removed={k} giant={giant} time={time.time()-t0:.3f}s")
+    elif args.command == "vcut":
+        from kaminpar_spark.plans.edge_partition import edge_partition_eval
+
+        rows = edge_partition_eval(g, k=max(args.k, 4)).collect()
+        for r in sorted(rows, key=lambda r: r["replication"]):
+            print(
+                f"RESULT strategy={r['strategy']} replication={r['replication']} "
+                f"imbalance={r['imbalance']} max_load={r['max_load']} "
+                f"time={time.time()-t0:.3f}s"
+            )
+    elif args.command == "onion":
+        from pyspark.sql import functions as F
+
+        from kaminpar_spark.operators.kcore import onion_layers
+
+        layers = onion_layers(g, rounds=args.max_iters)
+        if args.save:
+            layers.write.mode("overwrite").parquet(args.save)
+        prof = {
+            r["layer"]: (r["n"], r["core"])
+            for r in layers.groupBy("layer")
+            .agg(F.count("*").alias("n"), F.max("core").alias("core"))
+            .collect()
+        }
+        print(f"RESULT layers={json.dumps({k: v for k, v in sorted(prof.items())})} time={time.time()-t0:.3f}s")
+    elif args.command == "sample":
+        from pyspark.sql import functions as F
+
+        from kaminpar_spark.operators.gnn import sage_sample
+
+        # --sources gives the root modulus (roots = id % mod == 0); -k is fanout
+        mod = max(int(args.sources.split(",")[0]), 1)
+        roots = g.nodes.where(F.col("id") % mod == 0).select("id")
+        blk = sage_sample(g, roots, fanouts=(max(args.k, 1), max(args.k // 2, 1)))
+        if args.save:
+            blk.write.mode("overwrite").parquet(args.save)
+        per = {r["layer"]: r["n"] for r in blk.groupBy("layer").agg(F.count("*").alias("n")).collect()}
+        print(f"RESULT sampled={json.dumps(per, sort_keys=True)} time={time.time()-t0:.3f}s")
+    elif args.command == "reorder":
+        from kaminpar_spark.operators.reorder import ordering_comparison
+
+        rows = ordering_comparison(g, bfs_hops=args.max_iters).collect()
+        for r in sorted(rows, key=lambda r: r["profile_sum"]):
+            print(
+                f"RESULT ordering={r['ordering']} bandwidth={r['bandwidth']} "
+                f"profile={r['profile_sum']} mean_span={r['mean_span']} "
+                f"time={time.time()-t0:.3f}s"
+            )
     elif args.command == "stats":
         from dataclasses import asdict
 

@@ -99,3 +99,28 @@ def test_cli_cpm_robustness(spark, tmp_path, capsys):
     ) == 0
     out = capsys.readouterr().out
     assert "k_removed=0" in out and "k_removed=2" in out, out
+
+
+def test_cli_vcut_onion_sample_reorder(spark, tmp_path, capsys):
+    """CLI round-trip for the session-3c subcommands."""
+    from kaminpar_spark import cli, fixtures
+
+    edges = tmp_path / "edges3c.parquet"
+    g = fixtures.grid8(spark)
+    g.edges.select("src", "dst", "weight").write.parquet(str(edges))
+
+    assert cli.main(["vcut", "-G", str(edges), "-k", "4"]) == 0
+    out = capsys.readouterr().out
+    assert out.count("RESULT strategy=") == 4, out
+
+    assert cli.main(["onion", "-G", str(edges), "--max-iters", "4"]) == 0
+    out = capsys.readouterr().out
+    assert "layers=" in out, out
+
+    assert cli.main(["sample", "-G", str(edges), "-k", "2", "--sources", "2"]) == 0
+    out = capsys.readouterr().out
+    assert "sampled=" in out, out
+
+    assert cli.main(["reorder", "-G", str(edges), "--max-iters", "6"]) == 0
+    out = capsys.readouterr().out
+    assert out.count("RESULT ordering=") == 3, out
