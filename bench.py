@@ -226,6 +226,34 @@ def main():
         queries["delta_ingest"] = round(time.time() - t0, 3)
         _phase("delta ingest done")
 
+        # ---- vertex-cut edge-placement evaluation (4 strategies, k=16) ----
+        from kaminpar_spark.plans.edge_partition import edge_partition_eval
+
+        t0 = time.time()
+        edge_partition_eval(gp, k=16).count()
+        queries["vertex_cut_eval"] = round(time.time() - t0, 3)
+        _phase("vcut done")
+
+        # ---- boilerplate-span scrub over the documents corpus ----
+        from kaminpar_spark.functions.dedup import strip_dup_spans
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        t0 = time.time()
+        strip_dup_spans(docs, window=8).agg(F.sum("n_removed")).first()
+        queries["strip_dup_spans"] = round(time.time() - t0, 3)
+        _phase("scrub done")
+
+        # ---- PQ/ADC ANN with exact rerank over the embeddings corpus ----
+        from kaminpar_spark.functions.similarity import pq_topk
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        t0 = time.time()
+        pq_topk(
+            emb, emb.where(F2.col("vec_id") < 5), k=10, rerank=40
+        ).count()
+        queries["pq_ann_topk"] = round(time.time() - t0, 3)
+        _phase("pq done")
+
     supersteps = pr_iters + lpa_iters
     kernel_sec = pr_sec + lpa_sec
     eps_per_superstep = m * supersteps / kernel_sec if kernel_sec > 0 else 0.0
