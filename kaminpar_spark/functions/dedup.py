@@ -904,13 +904,12 @@ def strip_dup_spans(
         .where(F.col("nd") >= 2)
         .select("wh")
     )
-    covered = (
-        wins.join(rep, "wh", "left_semi")
-        .select(
-            "id", F.explode(F.sequence(F.col("i"), F.col("i") + window - 1)).alias("pos")
-        )
-        .distinct()
+    covered = wins.join(rep, "wh", "left_semi").select(
+        "id", F.explode(F.sequence(F.col("i"), F.col("i") + window - 1)).alias("pos")
     )
+    # no distinct: left_anti below only tests key existence, so duplicate
+    # (id, pos) rows from overlapping repeated windows are absorbed by the
+    # join — dropping the dedup shuffle entirely.
     tk = docs.select(
         F.col(id_col).alias("id"),
         F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "tok"),
