@@ -249,7 +249,7 @@ def main():
         emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
         t0 = time.time()
         pq_topk(
-            emb, emb.where(F2.col("vec_id") < 5), k=10, rerank=40
+            emb, emb.where(F2.col("vec_id") < 5), k=10, num_codes=128, rerank=100
         ).count()
         queries["pq_ann_topk"] = round(time.time() - t0, 3)
         _phase("pq done")
