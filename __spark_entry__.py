@@ -1502,6 +1502,7 @@ def _q_bowtie(spark, sf_dir):
 
 STRESS_HOPS = 8
 LOUVAIN_ROUNDS = 2
+BURST_TRAIL = 8  # event_bursts: trailing buckets per burst score
 
 
 def _q_louvain_moves(spark, sf_dir):
@@ -2995,6 +2996,57 @@ def _q_clique_percolation(spark, sf_dir):
     return triangle_communities(g, max_iters=TRI_CC_STEPS)
 
 
+def _q_partition_agreement(spark, sf_dir):
+    """Exact pair-counting Adjusted Rand Index between two independent
+    community methods on the same graph — one synchronous LP step vs the
+    LOUVAIN_ROUNDS-step Louvain level. Everything but the one final IEEE
+    division is int64 (doubled pair counts s2/a2/b2/t2), so community-method
+    AGREEMENT itself is hash-checked, not just eyeballed. All hash
+    aggregates; contingency bounded by the node table."""
+    from kaminpar_spark.operators.labelprop import lp_step
+    from kaminpar_spark.operators.louvain import louvain_level
+    from kaminpar_spark.operators.metrics import pair_counting_agreement
+
+    g, _ = _graph(spark, sf_dir)
+    state = g.nodes.select("id", F.col("id").alias("label"), "weight")
+    lp = lp_step(g, state, semi_sync=False).select("id", "label")
+    lv = louvain_level(g, g.total_edge_weight(), rounds=LOUVAIN_ROUNDS).select(
+        "id", F.col("comm").alias("label")
+    )
+    return pair_counting_agreement(lp, lv)
+
+
+def _q_retention_cohorts(spark, sf_dir):
+    """Weekly cohort-retention matrix over the events table: cohort = epoch
+    week of each user's first event; cells count users active k weeks later
+    (functions/events.retention_cohorts). Distinct + three hash aggregates;
+    the raw log collapses to (user, week) before anything else touches it."""
+    from kaminpar_spark.functions.events import retention_cohorts
+
+    return retention_cohorts(_load(spark, sf_dir, "events"))
+
+
+def _q_event_bursts(spark, sf_dir):
+    """Per-type burst detection over hourly buckets: burst_num = n*TRAIL −
+    sum of the previous TRAIL observed buckets, exact int64
+    (functions/events.burst_scores). The window runs over bucketed counts
+    (hours × types), never the raw log."""
+    from kaminpar_spark.functions.events import burst_scores
+
+    return burst_scores(
+        _load(spark, sf_dir, "events"), bucket="hour", trail=BURST_TRAIL
+    )
+
+
+def _q_readability(spark, sf_dir):
+    """Flesch reading-ease with exact integer word / sentence-run /
+    vowel-group counts and the one final IEEE formula rounded to 6
+    (functions/text.readability_scores). Map-only quality gate."""
+    from kaminpar_spark.functions.text import readability_scores
+
+    return readability_scores(_load(spark, sf_dir, "documents"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "transcript_turns": _q_transcript_turns,
@@ -3177,6 +3229,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ppr_sweep": _q_ppr_sweep,
         "coactor_hist": _q_coactor_hist,
         "source_dup_rate": _q_source_dup_rate,
+        "partition_agreement": _q_partition_agreement,
+        "retention_cohorts": _q_retention_cohorts,
+        "event_bursts": _q_event_bursts,
+        "readability": _q_readability,
     }
 
 
@@ -5440,6 +5496,45 @@ def _louvain_sql() -> str:
 SELECT id, comm FROM {final}"""
 
 
+def _partition_agreement_sql() -> str:
+    """Exact pair-counting ARI between the LP1 labels and the Louvain-level
+    communities: contingency n_ij over the id join, doubled pair counts
+    s2/a2/b2/t2 all int64, one final IEEE ratio (every intermediate < 2^53 at
+    oracle scale, so the doubles are exact) mirroring
+    operators/metrics.pair_counting_agreement."""
+    ctes, final = _louvain_ctes()
+    return f"""WITH {_EDGES_CTE}{ctes},
+sc AS MATERIALIZED (SELECT dst AS id, src AS label, sum(weight) AS score FROM edges GROUP BY dst, src),
+best AS (
+  SELECT id, label FROM (
+    SELECT id, label,
+           row_number() OVER (PARTITION BY id ORDER BY score DESC, label ASC) AS rn
+    FROM sc) t WHERE rn = 1),
+lp AS (SELECT n.id, CAST(coalesce(b.label, n.id) AS BIGINT) AS la
+       FROM nodes n LEFT JOIN best b ON n.id = b.id),
+ct AS (SELECT lp.la, c.comm AS lb, CAST(count(*) AS BIGINT) AS n_ij
+       FROM lp JOIN {final} c ON c.id = lp.id GROUP BY 1, 2),
+srow AS (SELECT CAST(sum(n_ij * (n_ij - 1)) AS BIGINT) AS s2,
+                CAST(sum(n_ij) AS BIGINT) AS n_nodes FROM ct),
+arow AS (SELECT CAST(sum(ai * (ai - 1)) AS BIGINT) AS a2
+         FROM (SELECT sum(n_ij) AS ai FROM ct GROUP BY la)),
+brow AS (SELECT CAST(sum(bi * (bi - 1)) AS BIGINT) AS b2
+         FROM (SELECT sum(n_ij) AS bi FROM ct GROUP BY lb))
+SELECT n_nodes, s2, a2, b2,
+       CAST(n_nodes * (n_nodes - 1) AS BIGINT) AS t2,
+       CASE WHEN CAST(n_nodes * (n_nodes - 1) AS DOUBLE)
+                   * (CAST(a2 AS DOUBLE) + CAST(b2 AS DOUBLE))
+                 - 2.0 * CAST(a2 AS DOUBLE) * CAST(b2 AS DOUBLE) = 0.0
+            THEN 1.0
+            ELSE round(
+              (2.0 * CAST(s2 AS DOUBLE) * CAST(n_nodes * (n_nodes - 1) AS DOUBLE)
+                 - 2.0 * CAST(a2 AS DOUBLE) * CAST(b2 AS DOUBLE))
+              / (CAST(n_nodes * (n_nodes - 1) AS DOUBLE)
+                   * (CAST(a2 AS DOUBLE) + CAST(b2 AS DOUBLE))
+                 - 2.0 * CAST(a2 AS DOUBLE) * CAST(b2 AS DOUBLE)), 6) END AS ari
+FROM srow, arow, brow"""
+
+
 def _louvain_modularity_sql() -> str:
     """Exact-rational modularity of the 4-step Louvain labels:
     Q = (A·2m − B) / (2m)² with A = Σ_c w_in(c), B = Σ_c tot(c)² — all
@@ -7212,4 +7307,49 @@ FROM documents""",
         "ppr_sweep": _ppr_sweep_sql(),
         "coactor_hist": _COACTOR_HIST_SQL,
         "source_dup_rate": _source_dup_rate_sql(),
+        "partition_agreement": _partition_agreement_sql(),
+        "retention_cohorts": """
+WITH wkev AS (
+  SELECT DISTINCT user_id,
+         CAST(floor(epoch(ts)) AS BIGINT) // 604800 AS wk
+  FROM events),
+coh AS (SELECT user_id, min(wk) AS cohort_week FROM wkev GROUP BY 1),
+sz AS (SELECT cohort_week, CAST(count(*) AS BIGINT) AS cohort_size
+       FROM coh GROUP BY 1),
+cells AS (
+  SELECT c.cohort_week,
+         CAST(w.wk - c.cohort_week AS BIGINT) AS week_offset,
+         CAST(count(*) AS BIGINT) AS n_users
+  FROM wkev w JOIN coh c USING (user_id)
+  GROUP BY 1, 2)
+SELECT cells.cohort_week, week_offset, n_users, sz.cohort_size,
+       round(CAST(n_users AS DOUBLE) / sz.cohort_size, 6) AS retention
+FROM cells JOIN sz ON sz.cohort_week = cells.cohort_week""",
+        "event_bursts": f"""
+WITH b AS (
+  SELECT date_trunc('hour', ts) AS window_start, event_type,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1, 2),
+s AS (
+  SELECT event_type, window_start, n_events,
+         sum(n_events) OVER (PARTITION BY event_type ORDER BY window_start
+                             ROWS BETWEEN {BURST_TRAIL} PRECEDING AND 1 PRECEDING) AS trail_sum,
+         count(n_events) OVER (PARTITION BY event_type ORDER BY window_start
+                               ROWS BETWEEN {BURST_TRAIL} PRECEDING AND 1 PRECEDING) AS n_prev
+  FROM b)
+SELECT event_type, window_start, n_events,
+       CAST(trail_sum AS BIGINT) AS trail_sum,
+       CAST(n_events * {BURST_TRAIL} - trail_sum AS BIGINT) AS burst_num
+FROM s WHERE n_prev = {BURST_TRAIL}""",
+        "readability": """
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+       CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT) AS n_sentences,
+       CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT) AS n_vowel_groups,
+       round(206.835
+             - 1.015 * (CAST(greatest(1, len(string_split(text, ' '))) AS DOUBLE)
+                        / CAST(greatest(1, len(regexp_extract_all(text, '[.!?]+'))) AS DOUBLE))
+             - 84.6 * (CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS DOUBLE)
+                       / CAST(greatest(1, len(string_split(text, ' '))) AS DOUBLE)), 6) AS flesch
+FROM documents""",
     }

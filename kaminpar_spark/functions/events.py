@@ -1,0 +1,96 @@
+"""Event-stream product analytics over the events table.
+
+Batch kernels that complement the Structured Streaming surface in
+``kaminpar_spark/streaming/ingest.py`` (same events schema:
+``event_id, ts, user_id, event_type, value, props``). Everything here is
+hash-aggregate-shaped: the only window function runs over per-(type, bucket)
+aggregates — a time-bounded series, not the raw event log — so the plans
+carry a 100 TB event table where the raw-row windowed alternative would not.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+WEEK_S = 604_800  # epoch-aligned weeks: floor(unix_seconds / WEEK_S)
+
+
+def retention_cohorts(events: DataFrame) -> DataFrame:
+    """(cohort_week, week_offset, n_users, cohort_size, retention) — classic
+    cohort-retention matrix: users are assigned to the epoch-week of their
+    first event; each cell counts distinct users from that cohort active
+    ``week_offset`` weeks later.
+
+    Plan: one distinct over (user, week) — a hash aggregate on a table
+    already much smaller than the raw log — then a min-agg for cohorts and
+    one groupBy for the matrix. The cohort join is keyed on user_id (hash
+    join, no broadcast assumption: user cardinality is unbounded); the
+    cohort-size join is on week (tiny, broadcast). ``retention`` is the one
+    final IEEE division, rounded to 6.
+    """
+    wk = F.floor(F.unix_timestamp("ts") / WEEK_S).cast("long")
+    active = events.select("user_id", wk.alias("wk")).distinct()
+    cohort = active.groupBy("user_id").agg(F.min("wk").alias("cohort_week"))
+    sizes = cohort.groupBy("cohort_week").agg(
+        F.count("*").cast("long").alias("cohort_size")
+    )
+    cells = (
+        active.join(cohort.hint("shuffle_hash"), "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.col("wk") - F.col("cohort_week")).cast("long").alias("week_offset"),
+        )
+        .agg(F.count("*").cast("long").alias("n_users"))
+    )
+    return cells.join(F.broadcast(sizes), "cohort_week").select(
+        "cohort_week",
+        "week_offset",
+        "n_users",
+        "cohort_size",
+        F.round(F.col("n_users").cast("double") / F.col("cohort_size"), 6).alias(
+            "retention"
+        ),
+    )
+
+
+def burst_scores(events: DataFrame, bucket: str = "hour", trail: int = 8) -> DataFrame:
+    """(event_type, window_start, n_events, trail_sum, burst_num) — per-type
+    burst detection: each time bucket's count against the sum of the previous
+    ``trail`` observed buckets. ``burst_num = n_events * trail - trail_sum``
+    is an exact int64 (positive => the bucket runs above its trailing mean);
+    buckets without a full trailing history are dropped, so every emitted row
+    has an identically-defined score.
+
+    The window runs per event_type over *bucketed counts* (minutes/hours ×
+    types — years of hourly buckets are ~1e4 rows per type), after the raw
+    log has been collapsed by a map-side-combinable hash aggregate; the
+    per-type partition is never hub-sized.
+    """
+    b = events.groupBy(
+        F.date_trunc(bucket, F.col("ts")).alias("window_start"),
+        "event_type",
+    ).agg(F.count("*").cast("long").alias("n_events"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("window_start")
+        .rowsBetween(-trail, -1)
+    )
+    return (
+        b.select(
+            "event_type",
+            "window_start",
+            "n_events",
+            F.sum("n_events").over(w).cast("long").alias("trail_sum"),
+            F.count("n_events").over(w).alias("n_prev"),
+        )
+        .where(F.col("n_prev") == trail)
+        .select(
+            "event_type",
+            "window_start",
+            "n_events",
+            "trail_sum",
+            (F.col("n_events") * trail - F.col("trail_sum"))
+            .cast("long")
+            .alias("burst_num"),
+        )
+    )

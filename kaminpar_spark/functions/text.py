@@ -465,3 +465,40 @@ def cohesion_chunks(
         F.coalesce(F.array_min("cohs"), F.lit(-1)).cast("long").alias("min_cohesion"),
         F.aggregate("cohs", F.lit(0).cast("long"), lambda a, v: a + v).alias("coh_sum"),
     )
+
+
+def readability_scores(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, n_words, n_sentences, n_vowel_groups, flesch) — Flesch
+    reading-ease with a deterministic vowel-group syllable proxy:
+
+        flesch = 206.835 - 1.015*(words/sentences) - 84.6*(syllables/words)
+
+    Words are whitespace tokens, sentences are maximal ``[.!?]+`` runs,
+    syllables are maximal ``[aeiouy]+`` runs over the lowercased text — all
+    exact int64 counts (JVM regex, zero Python), with the one final IEEE
+    formula rounded to 6 so the DuckDB oracle reproduces it bit-for-bit.
+    Empty-ish documents are guarded with greatest(1, ...) denominators.
+    Map-only: no shuffle at any scale.
+    """
+    n_words = F.size(_tokens(text_col)).cast("long")
+    n_sent = F.size(
+        F.regexp_extract_all(F.col(text_col), F.lit(r"[.!?]+"), 0)
+    ).cast("long")
+    n_vow = F.size(
+        F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(r"[aeiouy]+"), 0)
+    ).cast("long")
+    w = F.greatest(F.lit(1).cast("long"), n_words).cast("double")
+    s = F.greatest(F.lit(1).cast("long"), n_sent).cast("double")
+    flesch = F.round(
+        F.lit(206.835) - F.lit(1.015) * (w / s) - F.lit(84.6) * (n_vow.cast("double") / w),
+        6,
+    )
+    return docs.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        n_sent.alias("n_sentences"),
+        n_vow.alias("n_vowel_groups"),
+        flesch.alias("flesch"),
+    )

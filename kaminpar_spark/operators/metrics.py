@@ -209,3 +209,70 @@ def comm_volume(graph, partition) -> "DataFrame":
             "n_nodes",
         )
     )
+
+
+def pair_counting_agreement(
+    labels_a: DataFrame, labels_b: DataFrame, label_col: str = "label"
+) -> DataFrame:
+    """Adjusted Rand Index between two node labelings, from exact pair counts.
+
+    Inputs are ``(id, <label_col>)`` DataFrames covering the same node set
+    (inner-joined on id). Everything up to the final division is exact int64:
+    with contingency counts n_ij, row sums a_i, column sums b_j and n nodes,
+
+        s2 = sum n_ij*(n_ij-1),  a2 = sum a_i*(a_i-1),
+        b2 = sum b_j*(b_j-1),    t2 = n*(n-1)
+
+    (doubled pair counts — the factor 2 cancels in the ratio) and
+
+        ARI = (2*s2*t2 - 2*a2*b2) / (t2*(a2+b2) - 2*a2*b2)
+
+    computed with doubles only in the one final expression (both engines run
+    the identical IEEE ops on the same integers, so round(6) is cross-engine
+    exact). Degenerate case (both labelings trivial => denominator 0) is
+    ARI = 1 by convention.
+
+    Scale shape: one equi-join on id plus three hash aggregates; the
+    contingency table has at most one cell per node, so every intermediate is
+    bounded by the node table. No windows, no collect.
+    """
+    a = labels_a.select("id", F.col(label_col).alias("la"))
+    b = labels_b.select("id", F.col(label_col).alias("lb"))
+    ct = a.join(b.hint("shuffle_hash"), "id").groupBy("la", "lb").agg(
+        F.count("*").cast("long").alias("n_ij")
+    )
+    s2_rows = ct.agg(
+        F.sum(F.col("n_ij") * (F.col("n_ij") - 1)).cast("long").alias("s2"),
+        F.sum("n_ij").cast("long").alias("n_nodes"),
+    )
+    a2_rows = (
+        ct.groupBy("la")
+        .agg(F.sum("n_ij").alias("ai"))
+        .agg(F.sum(F.col("ai") * (F.col("ai") - 1)).cast("long").alias("a2"))
+    )
+    b2_rows = (
+        ct.groupBy("lb")
+        .agg(F.sum("n_ij").alias("bi"))
+        .agg(F.sum(F.col("bi") * (F.col("bi") - 1)).cast("long").alias("b2"))
+    )
+    num = 2.0 * F.col("s2").cast("double") * F.col("t2").cast("double") - (
+        2.0 * F.col("a2").cast("double") * F.col("b2").cast("double")
+    )
+    den = F.col("t2").cast("double") * (
+        F.col("a2").cast("double") + F.col("b2").cast("double")
+    ) - 2.0 * F.col("a2").cast("double") * F.col("b2").cast("double")
+    return (
+        s2_rows.crossJoin(a2_rows)
+        .crossJoin(b2_rows)
+        .withColumn("t2", (F.col("n_nodes") * (F.col("n_nodes") - 1)).cast("long"))
+        .select(
+            "n_nodes",
+            "s2",
+            "a2",
+            "b2",
+            "t2",
+            F.when(den == 0.0, F.lit(1.0))
+            .otherwise(F.round(num / den, 6))
+            .alias("ari"),
+        )
+    )

@@ -1,0 +1,140 @@
+"""Pair-counting agreement (ARI), retention cohorts, burst scores, and
+readability — round-3 analytics additions."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+
+from kaminpar_spark.functions.events import burst_scores, retention_cohorts
+from kaminpar_spark.functions.text import readability_scores
+from kaminpar_spark.operators.metrics import pair_counting_agreement
+
+
+def labels(spark, assign: dict[int, int]):
+    return spark.createDataFrame(
+        [(k, v) for k, v in assign.items()], "id long, label long"
+    )
+
+
+def ari_of(spark, a: dict[int, int], b: dict[int, int]) -> float:
+    row = pair_counting_agreement(labels(spark, a), labels(spark, b)).first()
+    return row["ari"]
+
+
+def ari_reference(a: dict[int, int], b: dict[int, int]) -> float:
+    """Hand pair-counting ARI over all node pairs (O(n^2), tiny fixtures)."""
+    ids = sorted(a)
+    same_a = same_b = same_both = pairs = 0
+    for i, u in enumerate(ids):
+        for v in ids[i + 1 :]:
+            pairs += 1
+            sa, sb = a[u] == a[v], b[u] == b[v]
+            same_a += sa
+            same_b += sb
+            same_both += sa and sb
+    exp = same_a * same_b / pairs
+    mx = (same_a + same_b) / 2
+    if mx == exp:
+        return 1.0
+    return (same_both - exp) / (mx - exp)
+
+
+def test_ari_identical_is_one(spark):
+    a = {0: 0, 1: 0, 2: 1, 3: 1, 4: 2}
+    assert ari_of(spark, a, a) == 1.0
+    # relabeled copy: ARI is label-invariant
+    b = {k: v + 10 for k, v in a.items()}
+    assert ari_of(spark, a, b) == 1.0
+
+
+def test_ari_matches_hand_pair_counts(spark):
+    a = {0: 0, 1: 0, 2: 0, 3: 1, 4: 1, 5: 2}
+    b = {0: 0, 1: 0, 2: 1, 3: 1, 4: 1, 5: 2}
+    assert abs(ari_of(spark, a, b) - ari_reference(a, b)) < 1e-6
+
+
+def test_ari_degenerate_partitions(spark):
+    # both all-singletons: denominator 0 => convention ARI = 1
+    a = {i: i for i in range(4)}
+    assert ari_of(spark, a, a) == 1.0
+    # one cluster vs singletons: s2 = a2-or-b2 = 0 => ARI = 0
+    one = {i: 7 for i in range(4)}
+    assert ari_of(spark, one, {i: i for i in range(4)}) == 0.0
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+
+
+def test_retention_cohorts_two_cohorts(spark):
+    t0 = dt.datetime(2024, 1, 4)  # epoch week boundary-free midpoint
+    wk = dt.timedelta(seconds=604_800)
+    rows = [
+        # users 1,2 first seen week W; user 1 returns W+1 and W+2, user 2 only W+1
+        (0, t0, 1, "view", 1.0),
+        (1, t0, 2, "view", 1.0),
+        (2, t0 + wk, 1, "view", 1.0),
+        (3, t0 + wk, 2, "view", 1.0),
+        (4, t0 + 2 * wk, 1, "view", 1.0),
+        # user 3 is a W+1 cohort, never returns
+        (5, t0 + wk, 3, "view", 1.0),
+    ]
+    out = {
+        (r["week_offset"],): r
+        for r in retention_cohorts(_events(spark, rows)).collect()
+        if r["cohort_size"] == 2
+    }
+    assert out[(0,)]["n_users"] == 2 and out[(0,)]["retention"] == 1.0
+    assert out[(1,)]["n_users"] == 2
+    assert out[(2,)]["n_users"] == 1 and out[(2,)]["retention"] == 0.5
+    # the W+1 cohort (user 3 only) has exactly its offset-0 row
+    solo = [
+        r
+        for r in retention_cohorts(_events(spark, rows)).collect()
+        if r["cohort_size"] == 1
+    ]
+    assert len(solo) == 1 and solo[0]["week_offset"] == 0
+
+
+def test_burst_scores_flags_spike(spark):
+    t0 = dt.datetime(2024, 3, 1)
+    rows = []
+    eid = 0
+    # 10 hourly buckets of 2 events, then one bucket of 12
+    for h in range(10):
+        for _ in range(2):
+            rows.append((eid, t0 + dt.timedelta(hours=h), 1, "click", 0.0))
+            eid += 1
+    for _ in range(12):
+        rows.append((eid, t0 + dt.timedelta(hours=10), 1, "click", 0.0))
+        eid += 1
+    out = burst_scores(_events(spark, rows), bucket="hour", trail=8).collect()
+    # first 8 buckets have no full trail; buckets 8..10 emit
+    assert len(out) == 3
+    by_start = {r["window_start"].hour: r for r in out}
+    assert by_start[8]["burst_num"] == 0 and by_start[9]["burst_num"] == 0
+    spike = by_start[10]
+    assert spike["n_events"] == 12 and spike["trail_sum"] == 16
+    assert spike["burst_num"] == 12 * 8 - 16
+
+
+def test_readability_counts_and_formula(spark):
+    docs = spark.createDataFrame(
+        [(0, "The cat sat. It purred!"), (1, "")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in readability_scores(docs).collect()}
+    r0 = out[0]
+    assert r0["n_words"] == 5
+    assert r0["n_sentences"] == 2
+    # e, a, a, i, u, e => vowel runs: The(1) cat(1) sat(1) It(1) purred(2... 'u','e') = 6
+    assert r0["n_vowel_groups"] == 6
+    expected = round(206.835 - 1.015 * (5 / 2) - 84.6 * (6 / 5), 6)
+    assert abs(r0["flesch"] - expected) < 1e-9
+    # empty doc: guarded denominators, zero counts
+    r1 = out[1]
+    assert r1["n_sentences"] == 0 and r1["n_vowel_groups"] == 0
+    assert r1["flesch"] is not None
