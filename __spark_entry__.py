@@ -920,6 +920,7 @@ def _q_ngram_jaccard(spark, sf_dir):
 MINHASH_K = 32
 MINHASH_BANDS = 8
 MINHASH_THRESH = 0.7
+GROUP_SPLIT_TEST = 0.2  # group_split: test share over near-dup clusters
 SIMHASH_MAXHAM = 8
 SIMHASH_MAX_BUCKET = 10_000  # per-(band,bucket) size guard; never binds at sf0.01
 LSH_PLANES = 8
@@ -3038,6 +3039,31 @@ def _q_event_bursts(spark, sf_dir):
     )
 
 
+def _q_group_split(spark, sf_dir):
+    """Leakage-safe train/test split: near-dup cluster members always land in
+    the same split because the Lehmer-mixed hash gate keys on the canonical
+    cluster id (functions/pipeline.group_split). The oracle evaluates the
+    identical polynomial hash over the recursive-CTE cluster closure."""
+    from kaminpar_spark.functions.pipeline import group_split
+
+    return group_split(
+        _load(spark, sf_dir, "documents"),
+        test_share=GROUP_SPLIT_TEST,
+        threshold=MINHASH_THRESH, num_hashes=MINHASH_K, bands=MINHASH_BANDS,
+    )
+
+
+def _q_null_model(spark, sf_dir):
+    """Configuration-model null diagnostic: Molloy-Reed <d^2>/<d>, the
+    degree-sequence triangle expectation, and observed/expected closure
+    (operators/stats.null_model_stats). Exact int64 degree sums + the
+    degree-oriented triangle count; three final IEEE ratios."""
+    from kaminpar_spark.operators.stats import null_model_stats
+
+    g, _ = _graph(spark, sf_dir)
+    return null_model_stats(g)
+
+
 def _q_readability(spark, sf_dir):
     """Flesch reading-ease with exact integer word / sentence-run /
     vowel-group counts and the one final IEEE formula rounded to 6
@@ -3233,6 +3259,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retention_cohorts": _q_retention_cohorts,
         "event_bursts": _q_event_bursts,
         "readability": _q_readability,
+        "group_split": _q_group_split,
+        "null_model": _q_null_model,
     }
 
 
@@ -4487,6 +4515,51 @@ reach(id, lbl) AS (
 comp AS (SELECT id, MIN(lbl) AS comp FROM reach GROUP BY id)
 SELECT d.doc_id, CAST(COALESCE(c.comp, d.doc_id) AS BIGINT) AS cluster_id
 FROM documents d LEFT JOIN comp c ON d.doc_id = c.id"""
+
+
+def _group_split_sql() -> str:
+    """Leakage-safe split twin: the near-dup cluster closure (recursive CTE)
+    plus the identical Lehmer-mixed polynomial hash gate on cluster_id. All
+    hash values are in [0, POLY_MOD), so plain % equals pmod."""
+    from kaminpar_spark.functions.hashing import POLY_MOD, char_poly_hash_sql
+
+    h = char_poly_hash_sql("'split' || CAST(cluster_id AS VARCHAR)")
+    cut = int(round(GROUP_SPLIT_TEST * 10000))
+    return f"""
+WITH nd AS ({_near_dup_clusters_sql()})
+SELECT doc_id, cluster_id,
+       CASE WHEN ((({h}) * 48271) % {POLY_MOD}) % 10000 < {cut}
+            THEN 'test' ELSE 'train' END AS split
+FROM nd"""
+
+
+_NULL_MODEL_SQL = f"""WITH {_EDGES_CTE},
+oe AS MATERIALIZED (
+  SELECT e.src, e.dst
+  FROM edges e JOIN deg a ON e.src = a.id JOIN deg b ON e.dst = b.id
+  WHERE (a.degree < b.degree) OR (a.degree = b.degree AND e.src < e.dst)),
+tri AS (
+  SELECT CAST(count(*) AS BIGINT) AS triangles
+  FROM oe e1 JOIN oe e2 ON e1.dst = e2.src
+             JOIN oe e3 ON e3.src = e1.src AND e3.dst = e2.dst),
+ds AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+         CAST(sum(degree) AS BIGINT) AS sum_d,
+         CAST(sum(degree * degree) AS BIGINT) AS sum_d2,
+         CAST(sum(degree * (degree - 1)) AS BIGINT) AS sum_dd1
+  FROM deg)
+SELECT n_nodes, sum_d // 2 AS n_edges, sum_d2, sum_dd1, triangles,
+  CASE WHEN sum_d = 0 THEN NULL
+       ELSE round(CAST(sum_d2 AS DOUBLE) / CAST(sum_d AS DOUBLE), 6) END AS molloy_reed,
+  CASE WHEN sum_d = 0 THEN NULL
+       ELSE round((CAST(sum_dd1 AS DOUBLE) * CAST(sum_dd1 AS DOUBLE) * CAST(sum_dd1 AS DOUBLE))
+                  / (6.0 * CAST(sum_d AS DOUBLE) * CAST(sum_d AS DOUBLE) * CAST(sum_d AS DOUBLE)), 6)
+       END AS expected_triangles,
+  CASE WHEN sum_dd1 = 0 THEN NULL
+       ELSE round((CAST(triangles AS DOUBLE) * 6.0 * CAST(sum_d AS DOUBLE) * CAST(sum_d AS DOUBLE) * CAST(sum_d AS DOUBLE))
+                  / (CAST(sum_dd1 AS DOUBLE) * CAST(sum_dd1 AS DOUBLE) * CAST(sum_dd1 AS DOUBLE)), 6)
+       END AS tri_ratio
+FROM ds, tri"""
 
 
 def _stratified_sample_sql() -> str:
@@ -7352,4 +7425,6 @@ SELECT doc_id,
              - 84.6 * (CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS DOUBLE)
                        / CAST(greatest(1, len(string_split(text, ' '))) AS DOUBLE)), 6) AS flesch
 FROM documents""",
+        "group_split": _group_split_sql(),
+        "null_model": _NULL_MODEL_SQL,
     }

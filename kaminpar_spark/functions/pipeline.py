@@ -349,3 +349,42 @@ def dedup_keep_best(
             (F.col("n_members") - 1).cast("long").alias("n_dropped"),
         )
     )
+
+
+def group_split(
+    docs: DataFrame,
+    test_share: float = 0.2,
+    threshold: float = 0.7,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    salt: str = "split",
+    resolution: int = 10000,
+) -> DataFrame:
+    """(doc_id, cluster_id, split) — leakage-safe train/test split: the hash
+    gate keys on the near-dup CLUSTER id (canonical min doc_id), not the
+    document id, so near-duplicate documents can never straddle the split —
+    the classic eval-contamination channel a per-doc split leaves open.
+
+    Same deterministic Lehmer-mixed polynomial-hash gate as
+    ``stratified_sample`` (reproducible across runs, partitionings, and
+    engines); the near-dup clustering is the already-scale-shaped
+    ``near_dup_clusters`` (LSH pair graph -> CC), and the gate itself is a
+    pure narrow map over its output.
+    """
+    from kaminpar_spark.functions.hashing import POLY_MOD, char_poly_hash
+
+    clusters = near_dup_clusters(
+        docs, threshold=threshold, num_hashes=num_hashes, bands=bands,
+        shingle_n=shingle_n, id_col=id_col, text_col=text_col,
+    )
+    h = char_poly_hash(F.concat(F.lit(salt), F.col("cluster_id").cast("string")))
+    bucket = F.pmod(F.pmod(h * F.lit(48271), F.lit(POLY_MOD)), F.lit(resolution))
+    cut = int(round(test_share * resolution))
+    return clusters.select(
+        F.col(id_col),
+        "cluster_id",
+        F.when(bucket < cut, F.lit("test")).otherwise(F.lit("train")).alias("split"),
+    )

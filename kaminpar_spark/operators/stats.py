@@ -108,3 +108,62 @@ def degree_assortativity(graph: GraphFrame) -> DataFrame:
     return s.select(
         F.round(num / F.sqrt(vx) / F.sqrt(vy), 6).alias("assortativity")
     )
+
+
+def null_model_stats(graph: GraphFrame) -> DataFrame:
+    """One-row configuration-model null diagnostic:
+
+    (n_nodes, n_edges, sum_d2, sum_dd1, triangles, molloy_reed,
+     expected_triangles, tri_ratio)
+
+    - molloy_reed = <d^2>/<d> = sum_d2/sum_d — the Molloy-Reed criterion
+      (giant component in the configuration model iff > 2).
+    - expected_triangles = (sum d(d-1))^3 / (6 * (2m)^3) — the config-model
+      triangle expectation from the degree sequence alone.
+    - tri_ratio = observed/expected — how far the real graph's closure sits
+      above its degree-preserving null (clustering beyond what hubs force).
+
+    Every sufficient statistic is an exact int64 hash aggregate (degree sums
+    + the degree-oriented wedge-join triangle count); the three derived
+    ratios are final IEEE expressions rounded to 6, mirrored verbatim by the
+    DuckDB oracle. Degenerate graphs (no edges / no wedges) yield NULLs
+    rather than infinities.
+    """
+    from kaminpar_spark.operators.triangles import oriented_edges
+    from kaminpar_spark.plans.lineage import truncate
+
+    e = truncate(oriented_edges(graph))
+    w1 = e.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+    w2 = e.select(F.col("src").alias("v"), F.col("dst").alias("w"))
+    closing = e.select(F.col("src").alias("u"), F.col("dst").alias("w"))
+    tri = (
+        w1.join(w2.hint("shuffle_hash"), "v")
+        .select("u", "w")
+        .join(closing.hint("shuffle_hash"), ["u", "w"], "inner")
+        .agg(F.count("*").cast("long").alias("triangles"))
+    )
+    ds = graph.degrees().agg(
+        F.count("*").cast("long").alias("n_nodes"),
+        F.sum("degree").cast("long").alias("sum_d"),
+        F.sum(F.col("degree") * F.col("degree")).cast("long").alias("sum_d2"),
+        F.sum(F.col("degree") * (F.col("degree") - 1)).cast("long").alias("sum_dd1"),
+    )
+    sd = F.col("sum_d").cast("double")
+    s1 = F.col("sum_dd1").cast("double")
+    t = F.col("triangles").cast("double")
+    return ds.crossJoin(tri).select(
+        "n_nodes",
+        (F.col("sum_d") / 2).cast("long").alias("n_edges"),
+        "sum_d2",
+        "sum_dd1",
+        "triangles",
+        F.when(F.col("sum_d") == 0, F.lit(None).cast("double"))
+        .otherwise(F.round(F.col("sum_d2").cast("double") / sd, 6))
+        .alias("molloy_reed"),
+        F.when(F.col("sum_d") == 0, F.lit(None).cast("double"))
+        .otherwise(F.round((s1 * s1 * s1) / (F.lit(6.0) * sd * sd * sd), 6))
+        .alias("expected_triangles"),
+        F.when(F.col("sum_dd1") == 0, F.lit(None).cast("double"))
+        .otherwise(F.round((t * F.lit(6.0) * sd * sd * sd) / (s1 * s1 * s1), 6))
+        .alias("tri_ratio"),
+    )

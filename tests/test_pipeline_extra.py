@@ -138,3 +138,46 @@ def test_dedup_keep_best_picks_longest_then_lowest_id(spark):
     big = out[0]
     assert big["kept_doc"] == 1 and big["n_members"] == 3 and big["n_dropped"] == 2
     assert out[3]["kept_doc"] == 3 and out[3]["n_dropped"] == 0
+
+
+def test_group_split_leakage_free_and_deterministic(spark):
+    from kaminpar_spark.functions.pipeline import group_split
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (0, base, "en"),
+        (1, base + " mu", "en"),            # near-dup chain 0~1~2
+        (2, base + " mu nu", "en"),
+        (3, "totally different words entirely here nothing shared at all okay", "en"),
+    ] + [(10 + i, f"unique document number {i} with its own words {i*7} {i*13}", "en")
+         for i in range(60)]
+    docs = _docs(spark, rows)
+    out = group_split(docs, test_share=0.3, threshold=0.5, num_hashes=32, bands=16)
+    a = {r["doc_id"]: (r["cluster_id"], r["split"]) for r in out.collect()}
+    # every doc present, splits well-formed
+    assert len(a) == len(rows)
+    assert {s for _, s in a.values()} <= {"train", "test"}
+    # leakage invariant: the whole near-dup chain shares one cluster AND one split
+    assert a[0] == a[1] == a[2]
+    # deterministic: a second run is identical
+    b = {r["doc_id"]: (r["cluster_id"], r["split"]) for r in out.collect()}
+    assert a == b
+    # both splits populated on a 60+ doc corpus at 30%
+    splits = [s for _, s in a.values()]
+    assert splits.count("test") > 0 and splits.count("train") > 0
+
+
+def test_group_split_no_cluster_straddles(spark):
+    from kaminpar_spark.functions.pipeline import group_split
+    from pyspark.sql import functions as F
+
+    rows = [(i, f"padding words shared shared shared {i % 5}", "en") for i in range(40)]
+    out = group_split(_docs(spark, rows), test_share=0.5, threshold=0.3,
+                      num_hashes=32, bands=16)
+    straddlers = (
+        out.groupBy("cluster_id")
+        .agg(F.countDistinct("split").alias("k"))
+        .where(F.col("k") > 1)
+        .count()
+    )
+    assert straddlers == 0

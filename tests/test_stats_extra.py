@@ -102,3 +102,31 @@ def test_domain_mix_drops_unlisted_and_is_deterministic(spark):
     a = sorted(r["doc_id"] for r in out.collect())
     b = sorted(r["doc_id"] for r in out.collect())
     assert a == b and len(a) > 0
+
+
+def test_null_model_stats_k3(spark):
+    from kaminpar_spark import fixtures
+    from kaminpar_spark.operators.stats import null_model_stats
+
+    r = null_model_stats(fixtures.k3(spark)).first()
+    # triangle: degrees all 2 => sum_d=6, sum_d2=12, sum_dd1=6, one triangle
+    assert r["n_nodes"] == 3 and r["n_edges"] == 3
+    assert r["sum_d2"] == 12 and r["sum_dd1"] == 6 and r["triangles"] == 1
+    assert r["molloy_reed"] == 2.0
+    # expected = 6^3 / (6 * 6^3) = 1/6; observed/expected = 6
+    assert abs(r["expected_triangles"] - round(1 / 6, 6)) < 1e-9
+    assert r["tri_ratio"] == 6.0
+
+
+def test_null_model_stats_star(spark):
+    from kaminpar_spark import fixtures
+    from kaminpar_spark.operators.stats import null_model_stats
+
+    r = null_model_stats(fixtures.star5(spark)).first()
+    # star5: center degree 4, leaves 1 => sum_d=8, sum_d2=20, sum_dd1=12
+    assert r["n_nodes"] == 5 and r["n_edges"] == 4
+    assert r["sum_d2"] == 20 and r["sum_dd1"] == 12
+    assert r["triangles"] == 0 and r["tri_ratio"] == 0.0
+    assert r["molloy_reed"] == 2.5
+    # expected = 12^3 / (6 * 8^3) = 1728/3072 = 0.5625
+    assert abs(r["expected_triangles"] - 0.5625) < 1e-9
