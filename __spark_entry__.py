@@ -921,6 +921,8 @@ MINHASH_K = 32
 MINHASH_BANDS = 8
 MINHASH_THRESH = 0.7
 GROUP_SPLIT_TEST = 0.2  # group_split: test share over near-dup clusters
+CONTAIN_THRESH = 0.5  # ngram_containment: |A∩B|/min(|A|,|B|) cutoff
+CONTAIN_DF_CAP = 20  # ngram_containment: rare-shingle candidate df bound
 SIMHASH_MAXHAM = 8
 SIMHASH_MAX_BUCKET = 10_000  # per-(band,bucket) size guard; never binds at sf0.01
 LSH_PLANES = 8
@@ -3039,6 +3041,19 @@ def _q_event_bursts(spark, sf_dir):
     )
 
 
+def _q_ngram_containment(spark, sf_dir):
+    """Asymmetric containment near-dups |A∩B|/min(|A|,|B|) over exact shingle
+    sets — catches doc-inclusion duplication Jaccard misses. Rare-shingle
+    (df <= CONTAIN_DF_CAP) posting-list candidates, exact verify
+    (functions/dedup.containment_pairs)."""
+    from kaminpar_spark.functions.dedup import containment_pairs
+
+    return containment_pairs(
+        _load(spark, sf_dir, "documents"),
+        threshold=CONTAIN_THRESH, df_cap=CONTAIN_DF_CAP,
+    )
+
+
 def _q_group_split(spark, sf_dir):
     """Leakage-safe train/test split: near-dup cluster members always land in
     the same split because the Lehmer-mixed hash gate keys on the canonical
@@ -3261,6 +3276,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "readability": _q_readability,
         "group_split": _q_group_split,
         "null_model": _q_null_model,
+        "ngram_containment": _q_ngram_containment,
     }
 
 
@@ -7427,4 +7443,26 @@ SELECT doc_id,
 FROM documents""",
         "group_split": _group_split_sql(),
         "null_model": _NULL_MODEL_SQL,
+        "ngram_containment": f"""
+WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+idx AS (SELECT doc_id, w, unnest(range(greatest(len(w) - 2, 1))) AS i FROM d),
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(array_slice(w, i + 1, i + 3), ' ') AS gram
+  FROM idx WHERE array_to_string(array_slice(w, i + 1, i + 3), ' ') <> ''),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+rare AS (SELECT gram FROM sh GROUP BY gram HAVING count(*) <= {CONTAIN_DF_CAP}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sh a JOIN rare r ON a.gram = r.gram
+            JOIN sh b ON b.gram = a.gram AND a.doc_id < b.doc_id),
+inter AS (
+  SELECT c.id_a, c.id_b, count(*) AS n_inter
+  FROM cand c JOIN sh a ON a.doc_id = c.id_a
+              JOIN sh b ON b.doc_id = c.id_b AND b.gram = a.gram
+  GROUP BY c.id_a, c.id_b)
+SELECT i.id_a, i.id_b, CAST(i.n_inter AS BIGINT) AS n_inter,
+       CAST(sa.sz AS BIGINT) AS sz_a, CAST(sb.sz AS BIGINT) AS sz_b,
+       round(CAST(i.n_inter AS DOUBLE) / least(sa.sz, sb.sz), 6) AS containment
+FROM inter i JOIN sizes sa ON i.id_a = sa.doc_id JOIN sizes sb ON i.id_b = sb.doc_id
+WHERE CAST(i.n_inter AS DOUBLE) / least(sa.sz, sb.sz) >= {CONTAIN_THRESH}""",
     }

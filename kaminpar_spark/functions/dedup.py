@@ -940,3 +940,75 @@ def strip_dup_spans(
             .alias("n_removed"),
         )
     )
+
+
+def containment_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    df_cap: int = 50,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(id_a, id_b, n_inter, sz_a, sz_b, containment) — ASYMMETRIC near-dup
+    detection: containment = |A∩B| / min(|A|,|B|) over exact n-gram shingle
+    sets. Catches doc-inclusion duplication (a document quoted or embedded
+    inside a larger one) that Jaccard structurally misses — a small doc fully
+    contained in a big one has Jaccard |A|/|B| ≈ 0 but containment 1.
+
+    Candidate generation is a rare-shingle posting-list join: only shingles
+    with document frequency <= ``df_cap`` generate candidates, so the
+    self-join fan-out per shingle is bounded by df_cap (boilerplate shingles
+    shared by half the corpus never explode the join). The containment is
+    then verified EXACTLY over the full shingle sets of each candidate pair.
+    Completeness contract: a pair is found iff it shares at least one rare
+    shingle — true duplicates almost always do; a pair overlapping ONLY in
+    corpus-wide boilerplate is (deliberately) not a duplicate signal.
+    """
+    sh = shingles(docs, id_col, text_col, n=shingle_n)
+    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
+    rare_keys = (
+        sh.groupBy("shingle_hash")
+        .agg(F.count("*").alias("df"))
+        .where(F.col("df") <= df_cap)
+        .select("shingle_hash")
+    )
+    rare = sh.join(rare_keys.hint("shuffle_hash"), "shingle_hash", "left_semi")
+    cand = (
+        rare.select(F.col("id").alias("id_a"), "shingle_hash")
+        .join(
+            rare.select(F.col("id").alias("id_b"), "shingle_hash").hint(
+                "shuffle_hash"
+            ),
+            "shingle_hash",
+        )
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    a = sh.select(F.col("id").alias("id_a"), "shingle_hash")
+    b = sh.select(F.col("id").alias("id_b"), "shingle_hash")
+    inter = (
+        cand.join(a.hint("shuffle_hash"), "id_a")
+        .join(b.hint("shuffle_hash"), ["id_b", "shingle_hash"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").cast("long").alias("n_inter"))
+    )
+    raw = F.col("n_inter").cast("double") / F.least("sz_a", "sz_b")
+    return (
+        inter.join(
+            sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a")), "id_a"
+        )
+        .join(
+            sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b")), "id_b"
+        )
+        .where(raw >= threshold)
+        .select(
+            "id_a",
+            "id_b",
+            "n_inter",
+            F.col("sz_a").cast("long").alias("sz_a"),
+            F.col("sz_b").cast("long").alias("sz_b"),
+            F.round(raw, 6).alias("containment"),
+        )
+    )

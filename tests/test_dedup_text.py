@@ -629,3 +629,67 @@ def test_cohesion_chunks(spark):
     assert got[1]["n_candidates"] == 0  # too short: single chunk
     assert got[1]["n_chunks"] == 1
     assert got[2]["n_chunks"] == 1      # homogeneous doc: no boundary
+
+
+def _shingle_set(text_: str, n: int = 3) -> set[str]:
+    toks = text_.lower().split(" ")
+    idx = range(max(len(toks) - n, 0) + 1)
+    return {" ".join(toks[i : i + n]) for i in idx if " ".join(toks[i : i + n])}
+
+
+def test_containment_catches_doc_inclusion(spark):
+    small = "alpha beta gamma delta epsilon zeta"
+    big = (
+        "one two three four five six seven eight nine ten "
+        + small
+        + " eleven twelve thirteen fourteen fifteen sixteen seventeen"
+    )
+    docs = spark.createDataFrame(
+        [(0, small), (1, big), (2, "unrelated words entirely different here")],
+        "doc_id long, text string",
+    )
+    out = dedup.containment_pairs(docs, threshold=0.8, df_cap=10).collect()
+    # the embedded doc is fully contained: containment 1.0 even though
+    # Jaccard = |A|/|B| is far below any dedup threshold
+    assert len(out) == 1
+    r = out[0]
+    assert (r["id_a"], r["id_b"]) == (0, 1)
+    assert r["containment"] == 1.0
+    sa, sb = _shingle_set(small), _shingle_set(big)
+    assert r["n_inter"] == len(sa & sb)
+    assert (r["sz_a"], r["sz_b"]) == (len(sa), len(sb))
+    jacc = len(sa & sb) / len(sa | sb)
+    assert jacc < 0.3  # Jaccard would have missed this pair
+
+
+def test_containment_matches_bruteforce(spark):
+    rows = [
+        (0, "red green blue yellow purple orange pink"),
+        (1, "red green blue yellow purple brown black"),
+        (2, "red green blue cyan magenta white grey"),
+        (3, "totally disjoint vocabulary set over here now"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["id_a"], r["id_b"]): r["containment"]
+        for r in dedup.containment_pairs(docs, threshold=0.2, df_cap=10).collect()
+    }
+    sets = {i: _shingle_set(t) for i, t in rows}
+    want = {}
+    for a in range(4):
+        for b in range(a + 1, 4):
+            inter = len(sets[a] & sets[b])
+            if inter and inter / min(len(sets[a]), len(sets[b])) >= 0.2:
+                want[(a, b)] = round(inter / min(len(sets[a]), len(sets[b])), 6)
+    assert got == want
+
+
+def test_containment_df_cap_drops_boilerplate_only_pairs(spark):
+    # every doc shares the SAME boilerplate prefix; with df_cap below the
+    # corpus size those shared shingles generate no candidates, and the
+    # docs overlap in nothing else -> no pairs
+    boiler = "standard legal disclaimer text appears here"
+    rows = [(i, boiler + f" unique tail {i} content {i * 7}") for i in range(6)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = dedup.containment_pairs(docs, threshold=0.1, df_cap=3).collect()
+    assert out == []
