@@ -3041,6 +3041,22 @@ def _q_event_bursts(spark, sf_dir):
     )
 
 
+def _q_leiden_refine(spark, sf_dir):
+    """Leiden-style refinement of the Louvain level: Louvain's known defect
+    is internally-DISCONNECTED communities (a badly-ordered move can leave a
+    community whose members aren't mutually reachable inside it); Leiden's
+    core fix is to split every community into its connected pieces. Here:
+    hash-to-min CC over the community-induced edge subset (same-comm edges
+    only), refined = min node id within (comm ∩ component). Nodes with no
+    intra-community edge stay singletons. Both stages are this engine's own
+    green kernels; the subgraph filter is one semi-join-shaped edge pass."""
+    from kaminpar_spark.operators.louvain import louvain_level, refine_disconnected
+
+    g, _ = _graph(spark, sf_dir)
+    labels = louvain_level(g, g.total_edge_weight(), rounds=LOUVAIN_ROUNDS)
+    return refine_disconnected(g, labels, max_iters=CC_STEPS)
+
+
 def _q_ngram_containment(spark, sf_dir):
     """Asymmetric containment near-dups |A∩B|/min(|A|,|B|) over exact shingle
     sets — catches doc-inclusion duplication Jaccard misses. Rare-shingle
@@ -3277,6 +3293,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_split": _q_group_split,
         "null_model": _q_null_model,
         "ngram_containment": _q_ngram_containment,
+        "leiden_refine": _q_leiden_refine,
     }
 
 
@@ -4531,6 +4548,36 @@ reach(id, lbl) AS (
 comp AS (SELECT id, MIN(lbl) AS comp FROM reach GROUP BY id)
 SELECT d.doc_id, CAST(COALESCE(c.comp, d.doc_id) AS BIGINT) AS cluster_id
 FROM documents d LEFT JOIN comp c ON d.doc_id = c.id"""
+
+
+def _leiden_refine_sql() -> str:
+    """Louvain CTE chain -> community-induced edge subset -> the same
+    unrolled two-phase hash-to-min CC chain as _cc_sql, run over iedges.
+    Both engines reach the min-id fixpoint, so step-count differences from
+    early termination cannot diverge."""
+    lctes, final = _louvain_ctes()
+    prev = "r0"
+    steps = ""
+    for i in range(1, CC_STEPS + 1):
+        steps += f""",
+r{i}a AS MATERIALIZED (
+  SELECT n.id, least(n.comp, coalesce(m.mn, n.comp)) AS comp
+  FROM {prev} n LEFT JOIN (
+    SELECT e.dst AS id, min(c.comp) AS mn
+    FROM iedges e JOIN {prev} c ON e.src = c.id GROUP BY e.dst) m
+  ON n.id = m.id),
+r{i} AS MATERIALIZED (
+  SELECT a.id, coalesce(b.comp, a.comp) AS comp
+  FROM r{i}a a LEFT JOIN r{i}a b ON a.comp = b.id)"""
+        prev = f"r{i}"
+    return f"""WITH {_EDGES_CTE}{lctes},
+iedges AS MATERIALIZED (
+  SELECT e.src, e.dst
+  FROM edges e JOIN {final} a ON a.id = e.src JOIN {final} b ON b.id = e.dst
+  WHERE a.comm = b.comm),
+r0 AS (SELECT id, id AS comp FROM nodes){steps}
+SELECT l.id, l.comm, CAST(r.comp AS BIGINT) AS refined
+FROM {final} l JOIN {prev} r ON r.id = l.id"""
 
 
 def _group_split_sql() -> str:
@@ -7465,4 +7512,5 @@ SELECT i.id_a, i.id_b, CAST(i.n_inter AS BIGINT) AS n_inter,
        round(CAST(i.n_inter AS DOUBLE) / least(sa.sz, sb.sz), 6) AS containment
 FROM inter i JOIN sizes sa ON i.id_a = sa.doc_id JOIN sizes sb ON i.id_b = sb.doc_id
 WHERE CAST(i.n_inter AS DOUBLE) / least(sa.sz, sb.sz) >= {CONTAIN_THRESH}""",
+        "leiden_refine": _leiden_refine_sql(),
     }

@@ -218,3 +218,33 @@ def louvain(
     # canonical labels: min original member id per community
     canon = mapping.groupBy("c_id").agg(F.min("id").alias("comm"))
     return mapping.join(canon, "c_id").select("id", "comm")
+
+
+def refine_disconnected(graph: GraphFrame, labels: DataFrame, max_iters: int = 50) -> DataFrame:
+    """(id, comm, refined) — Leiden-style connectivity refinement: split every
+    community into its connected pieces (refined = min node id within
+    comm ∩ component). Louvain's known defect is internally-disconnected
+    communities (Traag et al. 2019's motivating pathology); this pass
+    guarantees each refined label is internally connected.
+
+    Plan: one two-join filter to the community-induced edge subset, then the
+    engine's own hash-to-min CC over that (strictly smaller) edge table —
+    nodes with no intra-community edge stay singletons. No windows, no
+    collect; CC supersteps converge in O(diameter of the largest community).
+    """
+    from kaminpar_spark.operators.components import connected_components
+
+    ls = labels.select(F.col("id").alias("src"), F.col("comm").alias("c_src"))
+    ld = labels.select(F.col("id").alias("dst"), F.col("comm").alias("c_dst"))
+    intra = (
+        graph.edges.join(ls.hint("shuffle_hash"), "src")
+        .join(ld.hint("shuffle_hash"), "dst")
+        .where(F.col("c_src") == F.col("c_dst"))
+        .select("src", "dst", "weight")
+    )
+    cc = connected_components(
+        GraphFrame(edges=intra, nodes=graph.nodes), max_iters=max_iters, two_phase=True
+    )
+    return labels.join(cc.hint("shuffle_hash"), "id").select(
+        "id", "comm", F.col("comp").cast("long").alias("refined")
+    )

@@ -61,3 +61,45 @@ def test_multilevel_improves_modularity_on_transcript_graph(spark):
     # labels cover every node exactly once
     assert comm.count() == g.num_nodes()
     assert comm.select("id").distinct().count() == g.num_nodes()
+
+
+def test_refine_disconnected_splits_bridgeless_community(spark):
+    from kaminpar_spark import fixtures
+    from kaminpar_spark.operators.louvain import refine_disconnected
+    from pyspark.sql import functions as F
+
+    # two triangles {0,1,2} and {3,4,5} joined by one bridge 2-3
+    edges = [(0, 1), (1, 2), (0, 2), (3, 4), (4, 5), (3, 5), (2, 3)]
+    g = fixtures._graph(spark, [(a, b, 1) for a, b in edges])
+    # planted PATHOLOGICAL labels: community 0 = {0,1,2,3,4,5} minus the
+    # bridge? no — make comm 7 = {0,1,4,5}: internally disconnected (no edge
+    # between {0,1} and {4,5}); comm 9 = {2,3}: connected via the bridge
+    labels = spark.createDataFrame(
+        [(0, 7), (1, 7), (4, 7), (5, 7), (2, 9), (3, 9)], "id long, comm long"
+    )
+    out = {r["id"]: (r["comm"], r["refined"]) for r in refine_disconnected(g, labels).collect()}
+    # the disconnected community splits into its two pieces
+    assert out[0] == (7, 0) and out[1] == (7, 0)
+    assert out[4] == (7, 4) and out[5] == (7, 4)
+    # the connected community is untouched (one piece, min id 2)
+    assert out[2] == (9, 2) and out[3] == (9, 2)
+
+
+def test_refine_disconnected_is_noop_on_connected_labels(spark):
+    from kaminpar_spark import fixtures
+    from kaminpar_spark.operators.louvain import louvain_level, refine_disconnected
+    from pyspark.sql import functions as F
+
+    g = fixtures.grid8(spark)
+    labels = louvain_level(g, g.total_edge_weight(), rounds=2)
+    out = refine_disconnected(g, labels)
+    # every real Louvain community here is connected -> refined is a
+    # relabeling that preserves the partition (same number of groups, and
+    # each comm maps to exactly one refined label)
+    split = (
+        out.groupBy("comm")
+        .agg(F.countDistinct("refined").alias("k"))
+        .where(F.col("k") > 1)
+        .count()
+    )
+    assert split == 0
