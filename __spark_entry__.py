@@ -3057,6 +3057,55 @@ def _q_leiden_refine(spark, sf_dir):
     return refine_disconnected(g, labels, max_iters=CC_STEPS)
 
 
+def _q_tie_overlap(spark, sf_dir):
+    """Granovetter/Onnela tie-strength structure: per canonical edge the
+    common-neighbor count (truss-family edge_support kernel) and the
+    neighborhood overlap O = |N(a)∩N(b)| / (|N(a)|+|N(b)|−2−|N(a)∩N(b)|)
+    (Onnela et al. 2007). overlap = 0 identifies LOCAL BRIDGES (span > 2,
+    the weak ties that shortcut communities); this transcript graph has none
+    — every tie is embedded — which is itself the measured finding. Exact
+    int64 counts + one final IEEE ratio."""
+    from kaminpar_spark.operators.truss import canonical_edges, edge_support
+
+    g, _ = _graph(spark, sf_dir)
+    sup = edge_support(canonical_edges(g))
+    deg = g.degrees().select("id", F.col("degree").cast("long").alias("d"))
+    den = F.col("d_a") + F.col("d_b") - 2 - F.col("support")
+    return (
+        sup.join(
+            deg.select(F.col("id").alias("a"), F.col("d").alias("d_a")).hint(
+                "shuffle_hash"
+            ),
+            "a",
+        )
+        .join(
+            deg.select(F.col("id").alias("b"), F.col("d").alias("d_b")).hint(
+                "shuffle_hash"
+            ),
+            "b",
+        )
+        .select(
+            "a",
+            "b",
+            "support",
+            "d_a",
+            "d_b",
+            F.when(den <= 0, F.lit(0.0))
+            .otherwise(F.round(F.col("support").cast("double") / den, 6))
+            .alias("overlap"),
+        )
+    )
+
+
+def _q_dau_wau(spark, sf_dir):
+    """Daily/weekly active users + DAU/WAU stickiness per epoch day
+    (functions/events.dau_wau). The 7-day trailing range join runs over the
+    collapsed distinct (user, day) table with a broadcast day list."""
+    from kaminpar_spark.functions.events import dau_wau
+
+    return dau_wau(_load(spark, sf_dir, "events"))
+
+
 def _q_ngram_containment(spark, sf_dir):
     """Asymmetric containment near-dups |A∩B|/min(|A|,|B|) over exact shingle
     sets — catches doc-inclusion duplication Jaccard misses. Rare-shingle
@@ -3294,6 +3343,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "null_model": _q_null_model,
         "ngram_containment": _q_ngram_containment,
         "leiden_refine": _q_leiden_refine,
+        "tie_overlap": _q_tie_overlap,
+        "dau_wau": _q_dau_wau,
     }
 
 
@@ -7513,4 +7564,33 @@ SELECT i.id_a, i.id_b, CAST(i.n_inter AS BIGINT) AS n_inter,
 FROM inter i JOIN sizes sa ON i.id_a = sa.doc_id JOIN sizes sb ON i.id_b = sb.doc_id
 WHERE CAST(i.n_inter AS DOUBLE) / least(sa.sz, sb.sz) >= {CONTAIN_THRESH}""",
         "leiden_refine": _leiden_refine_sql(),
+        "tie_overlap": f"""WITH {_EDGES_CTE},
+ce AS (SELECT src AS a, dst AS b FROM edges WHERE src < dst),
+cn AS (
+  SELECT c.a, c.b, CAST(count(*) AS BIGINT) AS support
+  FROM ce c JOIN edges e1 ON e1.src = c.a
+            JOIN edges e2 ON e2.src = c.b AND e2.dst = e1.dst
+  GROUP BY c.a, c.b),
+sup AS (
+  SELECT c.a, c.b, coalesce(cn.support, 0) AS support
+  FROM ce c LEFT JOIN cn ON cn.a = c.a AND cn.b = c.b)
+SELECT s.a, s.b, CAST(s.support AS BIGINT) AS support,
+       da.degree AS d_a, db.degree AS d_b,
+       CASE WHEN da.degree + db.degree - 2 - s.support <= 0 THEN 0.0
+            ELSE round(CAST(s.support AS DOUBLE)
+                       / (da.degree + db.degree - 2 - s.support), 6) END AS overlap
+FROM sup s JOIN deg da ON da.id = s.a JOIN deg db ON db.id = s.b""",
+        "dau_wau": """
+WITH ud AS (
+  SELECT DISTINCT CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day, user_id
+  FROM events),
+dau AS (SELECT day, CAST(count(*) AS BIGINT) AS dau FROM ud GROUP BY day),
+wau AS (
+  SELECT a.day, CAST(count(DISTINCT b.user_id) AS BIGINT) AS wau
+  FROM (SELECT day FROM dau) a
+  JOIN ud b ON b.day <= a.day AND b.day > a.day - 7
+  GROUP BY a.day)
+SELECT dau.day, dau.dau, wau.wau,
+       round(CAST(dau.dau AS DOUBLE) / wau.wau, 6) AS stickiness
+FROM dau JOIN wau ON wau.day = dau.day""",
     }

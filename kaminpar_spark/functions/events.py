@@ -94,3 +94,36 @@ def burst_scores(events: DataFrame, bucket: str = "hour", trail: int = 8) -> Dat
             .alias("burst_num"),
         )
     )
+
+
+DAY_S = 86_400
+
+
+def dau_wau(events: DataFrame) -> DataFrame:
+    """(day, dau, wau, stickiness) — daily active users, trailing-7-day
+    active users, and the DAU/WAU stickiness ratio per epoch day.
+
+    The raw log first collapses to the distinct (user, day) table — the only
+    thing any step touches afterwards. WAU is a range join of the tiny
+    day list (broadcast) against that table over a 7-day trailing window,
+    so the blow-up is bounded by 7x the collapsed table, never the log.
+    ``stickiness`` is the one final IEEE division, rounded to 6.
+    """
+    day = F.floor(F.unix_timestamp("ts") / DAY_S).cast("long")
+    ud = events.select(day.alias("day"), "user_id").distinct()
+    dau = ud.groupBy("day").agg(F.count("*").cast("long").alias("dau"))
+    wau = (
+        F.broadcast(dau.select("day"))
+        .join(
+            ud.select(F.col("day").alias("d2"), "user_id"),
+            (F.col("d2") <= F.col("day")) & (F.col("d2") > F.col("day") - 7),
+        )
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").cast("long").alias("wau"))
+    )
+    return dau.join(wau, "day").select(
+        "day",
+        "dau",
+        "wau",
+        F.round(F.col("dau").cast("double") / F.col("wau"), 6).alias("stickiness"),
+    )

@@ -138,3 +138,54 @@ def test_readability_counts_and_formula(spark):
     r1 = out[1]
     assert r1["n_sentences"] == 0 and r1["n_vowel_groups"] == 0
     assert r1["flesch"] is not None
+
+
+def test_dau_wau_stickiness(spark):
+    from kaminpar_spark.functions.events import dau_wau
+
+    d0 = dt.datetime(2024, 5, 6)  # any day; epoch-day arithmetic only
+    day = dt.timedelta(days=1)
+    rows = [
+        # day 0: users 1,2 ; day 1: user 1 ; day 8: user 3 (outside day 1's window)
+        (0, d0, 1, "view", 0.0),
+        (1, d0, 2, "view", 0.0),
+        (2, d0 + day, 1, "view", 0.0),
+        (3, d0 + 8 * day, 3, "view", 0.0),
+    ]
+    out = {r["day"]: r for r in dau_wau(_events(spark, rows)).collect()}
+    base = min(out)
+    assert out[base]["dau"] == 2 and out[base]["wau"] == 2
+    assert out[base]["stickiness"] == 1.0
+    # day 1: dau 1, but users {1,2} were active within the trailing 7 days
+    assert out[base + 1]["dau"] == 1 and out[base + 1]["wau"] == 2
+    assert out[base + 1]["stickiness"] == 0.5
+    # day 8: only user 3 in its trailing week (day 1 is 7 days back, outside)
+    assert out[base + 8]["dau"] == 1 and out[base + 8]["wau"] == 1
+
+
+def test_tie_overlap_bridge_and_triangle(spark):
+    from kaminpar_spark import fixtures
+    from kaminpar_spark.operators.truss import canonical_edges, edge_support
+    from pyspark.sql import functions as F
+
+    # two triangles joined by one bridge 2-3: bridge is a LOCAL BRIDGE
+    edges = [(0, 1), (1, 2), (0, 2), (3, 4), (4, 5), (3, 5), (2, 3)]
+    g = fixtures._graph(spark, [(a, b, 1) for a, b in edges])
+    sup = edge_support(canonical_edges(g))
+    deg = g.degrees().select("id", F.col("degree").cast("long").alias("d"))
+    den = F.col("d_a") + F.col("d_b") - 2 - F.col("support")
+    out = {
+        (r["a"], r["b"]): r["overlap"]
+        for r in sup.join(deg.select(F.col("id").alias("a"), F.col("d").alias("d_a")), "a")
+        .join(deg.select(F.col("id").alias("b"), F.col("d").alias("d_b")), "b")
+        .select(
+            "a", "b",
+            F.when(den <= 0, F.lit(0.0))
+            .otherwise(F.round(F.col("support").cast("double") / den, 6))
+            .alias("overlap"),
+        )
+        .collect()
+    }
+    assert out[(2, 3)] == 0.0  # the bridge: zero common neighbors
+    # triangle edge 0-1: support 1, d=2+2 -> overlap 1/(2+2-2-1) = 1.0
+    assert out[(0, 1)] == 1.0
