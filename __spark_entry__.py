@@ -3097,6 +3097,21 @@ def _q_tie_overlap(spark, sf_dir):
     )
 
 
+def _q_zorder_layout(spark, sf_dir):
+    """Z-order (Morton) layout keys over (user_id, epoch-day) — the lakehouse
+    OPTIMIZE ZORDER analog: range-sorting by z_key gives every file a tight
+    2-D bounding box so min/max stats prune user+time predicates
+    (plans/layout.zorder_layout). Pure bit arithmetic, map-only."""
+    from kaminpar_spark.plans.layout import zorder_layout
+
+    ev = _load(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.floor(F.unix_timestamp("ts") / 86400).cast("long").alias("day"),
+    )
+    return zorder_layout(ev, "user_id", "day", "event_id")
+
+
 def _q_dau_wau(spark, sf_dir):
     """Daily/weekly active users + DAU/WAU stickiness per epoch day
     (functions/events.dau_wau). The 7-day trailing range join runs over the
@@ -3345,6 +3360,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "leiden_refine": _q_leiden_refine,
         "tie_overlap": _q_tie_overlap,
         "dau_wau": _q_dau_wau,
+        "zorder_layout": _q_zorder_layout,
     }
 
 
@@ -4629,6 +4645,22 @@ iedges AS MATERIALIZED (
 r0 AS (SELECT id, id AS comp FROM nodes){steps}
 SELECT l.id, l.comm, CAST(r.comp AS BIGINT) AS refined
 FROM {final} l JOIN {prev} r ON r.id = l.id"""
+
+
+def _zorder_sql() -> str:
+    """Identical Morton shift/mask/add expression as plans/layout.z_value;
+    pid = top bits of the 32-bit key at 64 target partitions (shift 26)."""
+    from kaminpar_spark.plans.layout import z_value_sql
+
+    z = z_value_sql("user_id", "day", bits=16)
+    shift = 32 - (64 - 1).bit_length()
+    return f"""
+WITH ev AS (
+  SELECT event_id, user_id,
+         CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day
+  FROM events)
+SELECT event_id, {z} AS z_key, CAST(({z}) >> {shift} AS BIGINT) AS pid
+FROM ev"""
 
 
 def _group_split_sql() -> str:
@@ -7593,4 +7625,5 @@ wau AS (
 SELECT dau.day, dau.dau, wau.wau,
        round(CAST(dau.dau AS DOUBLE) / wau.wau, 6) AS stickiness
 FROM dau JOIN wau ON wau.day = dau.day""",
+        "zorder_layout": _zorder_sql(),
     }

@@ -189,3 +189,51 @@ def test_tie_overlap_bridge_and_triangle(spark):
     assert out[(2, 3)] == 0.0  # the bridge: zero common neighbors
     # triangle edge 0-1: support 1, d=2+2 -> overlap 1/(2+2-2-1) = 1.0
     assert out[(0, 1)] == 1.0
+
+
+def _morton(x: int, y: int, bits: int = 16) -> int:
+    z = 0
+    for i in range(bits):
+        z += ((x >> i) & 1) << (2 * i)
+        z += ((y >> i) & 1) << (2 * i + 1)
+    return z
+
+
+def test_z_value_matches_python_morton(spark):
+    from kaminpar_spark.plans.layout import z_value
+    from pyspark.sql import functions as F
+
+    pts = [(0, 0), (3, 1), (1, 3), (15, 15), (65535, 0), (0, 65535), (12345, 54321)]
+    df = spark.createDataFrame(pts, "x long, y long")
+    out = {
+        (r["x"], r["y"]): r["z"]
+        for r in df.select("x", "y", z_value(F.col("x"), F.col("y")).alias("z")).collect()
+    }
+    for x, y in pts:
+        assert out[(x, y)] == _morton(x, y)
+    assert out[(3, 1)] == 7  # bits of x at even, y at odd positions
+
+
+def test_zorder_layout_locality(spark):
+    from kaminpar_spark.plans.layout import zorder_layout
+    from pyspark.sql import functions as F
+
+    # a 64x64 grid of points: Z-order partitions must tile it in SQUARES —
+    # every pid's bounding box is at most 8x8 for 64 partitions of 4096 cells
+    pts = [(i, i % 64, i // 64) for i in range(4096)]
+    df = spark.createDataFrame(pts, "id long, x long, y long")
+    out = zorder_layout(df, "x", "y", "id", bits=6, n_partitions=64)
+    joined = df.join(out, "id")
+    boxes = (
+        joined.groupBy("pid")
+        .agg(
+            (F.max("x") - F.min("x")).alias("wx"),
+            (F.max("y") - F.min("y")).alias("wy"),
+            F.count("*").alias("n"),
+        )
+        .collect()
+    )
+    assert len(boxes) == 64
+    for b in boxes:
+        assert b["n"] == 64
+        assert b["wx"] <= 7 and b["wy"] <= 7  # square tiles, not stripes
