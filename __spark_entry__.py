@@ -3097,6 +3097,16 @@ def _q_tie_overlap(spark, sf_dir):
     )
 
 
+def _q_tool_affinity(spark, sf_dir):
+    """Market-basket tool affinity: support + lift over tools co-used within
+    a conversation (sources/transcripts.tool_affinity). Lift > 1 = composite
+    workflows, < 1 = substitutes. Basket self-join keyed per conversation —
+    linear at corpus scale."""
+    from kaminpar_spark.sources.transcripts import synth_transcripts, tool_affinity
+
+    return tool_affinity(synth_transcripts(spark, _n_convs(spark, sf_dir)))
+
+
 def _q_zorder_layout(spark, sf_dir):
     """Z-order (Morton) layout keys over (user_id, epoch-day) — the lakehouse
     OPTIMIZE ZORDER analog: range-sorting by z_key gives every file a tight
@@ -3361,6 +3371,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tie_overlap": _q_tie_overlap,
         "dau_wau": _q_dau_wau,
         "zorder_layout": _q_zorder_layout,
+        "tool_affinity": _q_tool_affinity,
     }
 
 
@@ -7626,4 +7637,17 @@ SELECT dau.day, dau.dau, wau.wau,
        round(CAST(dau.dau AS DOUBLE) / wau.wau, 6) AS stickiness
 FROM dau JOIN wau ON wau.day = dau.day""",
         "zorder_layout": _zorder_sql(),
+        "tool_affinity": f"""WITH {_TRANSCRIPTS_CTE},
+bt AS (SELECT DISTINCT conv_id, tool FROM transcripts WHERE tool IS NOT NULL),
+n AS (SELECT CAST(count(DISTINCT conv_id) AS BIGINT) AS nb FROM bt),
+singles AS (SELECT tool, CAST(count(*) AS BIGINT) AS c FROM bt GROUP BY tool),
+pairs AS (
+  SELECT a.tool AS tool_a, b.tool AS tool_b, CAST(count(*) AS BIGINT) AS c_ab
+  FROM bt a JOIN bt b ON a.conv_id = b.conv_id AND a.tool < b.tool
+  GROUP BY 1, 2)
+SELECT p.tool_a, p.tool_b, p.c_ab, sa.c AS c_a, sb.c AS c_b,
+       round(CAST(p.c_ab AS DOUBLE) * (SELECT nb FROM n)
+             / (sa.c * CAST(sb.c AS DOUBLE)), 6) AS lift
+FROM pairs p JOIN singles sa ON sa.tool = p.tool_a
+             JOIN singles sb ON sb.tool = p.tool_b""",
     }

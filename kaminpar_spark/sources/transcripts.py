@@ -405,3 +405,59 @@ def decayed_transcript_edges(
     )
     sym = pairs.unionAll(pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w"))
     return sym.groupBy("src", "dst").agg(F.sum("w").cast("long").alias("weight"))
+
+
+def tool_affinity(transcripts: DataFrame) -> DataFrame:
+    """(tool_a, tool_b, c_ab, c_a, c_b, lift) — market-basket affinity over
+    tools co-used within a conversation: support counts from the distinct
+    (conv, tool) basket table and lift = N·c_ab / (c_a·c_b) with N = number
+    of tool-using conversations (lift > 1 ⇒ the pair co-occurs more than
+    independent usage predicts — composite workflows; < 1 ⇒ substitutes).
+
+    The basket self-join is keyed on conv_id with per-conversation tool sets
+    bounded by the turn count, so the pair expansion is linear in
+    conversations at any corpus scale; everything else is hash aggregates
+    over the (small) tool×tool result. Counts exact int64, lift the one
+    final IEEE expression rounded to 6.
+    """
+    bt = (
+        transcripts.where(F.col("tool").isNotNull())
+        .select("conv_id", "tool")
+        .distinct()
+    )
+    n_b = bt.select("conv_id").distinct().count()
+    singles = bt.groupBy("tool").agg(F.count("*").cast("long").alias("c"))
+    pairs = (
+        bt.select(F.col("conv_id"), F.col("tool").alias("tool_a"))
+        .join(
+            bt.select(F.col("conv_id"), F.col("tool").alias("tool_b")).hint(
+                "shuffle_hash"
+            ),
+            "conv_id",
+        )
+        .where(F.col("tool_a") < F.col("tool_b"))
+        .groupBy("tool_a", "tool_b")
+        .agg(F.count("*").cast("long").alias("c_ab"))
+    )
+    return (
+        pairs.join(
+            F.broadcast(singles.select(F.col("tool").alias("tool_a"), F.col("c").alias("c_a"))),
+            "tool_a",
+        )
+        .join(
+            F.broadcast(singles.select(F.col("tool").alias("tool_b"), F.col("c").alias("c_b"))),
+            "tool_b",
+        )
+        .select(
+            "tool_a",
+            "tool_b",
+            "c_ab",
+            "c_a",
+            "c_b",
+            F.round(
+                F.col("c_ab").cast("double") * F.lit(n_b)
+                / (F.col("c_a") * F.col("c_b").cast("double")),
+                6,
+            ).alias("lift"),
+        )
+    )

@@ -237,3 +237,23 @@ def test_zorder_layout_locality(spark):
     for b in boxes:
         assert b["n"] == 64
         assert b["wx"] <= 7 and b["wy"] <= 7  # square tiles, not stripes
+
+
+def test_tool_affinity_lift(spark):
+    from kaminpar_spark.sources.transcripts import tool_affinity
+
+    # 4 conversations: hammer+nail always together (lift 2), saw alone
+    rows = []
+    for conv, tools in [("c0", ["hammer", "nail"]), ("c1", ["hammer", "nail"]),
+                        ("c2", ["saw"]), ("c3", ["saw"])]:
+        for i, t in enumerate(tools):
+            rows.append((conv, i, "tool", f"x{i}", t))
+    tr = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string"
+    )
+    out = {(r["tool_a"], r["tool_b"]): r for r in tool_affinity(tr).collect()}
+    assert set(out) == {("hammer", "nail")}
+    r = out[("hammer", "nail")]
+    assert (r["c_ab"], r["c_a"], r["c_b"]) == (2, 2, 2)
+    # lift = N*c_ab/(c_a*c_b) = 4*2/4 = 2: perfectly coupled pair
+    assert r["lift"] == 2.0
