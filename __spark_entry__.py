@@ -3097,6 +3097,24 @@ def _q_tie_overlap(spark, sf_dir):
     )
 
 
+def _q_ivf_filtered(spark, sf_dir):
+    """Attribute-filtered ("hybrid") IVF ANN: same standing index, candidates
+    pre-filtered in the cell scan to the query's label class before any
+    exact cosine — the semantics a post-filter of an unfiltered top-k gets
+    wrong (filtered-out rows squat the k slots)."""
+    from kaminpar_spark.functions.similarity import ivf_topk
+
+    emb = _load(spark, sf_dir, "embeddings")
+    return ivf_topk(
+        emb,
+        emb.where(F.col("vec_id") < 5),
+        k=10,
+        num_centroids=IVF_CENTROIDS,
+        nprobe=IVF_NPROBE,
+        filter_col="label",
+    )
+
+
 def _q_tool_affinity(spark, sf_dir):
     """Market-basket tool affinity: support + lift over tools co-used within
     a conversation (sources/transcripts.tool_affinity). Lift > 1 = composite
@@ -3372,6 +3390,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dau_wau": _q_dau_wau,
         "zorder_layout": _q_zorder_layout,
         "tool_affinity": _q_tool_affinity,
+        "ivf_filtered_topk": _q_ivf_filtered,
     }
 
 
@@ -5182,11 +5201,18 @@ def _fold_cos_sql(a: str, b: str) -> str:
     return f"({fold(a, b)}) / (sqrt({fold(a, a)}) * sqrt({fold(b, b)}))"
 
 
-def _ivf_topk_sql() -> str:
+def _ivf_topk_sql(filter_label: bool = False) -> str:
     from kaminpar_spark.functions.similarity import IVF_MIX_MOD, IVF_MIX_MULT
 
     cos_vc = _fold_cos_sql("e.embedding", "c.cvec")
     cos_qe = _fold_cos_sql("eq.embedding", "ev.embedding")
+    flt = (
+        """
+  JOIN embeddings la ON la.vec_id = a.nn_id
+  JOIN embeddings lq ON lq.vec_id = q.qid AND la.label = lq.label"""
+        if filter_label
+        else ""
+    )
     return f"""
 WITH cent AS MATERIALIZED (
   SELECT vec_id AS cid, embedding AS cvec FROM embeddings
@@ -5205,7 +5231,7 @@ qcells AS (
            row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn
     FROM ac WHERE vec_id < 5) t WHERE rn <= {IVF_NPROBE}),
 cand AS (
-  SELECT q.qid, a.nn_id FROM qcells q JOIN assign a ON q.cell = a.cell
+  SELECT q.qid, a.nn_id FROM qcells q JOIN assign a ON q.cell = a.cell{flt}
   WHERE a.nn_id <> q.qid),
 scored AS (
   SELECT c.qid, c.nn_id, round({cos_qe}, 4) AS cos
@@ -7650,4 +7676,5 @@ SELECT p.tool_a, p.tool_b, p.c_ab, sa.c AS c_a, sb.c AS c_b,
              / (sa.c * CAST(sb.c AS DOUBLE)), 6) AS lift
 FROM pairs p JOIN singles sa ON sa.tool = p.tool_a
              JOIN singles sb ON sb.tool = p.tool_b""",
+        "ivf_filtered_topk": _ivf_topk_sql(filter_label=True),
     }

@@ -339,6 +339,7 @@ def ivf_topk(
     nprobe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    filter_col: str | None = None,
 ) -> DataFrame:
     """(qid, nn_id, cos) — IVF-flat approximate top-k: corpus vectors are
     binned by nearest sampled centroid; each query probes its ``nprobe``
@@ -346,7 +347,15 @@ def ivf_topk(
 
     The cell equi-join replaces the all-pairs cross join (candidates ~
     nprobe/num_centroids of the corpus); unlike sign-LSH the probe count
-    tunes recall without rebuilding the index. Queries are broadcast."""
+    tunes recall without rebuilding the index. Queries are broadcast.
+
+    ``filter_col``: attribute-filtered ("hybrid") search — candidates are
+    PRE-filtered in the cell scan to rows whose ``filter_col`` equals the
+    query's, before any exact cosine is spent. The standing index stays
+    shared across predicates (one index, every filter), the filter join is
+    keyed on the candidate id, and the top-k is over the filtered set — the
+    semantics a post-filter of an unfiltered top-k gets wrong (it returns
+    fewer than k when filtered-out rows squatted the slots)."""
     cents = ivf_centroids(corpus, num_centroids, id_col, vec_col)
     assign = ivf_assign(corpus, cents, id_col, vec_col).withColumnRenamed("id", "nn_id")
     qv = queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv"))
@@ -364,6 +373,19 @@ def ivf_topk(
         .where(F.col("nn_id") != F.col("qid"))
         .select("qid", "nn_id")
     )
+    if filter_col is not None:
+        lab = corpus.select(
+            F.col(id_col).alias("nn_id"), F.col(filter_col).alias("_flt")
+        )
+        qlab = queries.select(
+            F.col(id_col).alias("qid"), F.col(filter_col).alias("_qflt")
+        )
+        cand = (
+            cand.join(lab.hint("shuffle_hash"), "nn_id")
+            .join(F.broadcast(qlab), "qid")
+            .where(F.col("_flt") == F.col("_qflt"))
+            .select("qid", "nn_id")
+        )
     ev = corpus.select(F.col(id_col).alias("nn_id"), F.col(vec_col).alias("ev"))
     scored = (
         cand.join(F.broadcast(qv), "qid")

@@ -693,3 +693,38 @@ def test_containment_df_cap_drops_boilerplate_only_pairs(spark):
     docs = spark.createDataFrame(rows, "doc_id long, text string")
     out = dedup.containment_pairs(docs, threshold=0.1, df_cap=3).collect()
     assert out == []
+
+
+def test_ivf_filtered_topk_respects_label_filter(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    rows = [
+        (i, [float(x) for x in rng.normal(size=8)], i % 3) for i in range(120)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = similarity.ivf_topk(
+        emb, emb.where(F.col("vec_id") < 4), k=5,
+        num_centroids=4, nprobe=4, filter_col="label",
+    )
+    labels = {i: i % 3 for i in range(120)}
+    got = out.collect()
+    assert got, "filtered search returned nothing"
+    for r in got:
+        # hybrid-search contract: every neighbor shares the query's label
+        assert labels[r["nn_id"]] == labels[r["qid"]]
+        assert r["nn_id"] != r["qid"]
+    # nprobe == num_centroids probes every cell -> candidates are exactly the
+    # same-label corpus; top-5 must match the brute-force same-label top-5
+    import itertools
+
+    vecs = {i: np.array(v, dtype=np.float32) for i, v, _ in rows}
+    def cos(a, b):
+        return float(np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b)))
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["qid"], set()).add(r["nn_id"])
+    for q in range(4):
+        cand = [i for i in range(120) if i != q and labels[i] == labels[q]]
+        best = sorted(cand, key=lambda i: (-round(cos(vecs[q], vecs[i]), 4), i))[:5]
+        assert by_q[q] == set(best)
