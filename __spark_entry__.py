@@ -3097,6 +3097,16 @@ def _q_tie_overlap(spark, sf_dir):
     )
 
 
+def _q_mean_shift(spark, sf_dir):
+    """Offline changepoint per event type: the bucket boundary maximizing the
+    exact two-segment mean shift over hourly counts
+    (functions/events.mean_shift_splits). Prefix sums over the bucketed
+    series only — never the raw log."""
+    from kaminpar_spark.functions.events import mean_shift_splits
+
+    return mean_shift_splits(_load(spark, sf_dir, "events"), bucket="hour")
+
+
 def _q_ivf_filtered(spark, sf_dir):
     """Attribute-filtered ("hybrid") IVF ANN: same standing index, candidates
     pre-filtered in the cell scan to the query's label class before any
@@ -3391,6 +3401,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_layout": _q_zorder_layout,
         "tool_affinity": _q_tool_affinity,
         "ivf_filtered_topk": _q_ivf_filtered,
+        "mean_shift": _q_mean_shift,
     }
 
 
@@ -7677,4 +7688,30 @@ SELECT p.tool_a, p.tool_b, p.c_ab, sa.c AS c_a, sb.c AS c_b,
 FROM pairs p JOIN singles sa ON sa.tool = p.tool_a
              JOIN singles sb ON sb.tool = p.tool_b""",
         "ivf_filtered_topk": _ivf_topk_sql(filter_label=True),
+        "mean_shift": """
+WITH b AS (
+  SELECT date_trunc('hour', ts) AS bucket, event_type,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2),
+pre AS (
+  SELECT event_type, bucket,
+         CAST(sum(n) OVER (PARTITION BY event_type ORDER BY bucket) AS BIGINT) AS prefix,
+         row_number() OVER (PARTITION BY event_type ORDER BY bucket) AS t,
+         CAST(sum(n) OVER (PARTITION BY event_type) AS BIGINT) AS total,
+         count(n) OVER (PARTITION BY event_type) AS n_buckets
+  FROM b),
+scored AS (
+  SELECT event_type, bucket AS split_start,
+         CAST(t AS BIGINT) AS t_left,
+         CAST(n_buckets - t AS BIGINT) AS t_right,
+         prefix AS left_sum,
+         CAST(total - prefix AS BIGINT) AS right_sum,
+         round(abs(CAST(prefix AS DOUBLE) / CAST(t AS DOUBLE)
+                   - CAST(total - prefix AS DOUBLE) / CAST(n_buckets - t AS DOUBLE)), 6) AS shift
+  FROM pre WHERE t < n_buckets)
+SELECT event_type, split_start, t_left, t_right, left_sum, right_sum, shift
+FROM (SELECT *, row_number() OVER (PARTITION BY event_type
+                                   ORDER BY shift DESC, split_start ASC) AS rn
+      FROM scored) x
+WHERE rn = 1""",
     }

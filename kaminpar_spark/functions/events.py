@@ -127,3 +127,57 @@ def dau_wau(events: DataFrame) -> DataFrame:
         "wau",
         F.round(F.col("dau").cast("double") / F.col("wau"), 6).alias("stickiness"),
     )
+
+
+def mean_shift_splits(events: DataFrame, bucket: str = "hour") -> DataFrame:
+    """(event_type, split_start, t_left, t_right, left_sum, right_sum, shift)
+    — single changepoint detection per event type: the bucket boundary that
+    maximizes |mean(before) − mean(after)| over the bucketed count series
+    (the exact two-segment mean-shift objective; CUSUM's offline analog).
+
+    All sufficient statistics are exact int64 prefix sums over the bucketed
+    series (hours × types — small after the raw log collapses through one
+    hash aggregate); the shift is a final IEEE expression whose inputs are
+    < 2^53, so the per-split doubles — and therefore the argmax — are
+    cross-engine deterministic. Ties break to the earliest split. The
+    prefix window runs per type over bucket counts, never raw events.
+    """
+    b = events.groupBy(
+        F.date_trunc(bucket, F.col("ts")).alias("bucket"), "event_type"
+    ).agg(F.count("*").cast("long").alias("n"))
+    w = Window.partitionBy("event_type").orderBy("bucket")
+    wall = Window.partitionBy("event_type")
+    pre = b.select(
+        "event_type",
+        "bucket",
+        F.sum("n").over(w).cast("long").alias("prefix"),
+        F.row_number().over(w).alias("t"),
+        F.sum("n").over(wall).cast("long").alias("total"),
+        F.count("n").over(wall).alias("n_buckets"),
+    ).where(F.col("t") < F.col("n_buckets"))
+    t_l = F.col("t").cast("double")
+    t_r = (F.col("n_buckets") - F.col("t")).cast("double")
+    shift = F.round(
+        F.abs(
+            F.col("prefix").cast("double") / t_l
+            - (F.col("total") - F.col("prefix")).cast("double") / t_r
+        ),
+        6,
+    )
+    scored = pre.select(
+        "event_type",
+        F.col("bucket").alias("split_start"),
+        F.col("t").cast("long").alias("t_left"),
+        (F.col("n_buckets") - F.col("t")).cast("long").alias("t_right"),
+        F.col("prefix").alias("left_sum"),
+        (F.col("total") - F.col("prefix")).cast("long").alias("right_sum"),
+        shift.alias("shift"),
+    )
+    pick = Window.partitionBy("event_type").orderBy(
+        F.desc("shift"), F.asc("split_start")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(pick))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )

@@ -257,3 +257,23 @@ def test_tool_affinity_lift(spark):
     assert (r["c_ab"], r["c_a"], r["c_b"]) == (2, 2, 2)
     # lift = N*c_ab/(c_a*c_b) = 4*2/4 = 2: perfectly coupled pair
     assert r["lift"] == 2.0
+
+
+def test_mean_shift_finds_planted_changepoint(spark):
+    from kaminpar_spark.functions.events import mean_shift_splits
+
+    t0 = dt.datetime(2024, 6, 1)
+    rows, eid = [], 0
+    # 6 hours at 2/hour, then 6 hours at 10/hour: split after hour 5
+    for h in range(12):
+        for _ in range(2 if h < 6 else 10):
+            rows.append((eid, t0 + dt.timedelta(hours=h), 1, "click", 0.0))
+            eid += 1
+    out = mean_shift_splits(_events(spark, rows), bucket="hour").collect()
+    assert len(out) == 1
+    r = out[0]
+    # best split = boundary after the 6th bucket (split_start = hour 5)
+    assert r["split_start"].hour == 5
+    assert (r["t_left"], r["t_right"]) == (6, 6)
+    assert (r["left_sum"], r["right_sum"]) == (12, 60)
+    assert r["shift"] == 8.0  # |2 - 10|
