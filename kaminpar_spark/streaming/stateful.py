@@ -154,3 +154,58 @@ def streaming_cms_cells(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+TRENDING_OUTPUT = "key string, ts_now long, score_scaled long"
+TRENDING_STATE = "score_scaled long, last_ts long"
+TREND_SCALE = 1 << 20  # fixed-point unit: one occurrence = 2^20
+
+
+def _trending_fn(half_life_s: int):
+    def fn(key, pdfs: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
+        n = 0
+        ts_max = None
+        for pdf in pdfs:
+            n += len(pdf)
+            m = int(pdf["ts_s"].max())
+            ts_max = m if ts_max is None else max(ts_max, m)
+        if state.exists:
+            score, last = state.get
+            gap = max(0, ts_max - last) // half_life_s
+            score = score >> gap if gap < 63 else 0
+        else:
+            score = 0
+        score += n * TREND_SCALE
+        state.update((score, ts_max))
+        yield pd.DataFrame(
+            {"key": [key[0]], "ts_now": [ts_max], "score_scaled": [score]}
+        )
+
+    return fn
+
+
+def streaming_trending(events: DataFrame, half_life_s: int = 3600) -> DataFrame:
+    """Continuously-maintained exponentially-decayed popularity per key over a
+    streaming (key string, ts_s long) frame — the trending-topics primitive.
+
+    The decay is DYADIC-EXACT: scores are fixed-point int64 (one occurrence =
+    2^20) and aging is a right-shift by the number of whole half-lives of
+    event time elapsed since the key's last update (lazy decay: applied when
+    the key is next seen, so absent keys cost nothing per batch). No floats
+    anywhere — the same score is reproduced bit-for-bit by any replay of the
+    same batches, which makes the operator testable to equality instead of
+    tolerance. Each microbatch emits the updated score for keys it touched
+    (update mode); downstream ranks the latest row per key for the top-k.
+
+    State is one (int64, int64) pair per key in the state store (RocksDB at
+    scale); Python runs only for keys present in the batch, Arrow-batched.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return events.groupBy("key").applyInPandasWithState(
+        _trending_fn(half_life_s),
+        outputStructType=TRENDING_OUTPUT,
+        stateStructType=TRENDING_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

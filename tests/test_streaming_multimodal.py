@@ -335,3 +335,54 @@ def test_streaming_cms_matches_batch_cells(spark, tmp_path):
     want = {(r["row"], r["bucket"]): r["count"] for r in batch_cells}
     assert got == want
     assert len(got) <= 4 * 32  # bounded-state contract
+
+
+def test_streaming_trending_dyadic_decay(spark, tmp_path):
+    """Decayed trending: 4 hits at t0, then 1 hit two half-lives later ->
+    score = (4*S >> 2) + S = 2*S exactly (dyadic decay, no tolerance)."""
+    import os
+    import time
+
+    from kaminpar_spark.streaming.stateful import TREND_SCALE, streaming_trending
+
+    hl = 100
+    in_dir = tmp_path / "ev"
+    in_dir.mkdir()
+    spark.createDataFrame(
+        [("a", 1000)] * 4 + [("b", 1000)], "key string, ts_s long"
+    ).coalesce(1).write.parquet(str(in_dir / "b1"))
+    time.sleep(0.05)
+    spark.createDataFrame(
+        [("a", 1000 + 2 * hl)], "key string, ts_s long"
+    ).coalesce(1).write.parquet(str(in_dir / "b2"))
+    now = time.time()
+    for sub, ago in (("b1", 60), ("b2", 1)):
+        for f in (in_dir / sub).iterdir():
+            os.utime(f, (now - ago, now - ago))
+
+    stream = (
+        spark.readStream.schema("key string, ts_s long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(in_dir) + "/*")
+    )
+    q = (
+        streaming_trending(stream, half_life_s=hl)
+        .writeStream.format("memory")
+        .queryName("trend_out")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "chk"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM trend_out").collect()
+    latest = {}
+    for r in rows:
+        if r["key"] not in latest or r["ts_now"] > latest[r["key"]]["ts_now"]:
+            latest[r["key"]] = r
+    # key a: (4S >> 2) + S = 2S after two half-lives; key b untouched at 1S
+    assert latest["a"]["score_scaled"] == 2 * TREND_SCALE
+    assert latest["b"]["score_scaled"] == 1 * TREND_SCALE
+    # the first batch's emission for a was exactly 4S (also captured in update mode)
+    first_a = min((r for r in rows if r["key"] == "a"), key=lambda r: r["ts_now"])
+    assert first_a["score_scaled"] == 4 * TREND_SCALE
