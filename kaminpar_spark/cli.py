@@ -52,7 +52,7 @@ def load_graph(spark, path: str, symmetrize: bool):
 
 def main(argv=None):
     ap = argparse.ArgumentParser(prog="kaminpar-spark")
-    ap.add_argument("command", choices=["partition", "pagerank", "ppr", "components", "labelprop", "triangles", "kcore", "stats", "bfs", "diameter", "color", "mis", "walks", "match", "hits", "msf", "truss", "anf", "wl", "ebc", "cascade", "landmark", "tmotifs", "cpm", "robustness", "vcut", "onion", "sample", "reorder"])
+    ap.add_argument("command", choices=["partition", "pagerank", "ppr", "components", "labelprop", "triangles", "kcore", "stats", "bfs", "diameter", "color", "mis", "walks", "match", "hits", "msf", "truss", "anf", "wl", "ebc", "cascade", "landmark", "tmotifs", "cpm", "robustness", "vcut", "onion", "sample", "reorder", "leiden", "ties", "nullmodel"])
     ap.add_argument("--sources", default="0", help="[ppr] comma-separated teleport node ids")
     ap.add_argument("-G", "--graph", required=True)
     ap.add_argument("-k", type=int, default=2)
@@ -431,6 +431,56 @@ def main(argv=None):
         from kaminpar_spark.operators.stats import graph_stats
 
         print("RESULT " + json.dumps(asdict(graph_stats(g))))
+    elif args.command == "leiden":
+        from pyspark.sql import functions as F
+
+        from kaminpar_spark.operators.louvain import louvain_level, refine_disconnected
+
+        labels = louvain_level(g, g.total_edge_weight(), rounds=min(args.max_iters, 4))
+        refined = refine_disconnected(g, labels)
+        if args.save:
+            refined.write.mode("overwrite").parquet(args.save)
+        agg = (
+            refined.groupBy("comm")
+            .agg(F.countDistinct("refined").alias("k"))
+            .agg(
+                F.count("*").alias("comms"),
+                F.sum((F.col("k") > 1).cast("long")).alias("split"),
+                F.sum("k").alias("pieces"),
+            )
+            .first()
+        )
+        print(
+            f"RESULT comms={agg['comms']} disconnected={agg['split']} "
+            f"pieces={agg['pieces']} time={time.time()-t0:.3f}s"
+        )
+    elif args.command == "ties":
+        from pyspark.sql import functions as F
+
+        from kaminpar_spark.operators.truss import canonical_edges, edge_support
+
+        sup = edge_support(canonical_edges(g))
+        if args.save:
+            sup.write.mode("overwrite").parquet(args.save)
+        agg = sup.agg(
+            F.count("*").alias("edges"),
+            F.sum((F.col("support") == 0).cast("long")).alias("local_bridges"),
+            F.min("support").alias("min_sup"),
+            F.max("support").alias("max_sup"),
+        ).first()
+        print(
+            f"RESULT edges={agg['edges']} local_bridges={agg['local_bridges']} "
+            f"support=[{agg['min_sup']},{agg['max_sup']}] time={time.time()-t0:.3f}s"
+        )
+    elif args.command == "nullmodel":
+        from kaminpar_spark.operators.stats import null_model_stats
+
+        r = null_model_stats(g).first()
+        print(
+            "RESULT "
+            + json.dumps({k: r[k] for k in r.asDict()})
+            + f" time={time.time()-t0:.3f}s"
+        )
     return 0
 
 

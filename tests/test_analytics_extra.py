@@ -277,3 +277,16 @@ def test_mean_shift_finds_planted_changepoint(spark):
     assert (r["t_left"], r["t_right"]) == (6, 6)
     assert (r["left_sum"], r["right_sum"]) == (12, 60)
     assert r["shift"] == 8.0  # |2 - 10|
+
+
+def test_cli_leiden_ties_nullmodel(spark, tmp_path):
+    from kaminpar_spark import cli, fixtures
+
+    edges = tmp_path / "edges.parquet"
+    # two triangles + bridge: leiden/ties/nullmodel all well-defined
+    e = [(0, 1), (1, 2), (0, 2), (3, 4), (4, 5), (3, 5), (2, 3)]
+    fixtures._graph(spark, [(a, b, 1) for a, b in e]).edges.where(
+        "src < dst"
+    ).write.mode("overwrite").parquet(str(edges))
+    for cmd in ("leiden", "ties", "nullmodel"):
+        assert cli.main([cmd, "-G", str(edges), "--max-iters", "4"]) == 0
