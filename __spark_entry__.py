@@ -3097,6 +3097,53 @@ def _q_tie_overlap(spark, sf_dir):
     )
 
 
+def _q_lang_confusion(spark, sf_dir):
+    """Classifier-evaluation confusion matrix: the stopword-hit language-ID
+    prediction against the corpus ground-truth lang column — per
+    (lang_true, lang_pred) exact counts. The quality-eval surface the
+    language gate needs before anyone trusts it at corpus scale."""
+    from kaminpar_spark.functions.text import language_id
+
+    docs = _load(spark, sf_dir, "documents")
+    pred = language_id(docs).select("doc_id", "lang_pred")
+    return (
+        docs.select("doc_id", F.col("lang").alias("lang_true"))
+        .join(pred.hint("shuffle_hash"), "doc_id")
+        .groupBy("lang_true", "lang_pred")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+
+
+def _q_tool_predictability(spark, sf_dir):
+    """Markov predictability per tool: the most likely next tool and its
+    transition share from the tool_transitions counts (argmax by count,
+    ties to the lexicographically first tool). The window runs over at most
+    |tools| rows per key — never data-scale."""
+    from kaminpar_spark.sources.transcripts import synth_transcripts, tool_transitions
+
+    tt = tool_transitions(synth_transcripts(spark, _n_convs(spark, sf_dir)))
+    tot = tt.groupBy("src_tool").agg(F.sum("n").cast("long").alias("n_total"))
+    w = Window.partitionBy("src_tool").orderBy(F.desc("n"), F.asc("dst_tool"))
+    top = (
+        tt.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "src_tool",
+            F.col("dst_tool").alias("top_next"),
+            F.col("n").cast("long").alias("top_n"),
+        )
+    )
+    return top.join(tot, "src_tool").select(
+        "src_tool",
+        "top_next",
+        "top_n",
+        "n_total",
+        F.round(F.col("top_n").cast("double") / F.col("n_total"), 6).alias(
+            "top_share"
+        ),
+    )
+
+
 def _q_mean_shift(spark, sf_dir):
     """Offline changepoint per event type: the bucket boundary maximizing the
     exact two-segment mean shift over hourly counts
@@ -3402,6 +3449,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tool_affinity": _q_tool_affinity,
         "ivf_filtered_topk": _q_ivf_filtered,
         "mean_shift": _q_mean_shift,
+        "lang_confusion": _q_lang_confusion,
+        "tool_predictability": _q_tool_predictability,
     }
 
 
@@ -7688,6 +7737,25 @@ SELECT p.tool_a, p.tool_b, p.c_ab, sa.c AS c_a, sb.c AS c_b,
 FROM pairs p JOIN singles sa ON sa.tool = p.tool_a
              JOIN singles sb ON sb.tool = p.tool_b""",
         "ivf_filtered_topk": _ivf_topk_sql(filter_label=True),
+        "lang_confusion": f"""
+WITH pred AS ({_LANGID_SQL.strip()})
+SELECT d.lang AS lang_true, p.lang_pred, CAST(count(*) AS BIGINT) AS n
+FROM documents d JOIN pred p ON p.doc_id = d.doc_id
+GROUP BY 1, 2""",
+        "tool_predictability": f"""WITH {_TRANSCRIPTS_CTE},
+tt AS (SELECT conv_id, turn_idx, tool,
+              lag(tool) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev_tool
+       FROM transcripts WHERE role = 'tool'),
+trans AS (SELECT prev_tool AS src_tool, tool AS dst_tool, CAST(count(*) AS BIGINT) AS n
+          FROM tt WHERE prev_tool IS NOT NULL GROUP BY prev_tool, tool),
+tot AS (SELECT src_tool, CAST(sum(n) AS BIGINT) AS n_total FROM trans GROUP BY src_tool),
+top AS (SELECT src_tool, dst_tool AS top_next, n AS top_n FROM (
+    SELECT src_tool, dst_tool, n,
+           row_number() OVER (PARTITION BY src_tool ORDER BY n DESC, dst_tool ASC) AS rn
+    FROM trans) x WHERE rn = 1)
+SELECT t.src_tool, t.top_next, t.top_n, o.n_total,
+       round(CAST(t.top_n AS DOUBLE) / o.n_total, 6) AS top_share
+FROM top t JOIN tot o ON o.src_tool = t.src_tool""",
         "mean_shift": """
 WITH b AS (
   SELECT date_trunc('hour', ts) AS bucket, event_type,

@@ -290,3 +290,58 @@ def test_cli_leiden_ties_nullmodel(spark, tmp_path):
     ).write.mode("overwrite").parquet(str(edges))
     for cmd in ("leiden", "ties", "nullmodel"):
         assert cli.main([cmd, "-G", str(edges), "--max-iters", "4"]) == 0
+
+
+def test_lang_confusion_diagonal_dominant(spark):
+    from kaminpar_spark.functions.text import language_id
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [
+            (0, "the cat and the dog is in the house", "en"),
+            (1, "the sun and the moon is of note", "en"),
+            (2, "el perro y la casa de que en", "es"),
+            (3, "der hund und die katze ist ein tier", "de"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    pred = language_id(docs).select("doc_id", "lang_pred")
+    conf = {
+        (r["lang_true"], r["lang_pred"]): r["n"]
+        for r in docs.select("doc_id", F.col("lang").alias("lang_true"))
+        .join(pred, "doc_id")
+        .groupBy("lang_true", "lang_pred")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert conf[("en", "en")] == 2
+    assert conf[("es", "es")] == 1
+    assert conf[("de", "de")] == 1
+
+
+def test_tool_predictability_argmax(spark):
+    from kaminpar_spark.sources.transcripts import tool_transitions
+    from pyspark.sql import functions as F
+    from pyspark.sql import Window
+
+    # conv x: a->b, b->a, a->b ; conv y: a->b  => from a: b twice... build rows
+    rows = [
+        ("x", 0, "tool", "t", "a"), ("x", 1, "tool", "t", "b"),
+        ("x", 2, "tool", "t", "a"), ("x", 3, "tool", "t", "b"),
+        ("y", 0, "tool", "t", "a"), ("y", 1, "tool", "t", "c"),
+    ]
+    tr = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string"
+    )
+    tt = tool_transitions(tr)
+    w = Window.partitionBy("src_tool").orderBy(F.desc("n"), F.asc("dst_tool"))
+    top = {
+        r["src_tool"]: (r["dst_tool"], r["n"])
+        for r in tt.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .collect()
+    }
+    # from a: b twice, c once -> top is b with 2
+    assert top["a"] == ("b", 2)
+    # from b: a once
+    assert top["b"] == ("a", 1)
