@@ -3253,6 +3253,60 @@ def _q_readability(spark, sf_dir):
     return readability_scores(_load(spark, sf_dir, "documents"))
 
 
+BM25_QUERIES = [(1, "spark join merge"), (2, "customer filter window"), (3, "vector hash")]
+BM25_K, BM25_K1, BM25_B = 5, 1.2, 0.75
+DSIR_TARGET_SOURCE = "src0"
+SEMDEDUP_THRESH = 0.3
+
+
+def _q_bm25_topk(spark, sf_dir):
+    """BM25 top-k retrieval for a fixed 3-query set (functions/text.
+    bm25_topk): broadcast query terms prune the corpus postings before the
+    tf/df aggregates; per-(q,doc,term) weights land on the integer 1e6
+    lattice before the order-free per-doc sum; Spark 4's window group-limit
+    keeps the per-query top-k partial."""
+    from kaminpar_spark.functions.text import bm25_topk
+
+    q = spark.createDataFrame(BM25_QUERIES, "query_id long, qtext string")
+    return bm25_topk(
+        _load(spark, sf_dir, "documents"), q, k=BM25_K, k1=BM25_K1, b=BM25_B
+    )
+
+
+def _q_bigram_surprisal(spark, sf_dir):
+    """Conditional bigram surprisal on the exact integer-log2 lattice
+    (functions/text.bigram_surprisal_scores): sequence-predictability quality
+    gate — floor(log2(c(w1) div c(w1,w2))) summed per document."""
+    from kaminpar_spark.functions.text import bigram_surprisal_scores
+
+    return bigram_surprisal_scores(_load(spark, sf_dir, "documents"))
+
+
+def _q_dsir_weights(spark, sf_dir):
+    """DSIR-shaped importance-resampling weights (functions/text.
+    dsir_weights): hashed-bigram features, target = the src0 slice, exact
+    integer floor-log2 count ratios, one final IEEE division per doc."""
+    from kaminpar_spark.functions.text import dsir_weights
+
+    docs = _load(spark, sf_dir, "documents")
+    return dsir_weights(docs, docs.where(F.col("source") == DSIR_TARGET_SOURCE))
+
+
+def _q_semdedup(spark, sf_dir):
+    """SemDeDup-style semantic dedup (functions/similarity.semdedup):
+    exact-lattice k-means cells bound the pairwise stage; prune every vector
+    with a higher-similarity twin of smaller id; keep flag per vector."""
+    from kaminpar_spark.functions.similarity import semdedup
+
+    return semdedup(
+        _load(spark, sf_dir, "embeddings"),
+        k=KMEANS_K,
+        iters=KMEANS_ITERS,
+        threshold=SEMDEDUP_THRESH,
+        dim=EMB_DIM,
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "transcript_turns": _q_transcript_turns,
@@ -3451,6 +3505,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mean_shift": _q_mean_shift,
         "lang_confusion": _q_lang_confusion,
         "tool_predictability": _q_tool_predictability,
+        "bm25_topk": _q_bm25_topk,
+        "bigram_surprisal": _q_bigram_surprisal,
+        "dsir_weights": _q_dsir_weights,
+        "semdedup2": _q_semdedup,
     }
 
 
@@ -7211,6 +7269,120 @@ SELECT CAST(id // (SELECT n FROM nn) AS BIGINT) AS a,
 FROM {prev}"""
 
 
+def _bm25_sql() -> str:
+    """DuckDB twin of text.bm25_topk. Exactness: the per-(q,doc,term) weight
+    is one fixed IEEE expression tree (identical operand order; constants
+    embedded via repr so both engines parse the same decimal), rounded to 6dp
+    and lifted to the integer 1e6 lattice BEFORE the per-doc sum — so the
+    float fold is order-free; doc lengths are integer-valued doubles, so
+    avgdl's sum is exact; ranking ties break on doc_id."""
+    vals = ", ".join(f"({qid}, '{qt}')" for qid, qt in BM25_QUERIES)
+    k1, b, k1p1 = repr(BM25_K1), repr(BM25_B), repr(BM25_K1 + 1.0)
+    return f"""
+WITH qr AS (SELECT * FROM (VALUES {vals}) AS v(query_id, qtext)),
+qt AS (SELECT DISTINCT query_id, term FROM (
+         SELECT query_id, unnest(string_split(lower(qtext), ' ')) AS term FROM qr)
+       WHERE term <> ''),
+tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+hits AS (SELECT doc_id, term FROM tk WHERE term IN (SELECT DISTINCT term FROM qt)),
+tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM hits GROUP BY 1, 2),
+dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+dl AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl FROM documents),
+st AS (SELECT CAST(count(*) AS DOUBLE) AS _n,
+              avg(CAST(len(string_split(text, ' ')) AS DOUBLE)) AS _avgdl
+       FROM documents),
+pt AS (SELECT q.query_id, tf.doc_id,
+              CAST(round(round(
+                ln(1.0 + (st._n - dfq.df + 0.5) / (dfq.df + 0.5))
+                * (tf.tf * {k1p1})
+                / (tf.tf + {k1} * (1.0 - {b} + {b} * dl.dl / st._avgdl)), 6) * 1e6)
+              AS BIGINT) AS w6
+       FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id)
+       CROSS JOIN st JOIN qt q USING (term)),
+sc AS (SELECT query_id, doc_id, CAST(sum(w6) AS DOUBLE) / 1e6 AS score
+       FROM pt GROUP BY 1, 2),
+r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY score DESC, doc_id ASC) AS rnk FROM sc)
+SELECT query_id, doc_id, round(score, 6) AS score FROM r WHERE rnk <= {BM25_K}"""
+
+
+_BIGRAM_CTE = """
+t AS MATERIALIZED (SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents),
+bg AS MATERIALIZED (
+  SELECT doc_id, g.w1 AS w1, g.w2 AS w2 FROM (
+    SELECT doc_id,
+           unnest(list_filter(
+             list_transform(range(0, greatest(len(tk) - 2, 0) + 1),
+                            i -> struct_pack(w1 := tk[i + 1], w2 := tk[i + 2])),
+             s -> s.w1 <> '' AND s.w2 IS NOT NULL AND s.w2 <> '')) AS g
+    FROM t))"""
+
+
+_BIGRAM_SURPRISAL_SQL = f"""
+WITH {_BIGRAM_CTE},
+uni AS (SELECT w1, CAST(count(*) AS BIGINT) AS c1
+        FROM (SELECT unnest(tk) AS w1 FROM t) WHERE w1 <> '' GROUP BY w1),
+bic AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS cb FROM bg GROUP BY 1, 2)
+SELECT bg.doc_id,
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       CAST(sum(length(bin(c1 // cb)) - 1) AS BIGINT) AS surp_sum,
+       round(CAST(sum(length(bin(c1 // cb)) - 1) AS DOUBLE) / count(*), 6) AS surp_mean
+FROM bg JOIN bic USING (w1, w2) JOIN uni USING (w1)
+GROUP BY bg.doc_id"""
+
+
+def _dsir_sql() -> str:
+    """DuckDB twin of text.dsir_weights (target = the src0 slice). The
+    per-feature log ratio is the exact integer floor(log2(c+1)) lattice, so
+    logratio_sum is an order-free int64 sum; one final IEEE division."""
+    from kaminpar_spark.functions.hashing import char_poly_hash_sql
+    from kaminpar_spark.functions.text import DSIR_BUCKETS
+
+    h = char_poly_hash_sql("(g.w1 || ' ' || g.w2)")
+    return f"""
+WITH t AS MATERIALIZED (
+  SELECT doc_id, source, string_split(lower(text), ' ') AS tk FROM documents),
+feats AS MATERIALIZED (
+  SELECT doc_id, source, {h} % {DSIR_BUCKETS} AS f FROM (
+    SELECT doc_id, source,
+           unnest(list_filter(
+             list_transform(range(0, greatest(len(tk) - 2, 0) + 1),
+                            i -> struct_pack(w1 := tk[i + 1], w2 := tk[i + 2])),
+             s -> s.w1 <> '' AND s.w2 IS NOT NULL AND s.w2 <> '')) AS g
+    FROM t)),
+tgt AS (SELECT f, CAST(count(*) AS BIGINT) AS ct FROM feats
+        WHERE source = '{DSIR_TARGET_SOURCE}' GROUP BY f),
+raw AS (SELECT f, CAST(count(*) AS BIGINT) AS cr FROM feats GROUP BY f),
+score AS (SELECT raw.f,
+                 CAST((length(bin(coalesce(tgt.ct, 0) + 1)) - 1)
+                      - (length(bin(raw.cr + 1)) - 1) AS BIGINT) AS lr
+          FROM raw LEFT JOIN tgt USING (f))
+SELECT feats.doc_id,
+       CAST(count(*) AS BIGINT) AS n_feats,
+       CAST(sum(lr) AS BIGINT) AS logratio_sum,
+       round(CAST(sum(lr) AS DOUBLE) / count(*), 6) AS weight
+FROM feats JOIN score USING (f)
+GROUP BY feats.doc_id"""
+
+
+def _semdedup_sql() -> str:
+    """DuckDB twin of similarity.semdedup: the kmeans cell assignment is the
+    bit-exact _kmeans_sql lattice; the within-cell pairwise stage mirrors the
+    Spark self-join with the same round-4 cosine threshold device already
+    proven by embedding_near_dups; keep = no duplicate partner of smaller id."""
+    return f"""
+WITH cells AS MATERIALIZED ({_kmeans_sql()}),
+ce AS MATERIALIZED (
+  SELECT c.vec_id, c.cell, e.embedding FROM cells c JOIN embeddings e USING (vec_id)),
+dupb AS (
+  SELECT DISTINCT b.vec_id AS vid
+  FROM ce a JOIN ce b ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE round(CAST(list_cosine_similarity(a.embedding, b.embedding) AS DOUBLE), 4)
+        >= {SEMDEDUP_THRESH})
+SELECT c.vec_id, CAST(c.cell AS BIGINT) AS cell, (d.vid IS NULL) AS keep
+FROM cells c LEFT JOIN dupb d ON c.vec_id = d.vid"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "transcript_turns": f"WITH {_TRANSCRIPTS_CTE} "
@@ -7782,4 +7954,8 @@ FROM (SELECT *, row_number() OVER (PARTITION BY event_type
                                    ORDER BY shift DESC, split_start ASC) AS rn
       FROM scored) x
 WHERE rn = 1""",
+        "bm25_topk": _bm25_sql(),
+        "bigram_surprisal": _BIGRAM_SURPRISAL_SQL,
+        "dsir_weights": _dsir_sql(),
+        "semdedup2": _semdedup_sql(),
     }

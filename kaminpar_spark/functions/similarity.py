@@ -780,3 +780,68 @@ def pq_topk(
         .where(F.col("rn") <= k)
         .select("qid", "nn_id", "cos")
     )
+
+
+def semdedup(
+    vecs: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+    max_cell_size: int | None = None,
+    round_digits: int = 4,
+) -> DataFrame:
+    """(vec_id, cell, keep) — SemDeDup-style semantic deduplication (Abbas et
+    al. 2023): k-means-cluster the embeddings, compare pairs ONLY within a
+    cluster, and prune every vector that has a semantic duplicate
+    (cos >= threshold) with a smaller id — the kept representative per
+    duplicate group is the min id, deterministic. The paper's point survives
+    intact: clustering bounds the quadratic pairwise stage to within-cell
+    work (the global all-pairs matrix is never formed), which is what makes
+    embedding dedup tractable at 10^9 vectors.
+
+    Complements embedding_near_dup_pairs (hyperplane-LSH candidates): LSH
+    recall depends on random projections; k-means cells give the
+    SemDeDup-standard partition and reuse the engine's exact-integer-lattice
+    Lloyd iterations (kmeans_quantized), so the cell assignment is
+    bit-reproducible in the DuckDB oracle.
+
+    Scale shape: assignment is the map-only quantized-kmeans projection; the
+    pairwise stage is a cell equi-self-join (quadratic only within a cell —
+    size k controls the bound; ``max_cell_size`` is the circuit breaker that
+    exempts degenerate cells from the self-join, mirroring the LSH bucket
+    cap); the keep flag is one semi-join (a vector is pruned iff it appears
+    as id_b of some duplicate pair). ``round_digits=4`` keeps the threshold
+    comparison reproducible across float summation orders."""
+    cells = kmeans_quantized(vecs, k=k, iters=iters, id_col=id_col, vec_col=vec_col, dim=dim)
+    ce = cells.join(
+        vecs.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")), "id"
+    )
+    if max_cell_size is not None:
+        ok = (
+            cells.groupBy("cell")
+            .agg(F.count("*").alias("n"))
+            .where(F.col("n") <= max_cell_size)
+            .select("cell")
+        )
+        ce = ce.join(F.broadcast(ok), "cell", "left_semi")
+    a = ce.select(F.col("id").alias("id_a"), F.col("cell"), F.col("v").alias("va"))
+    b = ce.select(F.col("id").alias("id_b"), F.col("cell"), F.col("v").alias("vb"))
+    dup_b = (
+        a.join(b, "cell")
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(F.round(_cosine("va", "vb"), round_digits) >= threshold)
+        .select("id_b")
+        .distinct()
+    )
+    return (
+        cells.join(dup_b.withColumnRenamed("id_b", "id"), "id", "left_anti")
+        .select("id", "cell", F.lit(True).alias("keep"))
+        .unionByName(
+            cells.join(dup_b.withColumnRenamed("id_b", "id"), "id", "left_semi")
+            .select("id", "cell", F.lit(False).alias("keep"))
+        )
+        .select(F.col("id").alias(id_col), F.col("cell"), F.col("keep"))
+    )

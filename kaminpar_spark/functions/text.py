@@ -502,3 +502,218 @@ def readability_scores(
         n_vow.alias("n_vowel_groups"),
         flesch.alias("flesch"),
     )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    qid_col: str = "query_id",
+    qtext_col: str = "qtext",
+) -> DataFrame:
+    """(query_id, doc_id, score) — top-k BM25 retrieval per query (Robertson/
+    Sparck Jones; the Lucene idf variant ln(1 + (N-df+0.5)/(df+0.5)), which is
+    always positive). The missing half of tfidf_top_terms: that extracts a
+    document's OWN keywords, this ranks the corpus against an external query
+    set — the retrieval primitive of RAG corpus curation and eval-set mining.
+
+    Scale shape: the query set is tiny by construction -> its distinct term
+    set is BROADCAST; the corpus explodes once and is immediately semi-join
+    pruned to query terms before the (doc, term) hash aggregate, so tf/df
+    work is proportional to matching postings, never the corpus vocabulary.
+    Document lengths are one map-side-combined aggregate; N and avgdl ride a
+    1-row broadcast crossJoin. The final per-query top-k is a rank-filtered
+    window — Spark 4's InferWindowGroupLimit turns that into a partial
+    per-partition top-k before the shuffle, so a query matching 10^9
+    documents never sorts them in one task.
+
+    Cross-engine exactness: every per-(query,doc,term) weight is one fixed
+    IEEE expression tree (identical in the DuckDB oracle), rounded to 6dp and
+    lifted onto the integer 1e6 lattice BEFORE the per-document sum, so the
+    float fold is order-independent; ranking ties break on doc_id."""
+    from pyspark.sql import Window
+
+    qterms = (
+        queries.select(
+            F.col(qid_col).alias("query_id"),
+            F.explode(F.split(F.lower(F.col(qtext_col)), " ")).alias("term"),
+        )
+        .where(F.col("term") != "")
+        .distinct()
+    )
+    toks = docs.select(F.col(id_col).alias("doc_id"), F.explode(_tokens(text_col)).alias("term"))
+    hits = toks.join(F.broadcast(qterms.select("term").distinct()), "term", "left_semi")
+    tf = hits.groupBy("doc_id", "term").agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    df_tab = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    dl = docs.select(
+        F.col(id_col).alias("doc_id"), F.size(_tokens(text_col)).cast("long").alias("dl")
+    )
+    stats = docs.agg(
+        F.count(F.lit(1)).cast("double").alias("_n"),
+        F.avg(F.size(_tokens(text_col)).cast("double")).alias("_avgdl"),
+    )
+    idf = F.log(F.lit(1.0) + (F.col("_n") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5)))
+    denom = F.col("tf") + F.lit(k1) * (
+        F.lit(1.0) - F.lit(b) + F.lit(b) * F.col("dl") / F.col("_avgdl")
+    )
+    w6 = F.round(F.round(idf * (F.col("tf") * F.lit(k1 + 1.0)) / denom, 6) * F.lit(1e6)).cast(
+        "long"
+    )
+    per_term = (
+        tf.join(df_tab.hint("shuffle_hash"), "term")
+        .join(dl.hint("shuffle_hash"), "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .join(F.broadcast(qterms), "term")
+        .select("query_id", "doc_id", w6.alias("w6"))
+    )
+    scored = per_term.groupBy("query_id", "doc_id").agg(
+        (F.sum("w6") / F.lit(1e6)).alias("score")
+    )
+    win = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(win))
+        .where(F.col("rnk") <= k)
+        .select("query_id", "doc_id", F.round("score", 6).alias("score"))
+    )
+
+
+def bigram_surprisal_scores(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, n_bigrams, surp_sum, surp_mean) — conditional bigram
+    surprisal on the exact integer-log2 lattice: per bigram (w1, w2),
+    -log2 p(w2|w1) ~ log2(c(w1) / c(w1,w2)) and
+    floor(log2(c1 div cb)) = length(bin(c1 div cb)) - 1 is an exact integer
+    in every engine (c1 >= cb >= 1 by construction: every occurrence of the
+    bigram is an occurrence of w1). The bigram upgrade of the unigram
+    surprisal_scores quality gate — it scores SEQUENCE predictability, so
+    shuffled/boilerplate-synthesized text (every token common, every
+    transition rare) separates from natural text in a way unigram scores
+    structurally cannot.
+
+    Scale shape: one explode to corpus bigrams, TWO hash aggregates (unigram
+    and bigram counts — both map-side combined), two equi-joins of the
+    exploded bigram table against those vocabularies, one per-doc hash
+    aggregate. No windows, no Python, one final IEEE division for the mean.
+    """
+    toks_l = F.split(F.lower(F.col(text_col)), " ")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks_l) - 2, F.lit(0)))
+    # F.get (0-based) is null-safe out-of-bounds, unlike element_at under
+    # ANSI mode — a single-token document must yield zero bigrams, not throw.
+    grams = F.filter(
+        F.transform(
+            idx,
+            lambda i: F.struct(
+                F.get(toks_l, i).alias("w1"),
+                F.get(toks_l, i + 1).alias("w2"),
+            ),
+        ),
+        lambda s: (s["w1"] != "") & s["w2"].isNotNull() & (s["w2"] != ""),
+    )
+    bg = docs.select(F.col(id_col).alias("id"), F.explode(grams).alias("g")).select(
+        "id", F.col("g.w1").alias("w1"), F.col("g.w2").alias("w2")
+    )
+    uni = (
+        docs.select(F.explode(toks_l).alias("w1"))
+        .where(F.col("w1") != "")
+        .groupBy("w1")
+        .agg(F.count("*").cast("long").alias("c1"))
+    )
+    bic = bg.groupBy("w1", "w2").agg(F.count("*").cast("long").alias("cb"))
+    surp = (F.length(F.bin(F.expr("c1 div cb"))) - 1).cast("long")
+    return (
+        bg.join(bic.hint("shuffle_hash"), ["w1", "w2"])
+        .join(uni.hint("shuffle_hash"), "w1")
+        .groupBy("id")
+        .agg(
+            F.count("*").cast("long").alias("n_bigrams"),
+            F.sum(surp).cast("long").alias("surp_sum"),
+        )
+        .select(
+            F.col("id").alias(id_col),
+            "n_bigrams",
+            "surp_sum",
+            F.round(F.col("surp_sum") / F.col("n_bigrams"), 6).alias("surp_mean"),
+        )
+    )
+
+
+DSIR_BUCKETS = 8192  # hashed n-gram feature space (DSIR uses 10^4; 2^13 here)
+
+
+def dsir_weights(
+    docs: DataFrame,
+    target: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    buckets: int = DSIR_BUCKETS,
+) -> DataFrame:
+    """(doc_id, n_feats, logratio_sum, weight) — data-selection importance
+    weights in the shape of DSIR (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): hash word bigrams into
+    ``buckets`` features, fit bag-of-hashed-ngram counts on the TARGET
+    (quality) corpus and on the RAW corpus, and score each raw document by
+    the sum of per-feature log count ratios — high weight = target-like,
+    the sampling key for importance resampling.
+
+    Cross-engine-exact lattice: the per-feature log ratio uses the exact
+    integer floor(log2(c+1)) = length(bin(c+1)) - 1 on both corpora (same
+    device as surprisal_scores — no transcendental in any checked column),
+    so logratio_sum is an order-free int64 sum and `weight` is ONE IEEE
+    division (logratio_sum / n_feats), reproducible bit-for-bit in DuckDB.
+    The additive-1 smoothing keeps unseen-in-target features finite.
+
+    Scale shape: two feature-count hash aggregates (target is small by
+    construction; raw is one map-side-combined pass over corpus bigrams);
+    the per-feature score table has at most ``buckets`` rows -> BROADCAST
+    join against the exploded raw corpus; one per-doc hash aggregate. No
+    windows, no Python."""
+    from kaminpar_spark.functions.hashing import char_poly_hash
+
+    def feats(d: DataFrame, with_id: bool) -> DataFrame:
+        toks_l = F.split(F.lower(F.col(text_col)), " ")
+        idx = F.sequence(F.lit(0), F.greatest(F.size(toks_l) - 2, F.lit(0)))
+        pairs = F.filter(
+            F.transform(
+                idx,
+                lambda i: F.struct(
+                    F.get(toks_l, i).alias("w1"),
+                    F.get(toks_l, i + 1).alias("w2"),
+                ),
+            ),
+            lambda s: (s["w1"] != "") & s["w2"].isNotNull() & (s["w2"] != ""),
+        )
+        grams = F.transform(pairs, lambda s: F.concat(s["w1"], F.lit(" "), s["w2"]))
+        cols = [F.col(id_col).alias("id")] if with_id else []
+        return d.select(*cols, F.explode(grams).alias("gram")).select(
+            *(["id"] if with_id else []),
+            F.pmod(char_poly_hash(F.col("gram")), F.lit(buckets)).alias("f"),
+        )
+    tgt = feats(target, False).groupBy("f").agg(F.count("*").cast("long").alias("ct"))
+    raw = feats(docs, False).groupBy("f").agg(F.count("*").cast("long").alias("cr"))
+    fl2 = lambda c: (F.length(F.bin(c + 1)) - 1).cast("long")  # noqa: E731
+    score = (
+        raw.join(tgt, "f", "left")
+        .select(
+            "f",
+            (fl2(F.coalesce(F.col("ct"), F.lit(0))) - fl2(F.col("cr"))).alias("lr"),
+        )
+    )
+    per = feats(docs, True).join(F.broadcast(score), "f")
+    return (
+        per.groupBy("id")
+        .agg(
+            F.count("*").cast("long").alias("n_feats"),
+            F.sum("lr").cast("long").alias("logratio_sum"),
+        )
+        .select(
+            F.col("id").alias(id_col),
+            "n_feats",
+            "logratio_sum",
+            F.round(F.col("logratio_sum") / F.col("n_feats"), 6).alias("weight"),
+        )
+    )

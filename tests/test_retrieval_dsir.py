@@ -1,0 +1,109 @@
+"""BM25 retrieval, bigram surprisal, DSIR weights, SemDeDup — hand-computed
+oracles on tiny corpora."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from kaminpar_spark.functions.similarity import semdedup
+from kaminpar_spark.functions.text import (
+    bigram_surprisal_scores,
+    bm25_topk,
+    dsir_weights,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "spark join merge spark join"),
+        (1, "spark table scan"),
+        (2, "window sort window sort window"),
+        (3, "completely unrelated words here"),
+        (4, "join"),  # single-token doc: zero bigrams, must not throw
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_bm25_ranks_matching_docs(spark, docs):
+    q = spark.createDataFrame(
+        [(1, "spark join"), (2, "window")], "query_id long, qtext string"
+    )
+    out = bm25_topk(docs, q, k=3).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append((r["doc_id"], r["score"]))
+    # q1: doc0 has both terms with tf 2+2, must outrank doc1 (one term) and
+    # doc4 (one term, but shortest doc); docs 2,3 never appear.
+    q1_docs = [d for d, _ in by_q[1]]
+    assert q1_docs[0] == 0
+    assert set(q1_docs) <= {0, 1, 4}
+    assert all(s > 0 for _, s in by_q[1])
+    # q2: only doc2 contains 'window'
+    assert [d for d, _ in by_q[2]] == [2]
+    # scores are descending within each query
+    for lst in by_q.values():
+        assert [s for _, s in lst] == sorted((s for _, s in lst), reverse=True)
+
+
+def test_bm25_respects_k(spark, docs):
+    q = spark.createDataFrame([(1, "spark join window sort")], "query_id long, qtext string")
+    assert bm25_topk(docs, q, k=2).count() == 2
+
+
+def test_bigram_surprisal_exact(spark):
+    docs = spark.createDataFrame(
+        [(0, "a b a b"), (1, "a b c"), (2, "a")], "doc_id long, text string"
+    )
+    # unigrams: a=3, b=3, c=1. bigrams: (a,b)=3, (b,a)=1, (b,c)=1
+    # doc0: (a,b)->fl2(3 div 3)=0, (b,a)->fl2(3 div 1)=1, (a,b)->0  => sum 1 / 3
+    # doc1: (a,b)->0, (b,c)->fl2(3 div 1)=1                         => sum 1 / 2
+    # doc2: zero bigrams -> no row (and no ANSI element_at throw)
+    out = {r["doc_id"]: r for r in bigram_surprisal_scores(docs).collect()}
+    assert set(out) == {0, 1}
+    assert (out[0]["n_bigrams"], out[0]["surp_sum"]) == (3, 1)
+    assert (out[1]["n_bigrams"], out[1]["surp_sum"]) == (2, 1)
+    assert out[0]["surp_mean"] == pytest.approx(1 / 3, abs=1e-6)
+    assert out[1]["surp_mean"] == pytest.approx(0.5)
+
+
+def test_dsir_prefers_target_like_docs(spark):
+    rows = [(i, "alpha beta gamma delta") for i in range(4)] + [
+        (4, "alpha beta gamma delta"),  # raw doc identical to target style
+        (5, "zeta eta theta iota"),  # raw doc unlike the target
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    target = docs.where(F.col("doc_id") < 4)
+    out = {r["doc_id"]: r["weight"] for r in dsir_weights(docs, target).collect()}
+    assert out[4] > out[5]
+    # weight is logratio_sum / n_feats on the integer lattice
+    full = {r["doc_id"]: r for r in dsir_weights(docs, target).collect()}
+    for r in full.values():
+        assert r["weight"] == pytest.approx(r["logratio_sum"] / r["n_feats"], abs=1e-6)
+
+
+def test_semdedup_keeps_min_id_per_dup_group(spark):
+    # two identical vectors (0, 3) + two far-apart ones; identical vectors
+    # always land in the same kmeans cell, so doc 3 must be pruned.
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.0, 1.0, 0.0, 0.0]),
+        (2, [0.0, 0.0, 1.0, 0.0]),
+        (3, [1.0, 0.0, 0.0, 0.0]),
+    ]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r["vec_id"]: r for r in semdedup(vecs, k=2, iters=1, threshold=0.99, dim=4).collect()}
+    assert set(out) == {0, 1, 2, 3}
+    assert out[0]["keep"] is True
+    assert out[3]["keep"] is False
+    assert out[0]["cell"] == out[3]["cell"]
+    assert out[1]["keep"] and out[2]["keep"]
+
+
+def test_semdedup_cell_cap_exempts_degenerate_cells(spark):
+    rows = [(i, [1.0, 0.0]) for i in range(6)] + [(6, [0.0, 1.0])]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = semdedup(vecs, k=2, iters=1, threshold=0.99, dim=2, max_cell_size=3)
+    # the 6-member identical cell exceeds the cap -> exempt from the self-join
+    assert out.where(~F.col("keep")).count() == 0
