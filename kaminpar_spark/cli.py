@@ -52,7 +52,13 @@ def load_graph(spark, path: str, symmetrize: bool):
 
 def main(argv=None):
     ap = argparse.ArgumentParser(prog="kaminpar-spark")
-    ap.add_argument("command", choices=["partition", "pagerank", "ppr", "components", "labelprop", "triangles", "kcore", "stats", "bfs", "diameter", "color", "mis", "walks", "match", "hits", "msf", "truss", "anf", "wl", "ebc", "cascade", "landmark", "tmotifs", "cpm", "robustness", "vcut", "onion", "sample", "reorder", "leiden", "ties", "nullmodel"])
+    ap.add_argument("command", choices=["partition", "pagerank", "ppr", "components", "labelprop", "triangles", "kcore", "stats", "bfs", "diameter", "color", "mis", "walks", "match", "hits", "msf", "truss", "anf", "wl", "ebc", "cascade", "landmark", "tmotifs", "cpm", "robustness", "vcut", "onion", "sample", "reorder", "leiden", "ties", "nullmodel", "bm25", "dsir", "semdedup"])
+    ap.add_argument("--query", default=None,
+                    help="[bm25] query string; repeatable via ';' separation")
+    ap.add_argument("--target-source", default=None, dest="target_source",
+                    help="[dsir] documents.source value defining the target slice")
+    ap.add_argument("--threshold", type=float, default=0.95,
+                    help="[semdedup] cosine duplicate threshold")
     ap.add_argument("--sources", default="0", help="[ppr] comma-separated teleport node ids")
     ap.add_argument("-G", "--graph", required=True)
     ap.add_argument("-k", type=int, default=2)
@@ -92,6 +98,70 @@ def main(argv=None):
     from kaminpar_spark.session import get_spark
 
     spark = get_spark("kaminpar_spark_cli", cores=args.threads)
+
+    if args.command in ("bm25", "dsir", "semdedup"):
+        # corpus commands: -G is a parquet table (documents / embeddings),
+        # not an edge list
+        from pyspark.sql import functions as F
+
+        t0 = time.time()
+        tab = spark.read.parquet(args.graph)
+        if args.command == "bm25":
+            from kaminpar_spark.functions.text import bm25_topk
+
+            qs = [
+                (i + 1, q.strip())
+                for i, q in enumerate((args.query or "").split(";"))
+                if q.strip()
+            ]
+            if not qs:
+                ap.error("bm25 requires --query 'terms...' (';'-separated)")
+            qdf = spark.createDataFrame(qs, "query_id long, qtext string")
+            out = bm25_topk(tab, qdf, k=max(args.k, 1))
+            if args.save:
+                out.write.mode("overwrite").parquet(args.save)
+            rows = out.orderBy("query_id", F.desc("score")).collect()
+            print(
+                "RESULT "
+                + json.dumps(
+                    {
+                        str(q): [(r["doc_id"], r["score"]) for r in rows if r["query_id"] == q]
+                        for q, _ in qs
+                    }
+                )
+                + f" time={time.time()-t0:.3f}s"
+            )
+        elif args.command == "dsir":
+            from kaminpar_spark.functions.text import dsir_weights
+
+            if not args.target_source:
+                ap.error("dsir requires --target-source <documents.source value>")
+            out = dsir_weights(tab, tab.where(F.col("source") == args.target_source))
+            if args.save:
+                out.write.mode("overwrite").parquet(args.save)
+            agg = out.agg(
+                F.count("*").alias("n"),
+                F.min("weight").alias("lo"),
+                F.max("weight").alias("hi"),
+            ).first()
+            print(
+                f"RESULT docs={agg['n']} weight=[{agg['lo']},{agg['hi']}] "
+                f"time={time.time()-t0:.3f}s"
+            )
+        else:
+            from kaminpar_spark.functions.similarity import semdedup
+
+            out = semdedup(tab, k=max(args.k, 2), threshold=args.threshold)
+            if args.save:
+                out.write.mode("overwrite").parquet(args.save)
+            kept = out.where(F.col("keep")).count()
+            total = out.count()
+            print(
+                f"RESULT kept={kept} pruned={total - kept} total={total} "
+                f"time={time.time()-t0:.3f}s"
+            )
+        return 0
+
     g = load_graph(spark, args.graph, symmetrize=not args.no_symmetrize)
     if args.degree_weight:
         from pyspark.sql import functions as F
