@@ -3292,6 +3292,20 @@ def _q_dsir_weights(spark, sf_dir):
     return dsir_weights(docs, docs.where(F.col("source") == DSIR_TARGET_SOURCE))
 
 
+DSIR_SELECT_FRAC = 0.25
+
+
+def _q_dsir_select(spark, sf_dir):
+    """DSIR selection stage (functions/pipeline.dsir_select): top 25% of the
+    corpus by importance weight via the scalable global sort-rank."""
+    from kaminpar_spark.functions.pipeline import dsir_select
+
+    docs = _load(spark, sf_dir, "documents")
+    return dsir_select(
+        docs, docs.where(F.col("source") == DSIR_TARGET_SOURCE), frac=DSIR_SELECT_FRAC
+    )
+
+
 def _q_semdedup(spark, sf_dir):
     """SemDeDup-style semantic dedup (functions/similarity.semdedup):
     exact-lattice k-means cells bound the pairwise stage; prune every vector
@@ -3508,6 +3522,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": _q_bm25_topk,
         "bigram_surprisal": _q_bigram_surprisal,
         "dsir_weights": _q_dsir_weights,
+        "dsir_select": _q_dsir_select,
         "semdedup2": _q_semdedup,
     }
 
@@ -7365,6 +7380,21 @@ FROM feats JOIN score USING (f)
 GROUP BY feats.doc_id"""
 
 
+def _dsir_select_sql() -> str:
+    """DuckDB twin of pipeline.dsir_select: the dsir_weights subquery, ranked
+    by (weight DESC, doc_id), cut at ceil(frac * N). sel_rank is the 0-based
+    global rank (sorted_rank semantics)."""
+    return f"""
+WITH w AS MATERIALIZED (SELECT doc_id, weight FROM ({_dsir_sql()})),
+n AS (SELECT count(*) AS _n FROM w),
+r AS (SELECT doc_id, weight,
+             CAST(row_number() OVER (ORDER BY weight DESC, doc_id ASC) - 1 AS BIGINT)
+               AS sel_rank
+      FROM w)
+SELECT doc_id, weight, sel_rank FROM r CROSS JOIN n
+WHERE sel_rank < ceil({DSIR_SELECT_FRAC!r} * _n)"""
+
+
 def _semdedup_sql() -> str:
     """DuckDB twin of similarity.semdedup: the kmeans cell assignment is the
     bit-exact _kmeans_sql lattice; the within-cell pairwise stage mirrors the
@@ -7957,5 +7987,6 @@ WHERE rn = 1""",
         "bm25_topk": _bm25_sql(),
         "bigram_surprisal": _BIGRAM_SURPRISAL_SQL,
         "dsir_weights": _dsir_sql(),
+        "dsir_select": _dsir_select_sql(),
         "semdedup2": _semdedup_sql(),
     }

@@ -388,3 +388,40 @@ def group_split(
         "cluster_id",
         F.when(bucket < cut, F.lit("test")).otherwise(F.lit("train")).alias("split"),
     )
+
+
+def dsir_select(
+    docs: DataFrame,
+    target: DataFrame,
+    frac: float = 0.25,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, weight, sel_rank) — the SELECTION stage of DSIR importance
+    resampling: keep the top ceil(frac * N) raw documents by
+    text.dsir_weights importance weight (most target-like first),
+    deterministic tie-break on doc_id. The deterministic top-quantile
+    variant of the paper's Gumbel-noise resampling — reproducible, which is
+    what a production corpus-selection job wants.
+
+    Scale shape: weights come from the broadcast-scored dsir_weights plan;
+    the global ordering uses ids.sorted_rank (range partition + broadcast
+    offsets — never a single-partition window); the cut-off rides a 1-row
+    broadcast count, so the whole selection is declarative (no driver-side
+    collect of the corpus). Weight doubles are bit-identical cross-engine
+    (one IEEE division of exact int64s), so the rank order is too."""
+    from kaminpar_spark.functions.text import dsir_weights
+    from kaminpar_spark.ids import sorted_rank
+
+    w = dsir_weights(docs, target, id_col=id_col, text_col=text_col).select(
+        id_col, "weight"
+    )
+    ranked = sorted_rank(
+        w.withColumn("_negw", -F.col("weight")), ["_negw", id_col], out="sel_rank"
+    )
+    n = w.agg(F.count(F.lit(1)).alias("_n"))
+    return (
+        ranked.crossJoin(F.broadcast(n))
+        .where(F.col("sel_rank") < F.ceil(F.lit(frac) * F.col("_n")))
+        .select(id_col, "weight", F.col("sel_rank").cast("long").alias("sel_rank"))
+    )

@@ -107,3 +107,27 @@ def test_semdedup_cell_cap_exempts_degenerate_cells(spark):
     out = semdedup(vecs, k=2, iters=1, threshold=0.99, dim=2, max_cell_size=3)
     # the 6-member identical cell exceeds the cap -> exempt from the self-join
     assert out.where(~F.col("keep")).count() == 0
+
+
+def test_dsir_select_top_fraction(spark):
+    from kaminpar_spark.functions.pipeline import dsir_select
+
+    rows = [(i, "alpha beta gamma delta") for i in range(4)] + [
+        (4, "alpha beta gamma delta"),
+        (5, "zeta eta theta iota"),
+        (6, "kappa lambda mu nu"),
+        (7, "alpha beta zeta eta"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    target = docs.where(F.col("doc_id") < 4)
+    out = dsir_select(docs, target, frac=0.5).collect()
+    assert len(out) == 4  # ceil(0.5 * 8)
+    ids = {r["doc_id"] for r in out}
+    # docs 0..4 share the (maximal) target-identical weight; the id tiebreak
+    # selects the four lowest ids, and the unlike docs 5/6 never make the cut
+    assert ids == {0, 1, 2, 3}
+    # ranks are 0-based, contiguous, ordered by weight desc then id
+    ranks = sorted(r["sel_rank"] for r in out)
+    assert ranks == [0, 1, 2, 3]
+    weights = [r["weight"] for r in sorted(out, key=lambda r: r["sel_rank"])]
+    assert weights == sorted(weights, reverse=True)
