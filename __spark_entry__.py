@@ -3306,6 +3306,39 @@ def _q_dsir_select(spark, sf_dir):
     )
 
 
+def _weak_tie_subgraph(spark, sf_dir):
+    """Weight-1 ('weak tie') subgraph of the transcript graph — sparse enough
+    to have real cut edges (the full graph is hub-dense and bridgeless)."""
+    from kaminpar_spark.graph import GraphFrame
+
+    g, _ = _graph(spark, sf_dir)
+    w1 = g.edges.where(F.col("weight") == 1)
+    nodes = (
+        w1.select(F.col("src").alias("id"))
+        .distinct()
+        .select("id", F.lit(1).cast("long").alias("weight"))
+    )
+    return GraphFrame(edges=w1, nodes=nodes)
+
+
+def _q_bridges(spark, sf_dir):
+    """Bridge (cut-edge) detection on the weak-tie subgraph (operators/
+    bridges.bridges): BFS spanning forest + deterministic XOR-tag subtree
+    sketch, O(depth) supersteps — Granovetter's weak ties as literal cut
+    edges of the collaboration graph."""
+    from kaminpar_spark.operators.bridges import bridges
+
+    return bridges(_weak_tie_subgraph(spark, sf_dir))
+
+
+def _q_two_edge_components(spark, sf_dir):
+    """2-edge-connected component labels of the weak-tie subgraph: CC of the
+    graph minus its bridges (operators/bridges.two_edge_components)."""
+    from kaminpar_spark.operators.bridges import two_edge_components
+
+    return two_edge_components(_weak_tie_subgraph(spark, sf_dir))
+
+
 def _q_semdedup(spark, sf_dir):
     """SemDeDup-style semantic dedup (functions/similarity.semdedup):
     exact-lattice k-means cells bound the pairwise stage; prune every vector
@@ -3524,6 +3557,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_weights": _q_dsir_weights,
         "dsir_select": _q_dsir_select,
         "semdedup2": _q_semdedup,
+        "bridges_weak": _q_bridges,
+        "two_edge_comps": _q_two_edge_components,
     }
 
 
@@ -7395,6 +7430,102 @@ SELECT doc_id, weight, sel_rank FROM r CROSS JOIN n
 WHERE sel_rank < ceil({DSIR_SELECT_FRAC!r} * _n)"""
 
 
+BRIDGE_BFS_ROUNDS = 10  # weak-tie forest depth is 5 at sf0.01; 2x margin
+
+
+def _cc_rounds(edge_cte: str, node_cte: str, prefix: str, rounds: int) -> str:
+    """Unrolled hash-to-min + pointer-doubling CC rounds (same shape as
+    _cc_sql) over arbitrary edge/node CTEs; final labels in {prefix}{rounds}."""
+    prev = f"{prefix}0"
+    steps = f",\n{prefix}0 AS (SELECT id, id AS comp FROM {node_cte})"
+    for i in range(1, rounds + 1):
+        steps += f""",
+{prefix}{i}a AS MATERIALIZED (
+  SELECT n.id, least(n.comp, coalesce(m.mn, n.comp)) AS comp
+  FROM {prev} n LEFT JOIN (
+    SELECT e.dst AS id, min(c.comp) AS mn
+    FROM {edge_cte} e JOIN {prev} c ON e.src = c.id GROUP BY e.dst) m
+  ON n.id = m.id),
+{prefix}{i} AS MATERIALIZED (
+  SELECT a.id, coalesce(b.comp, a.comp) AS comp
+  FROM {prefix}{i}a a LEFT JOIN {prefix}{i}a b ON a.comp = b.id)"""
+        prev = f"{prefix}{i}"
+    return steps
+
+
+def _bridges_cte() -> str:
+    """CTE chain ending in ``brf`` (a, b bridges of the weak-tie subgraph) —
+    the DuckDB twin of operators/bridges over edges WHERE weight = 1. The
+    subtree XOR uses a recursive descendant closure instead of the Spark
+    side's level peel — same XOR, different evaluation order (XOR is
+    order-free), identical tags via the shared polynomial-hash streams."""
+    from kaminpar_spark.functions.hashing import (
+        POLY_MULT2,
+        POLY_MULT3,
+        char_poly_hash_sql,
+    )
+
+    key = "(CAST(a AS VARCHAR) || ',' || CAST(b AS VARCHAR))"
+    t1 = char_poly_hash_sql(key, POLY_MULT2)
+    t2 = char_poly_hash_sql(key, POLY_MULT3)
+    cc = _cc_rounds("we", "wn", "bc", CC_STEPS)
+    cc_last = f"bc{CC_STEPS}"
+    bfs = f""",
+bd0 AS (SELECT id, CASE WHEN id = comp THEN CAST(0 AS BIGINT) END AS dist FROM {cc_last})"""
+    prev = "bd0"
+    for i in range(1, BRIDGE_BFS_ROUNDS + 1):
+        bfs += f""",
+bd{i} AS MATERIALIZED (
+  SELECT a.id,
+         CASE WHEN a.dist IS NULL THEN m.nd WHEN m.nd IS NULL THEN a.dist
+              ELSE least(a.dist, m.nd) END AS dist
+  FROM {prev} a LEFT JOIN (
+    SELECT e.dst AS id, MIN(r.dist + 1) AS nd
+    FROM we e JOIN {prev} r ON e.src = r.id WHERE r.dist IS NOT NULL
+    GROUP BY e.dst) m ON a.id = m.id)"""
+        prev = f"bd{i}"
+    return f"""
+we AS MATERIALIZED (SELECT src, dst FROM edges WHERE weight = 1),
+wn AS MATERIALIZED (SELECT DISTINCT src AS id FROM we){cc}{bfs},
+par AS MATERIALIZED (
+  SELECT e.dst AS id, min(e.src) AS parent
+  FROM we e JOIN {prev} a ON e.src = a.id JOIN {prev} b ON e.dst = b.id
+  WHERE a.dist = b.dist - 1 GROUP BY e.dst),
+tcanon AS (SELECT least(id, parent) AS a, greatest(id, parent) AS b FROM par),
+nont AS MATERIALIZED (
+  SELECT c.a, c.b FROM (SELECT src AS a, dst AS b FROM we WHERE src < dst) c
+  WHERE NOT EXISTS (SELECT 1 FROM tcanon t WHERE t.a = c.a AND t.b = c.b)),
+tags AS MATERIALIZED (SELECT a, b, {t1} AS t1, {t2} AS t2 FROM nont),
+bacc AS (SELECT id, bit_xor(t1) AS x1, bit_xor(t2) AS x2 FROM (
+           SELECT a AS id, t1, t2 FROM tags
+           UNION ALL SELECT b AS id, t1, t2 FROM tags) GROUP BY id),
+dsc AS (SELECT id AS anc, id AS nd FROM wn
+        UNION ALL SELECT d.anc, p.id FROM dsc d JOIN par p ON p.parent = d.nd),
+sx AS MATERIALIZED (
+  SELECT d.anc AS id,
+         bit_xor(coalesce(ac.x1, 0)) AS sx1, bit_xor(coalesce(ac.x2, 0)) AS sx2
+  FROM dsc d LEFT JOIN bacc ac ON ac.id = d.nd GROUP BY d.anc),
+brf AS MATERIALIZED (
+  SELECT least(p.id, p.parent) AS a, greatest(p.id, p.parent) AS b
+  FROM par p JOIN sx ON sx.id = p.id WHERE sx.sx1 = 0 AND sx.sx2 = 0)"""
+
+
+def _bridges_sql() -> str:
+    return f"""WITH RECURSIVE {_EDGES_CTE},{_bridges_cte()}
+SELECT a, b FROM brf"""
+
+
+def _two_edge_comps_sql() -> str:
+    cc2 = _cc_rounds("kept", "wn", "tc", CC_STEPS)
+    return f"""WITH RECURSIVE {_EDGES_CTE},{_bridges_cte()},
+kept AS MATERIALIZED (
+  SELECT e.src, e.dst FROM we e
+  WHERE NOT EXISTS (SELECT 1 FROM brf
+                    WHERE (brf.a = e.src AND brf.b = e.dst)
+                       OR (brf.a = e.dst AND brf.b = e.src))){cc2}
+SELECT id, comp AS tcomp FROM tc{CC_STEPS}"""
+
+
 def _semdedup_sql() -> str:
     """DuckDB twin of similarity.semdedup: the kmeans cell assignment is the
     bit-exact _kmeans_sql lattice; the within-cell pairwise stage mirrors the
@@ -7989,4 +8120,6 @@ WHERE rn = 1""",
         "dsir_weights": _dsir_sql(),
         "dsir_select": _dsir_select_sql(),
         "semdedup2": _semdedup_sql(),
+        "bridges_weak": _bridges_sql(),
+        "two_edge_comps": _two_edge_comps_sql(),
     }

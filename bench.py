@@ -254,6 +254,28 @@ def main():
         queries["pq_ann_topk"] = round(time.time() - t0, 3)
         _phase("pq done")
 
+        # ---- BM25 retrieval over the documents corpus (3 queries) ----
+        from kaminpar_spark.functions.text import bm25_topk
+
+        qdf = spark.createDataFrame(
+            [(1, "spark join merge"), (2, "customer filter window"), (3, "vector hash")],
+            "query_id long, qtext string",
+        )
+        t0 = time.time()
+        bm25_topk(docs, qdf, k=5).count()
+        queries["bm25_topk"] = round(time.time() - t0, 3)
+        _phase("bm25 done")
+
+        # ---- SemDeDup over the embeddings corpus (kmeans cells + prune) ----
+        from kaminpar_spark.functions.similarity import semdedup
+
+        t0 = time.time()
+        semdedup(emb, k=8, iters=2, threshold=0.3, dim=64).where(
+            ~F.col("keep")
+        ).count()
+        queries["semdedup"] = round(time.time() - t0, 3)
+        _phase("semdedup done")
+
     supersteps = pr_iters + lpa_iters
     kernel_sec = pr_sec + lpa_sec
     eps_per_superstep = m * supersteps / kernel_sec if kernel_sec > 0 else 0.0
