@@ -3339,6 +3339,25 @@ def _q_two_edge_components(spark, sf_dir):
     return two_edge_components(_weak_tie_subgraph(spark, sf_dir))
 
 
+def _q_articulation_points(spark, sf_dir):
+    """Cut vertices of the weak-tie subgraph (operators/bridges.
+    articulation_points): Tarjan–Vishkin auxiliary-graph biconnectivity over
+    the BFS forest — subtree low/high aggregates in O(depth) supersteps, aux
+    CC via hash-to-min, zero per-row Python."""
+    from kaminpar_spark.operators.bridges import articulation_points
+
+    return articulation_points(_weak_tie_subgraph(spark, sf_dir))
+
+
+def _q_biconnected_blocks(spark, sf_dir):
+    """Biconnected-block label per canonical weak-tie edge (operators/
+    bridges.biconnected_components) — bridges fall out as singleton blocks,
+    articulation points as vertices spanning >= 2 labels."""
+    from kaminpar_spark.operators.bridges import biconnected_components
+
+    return biconnected_components(_weak_tie_subgraph(spark, sf_dir))
+
+
 def _q_semdedup(spark, sf_dir):
     """SemDeDup-style semantic dedup (functions/similarity.semdedup):
     exact-lattice k-means cells bound the pairwise stage; prune every vector
@@ -3559,6 +3578,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semdedup2": _q_semdedup,
         "bridges_weak": _q_bridges,
         "two_edge_comps": _q_two_edge_components,
+        "articulation_points": _q_articulation_points,
+        "biconnected_blocks": _q_biconnected_blocks,
     }
 
 
@@ -7453,21 +7474,12 @@ def _cc_rounds(edge_cte: str, node_cte: str, prefix: str, rounds: int) -> str:
     return steps
 
 
-def _bridges_cte() -> str:
-    """CTE chain ending in ``brf`` (a, b bridges of the weak-tie subgraph) —
-    the DuckDB twin of operators/bridges over edges WHERE weight = 1. The
-    subtree XOR uses a recursive descendant closure instead of the Spark
-    side's level peel — same XOR, different evaluation order (XOR is
-    order-free), identical tags via the shared polynomial-hash streams."""
-    from kaminpar_spark.functions.hashing import (
-        POLY_MULT2,
-        POLY_MULT3,
-        char_poly_hash_sql,
-    )
-
-    key = "(CAST(a AS VARCHAR) || ',' || CAST(b AS VARCHAR))"
-    t1 = char_poly_hash_sql(key, POLY_MULT2)
-    t2 = char_poly_hash_sql(key, POLY_MULT3)
+def _forest_cte() -> str:
+    """Shared forest prefix for the weak-tie-subgraph family: CTE chain over
+    edges WHERE weight = 1 ending in ``par`` (id, parent = min neighbor one
+    BFS level up), ``tcanon``/``nont`` (tree / non-tree canonical edges) and
+    ``dsc`` (recursive descendant closure anc → nd) — the DuckDB twin of
+    operators/bridges.bfs_forest rooted at hash-to-min component labels."""
     cc = _cc_rounds("we", "wn", "bc", CC_STEPS)
     cc_last = f"bc{CC_STEPS}"
     bfs = f""",
@@ -7495,12 +7507,30 @@ tcanon AS (SELECT least(id, parent) AS a, greatest(id, parent) AS b FROM par),
 nont AS MATERIALIZED (
   SELECT c.a, c.b FROM (SELECT src AS a, dst AS b FROM we WHERE src < dst) c
   WHERE NOT EXISTS (SELECT 1 FROM tcanon t WHERE t.a = c.a AND t.b = c.b)),
+dsc AS (SELECT id AS anc, id AS nd FROM wn
+        UNION ALL SELECT d.anc, p.id FROM dsc d JOIN par p ON p.parent = d.nd)"""
+
+
+def _bridges_cte() -> str:
+    """Forest prefix + CTE tail ending in ``brf`` (a, b bridges of the
+    weak-tie subgraph) — the DuckDB twin of operators/bridges.bridges. The
+    subtree XOR uses the ``dsc`` descendant closure instead of the Spark
+    side's level peel — same XOR, different evaluation order (XOR is
+    order-free), identical tags via the shared polynomial-hash streams."""
+    from kaminpar_spark.functions.hashing import (
+        POLY_MULT2,
+        POLY_MULT3,
+        char_poly_hash_sql,
+    )
+
+    key = "(CAST(a AS VARCHAR) || ',' || CAST(b AS VARCHAR))"
+    t1 = char_poly_hash_sql(key, POLY_MULT2)
+    t2 = char_poly_hash_sql(key, POLY_MULT3)
+    return f"""{_forest_cte()},
 tags AS MATERIALIZED (SELECT a, b, {t1} AS t1, {t2} AS t2 FROM nont),
 bacc AS (SELECT id, bit_xor(t1) AS x1, bit_xor(t2) AS x2 FROM (
            SELECT a AS id, t1, t2 FROM tags
            UNION ALL SELECT b AS id, t1, t2 FROM tags) GROUP BY id),
-dsc AS (SELECT id AS anc, id AS nd FROM wn
-        UNION ALL SELECT d.anc, p.id FROM dsc d JOIN par p ON p.parent = d.nd),
 sx AS MATERIALIZED (
   SELECT d.anc AS id,
          bit_xor(coalesce(ac.x1, 0)) AS sx1, bit_xor(coalesce(ac.x2, 0)) AS sx2
@@ -7508,6 +7538,84 @@ sx AS MATERIALIZED (
 brf AS MATERIALIZED (
   SELECT least(p.id, p.parent) AS a, greatest(p.id, p.parent) AS b
   FROM par p JOIN sx ON sx.id = p.id WHERE sx.sx1 = 0 AND sx.sx2 = 0)"""
+
+
+def _tv_cte() -> str:
+    """Forest-relative CTE tail ending in ``tvlab`` (id, bcomp) — DuckDB twin
+    of operators/bridges._tv_block_labels. Preorder ranks come from root-path
+    LISTs (DuckDB list ORDER BY is lexicographic with prefix-first, exactly
+    the Spark side's sorted_rank over path arrays — and only the ORDER of the
+    ranks matters, both sides compare pre values and never emit them);
+    subtree low/high/maxpre via the order-free ``dsc`` closure; auxiliary
+    rules R1 (non-tree edges) + R2 (escaping subtree closes a cycle over the
+    parent tree edge); block label = hash-to-min CC over the aux graph."""
+    last = f"bd{BRIDGE_BFS_ROUNDS}"
+    cc = _cc_rounds("auxe", "auxn", "tv", CC_STEPS)
+    return f""",
+pth AS (SELECT id, [id] AS path FROM {last} WHERE dist = 0
+        UNION ALL
+        SELECT p.id, list_append(t.path, p.id) FROM pth t
+        JOIN par p ON p.parent = t.id),
+pre AS MATERIALIZED (
+  SELECT id, row_number() OVER (ORDER BY path) AS pre FROM pth),
+nnb AS MATERIALIZED (
+  SELECT id, min(npre) AS mn, max(npre) AS mx FROM (
+    SELECT n.a AS id, pb.pre AS npre FROM nont n JOIN pre pb ON pb.id = n.b
+    UNION ALL
+    SELECT n.b AS id, pa.pre AS npre FROM nont n JOIN pre pa ON pa.id = n.a)
+  GROUP BY id),
+tvb AS MATERIALIZED (
+  SELECT p.id, p.pre,
+         least(p.pre, coalesce(nb.mn, p.pre)) AS bl,
+         greatest(p.pre, coalesce(nb.mx, p.pre)) AS bh
+  FROM pre p LEFT JOIN nnb nb ON nb.id = p.id),
+sub AS MATERIALIZED (
+  SELECT d.anc AS id, min(b.bl) AS low, max(b.bh) AS high, max(b.pre) AS maxpre
+  FROM dsc d JOIN tvb b ON b.id = d.nd GROUP BY d.anc),
+r2 AS (
+  SELECT least(p.id, p.parent) AS a, greatest(p.id, p.parent) AS b
+  FROM par p
+  JOIN sub s ON s.id = p.id
+  JOIN tvb pp ON pp.id = p.parent
+  JOIN sub sp ON sp.id = p.parent
+  WHERE p.parent IN (SELECT id FROM par)
+    AND (s.low < pp.pre OR s.high > sp.maxpre)),
+auxp AS (SELECT a, b FROM nont UNION ALL SELECT a, b FROM r2),
+auxe AS MATERIALIZED (SELECT a AS src, b AS dst FROM auxp
+                      UNION ALL SELECT b AS src, a AS dst FROM auxp),
+auxn AS MATERIALIZED (SELECT id FROM par){cc},
+tvlab AS MATERIALIZED (SELECT id, comp AS bcomp FROM tv{CC_STEPS})"""
+
+
+def _articulation_sql() -> str:
+    """DuckDB twin of operators/bridges.articulation_points on the weak-tie
+    subgraph: group tree-edge block labels by parent; a root (no own label)
+    cuts iff its children span >= 2 blocks, a non-root iff some child's block
+    differs from its own tree edge's block."""
+    return f"""WITH RECURSIVE {_EDGES_CTE},{_forest_cte()}{_tv_cte()},
+cb AS (SELECT p.parent, l.bcomp AS cblock FROM par p JOIN tvlab l ON l.id = p.id),
+grp AS (
+  SELECT cb.parent,
+         count(DISTINCT cb.cblock) AS nblocks,
+         max(CASE WHEN pl.bcomp IS NOT NULL AND cb.cblock <> pl.bcomp
+                  THEN 1 ELSE 0 END) AS mismatch,
+         max(CASE WHEN pl.bcomp IS NULL THEN 1 ELSE 0 END) AS is_root
+  FROM cb LEFT JOIN tvlab pl ON pl.id = cb.parent
+  GROUP BY cb.parent)
+SELECT parent AS id FROM grp
+WHERE (is_root = 1 AND nblocks >= 2) OR (is_root = 0 AND mismatch = 1)"""
+
+
+def _biconnected_sql() -> str:
+    """DuckDB twin of operators/bridges.biconnected_components: a tree edge
+    carries its child endpoint's block label, a non-tree edge its lower
+    endpoint's (equal across the block by auxiliary rule R1)."""
+    return f"""WITH RECURSIVE {_EDGES_CTE},{_forest_cte()}{_tv_cte()},
+tlab AS (SELECT least(p.id, p.parent) AS a, greatest(p.id, p.parent) AS b,
+                l.bcomp
+         FROM par p JOIN tvlab l ON l.id = p.id),
+nlab AS (SELECT n.a, n.b, l.bcomp FROM nont n JOIN tvlab l ON l.id = n.a)
+SELECT a, b, bcomp FROM tlab UNION ALL SELECT a, b, bcomp FROM nlab"""
 
 
 def _bridges_sql() -> str:
@@ -8122,4 +8230,6 @@ WHERE rn = 1""",
         "semdedup2": _semdedup_sql(),
         "bridges_weak": _bridges_sql(),
         "two_edge_comps": _two_edge_comps_sql(),
+        "articulation_points": _articulation_sql(),
+        "biconnected_blocks": _biconnected_sql(),
     }

@@ -181,3 +181,203 @@ def two_edge_components(graph: GraphFrame, max_hops: int = 32) -> DataFrame:
     )
     sub = GraphFrame(edges=kept, nodes=graph.nodes)
     return connected_components(sub).select("id", F.col("comp").alias("tcomp"))
+
+
+def preorder_ranks(forest: DataFrame) -> DataFrame:
+    """(id, pre) — global ranks order-isomorphic to a DFS preorder of the
+    BFS forest: sort nodes by their root-path array (lexicographic; a prefix
+    sorts before its extensions, so every subtree is a CONTIGUOUS rank
+    interval starting at its root). The sort goes through ids.sorted_rank
+    (range partitioning + per-partition windows), never a single-partition
+    window; path arrays cost O(n * depth) — bounded by the BFS forest depth,
+    O(log n) on the small-world graphs this engine targets."""
+    from kaminpar_spark.ids import sorted_rank
+
+    max_level = forest.agg(F.max("level")).first()[0] or 0
+    cur = truncate(
+        forest.where(F.col("level") == 0).select("id", F.array("id").alias("path"))
+    )
+    acc = [cur]
+    for lvl in range(1, int(max_level) + 1):
+        nxt = truncate(
+            forest.where(F.col("level") == lvl)
+            .select("id", "parent")
+            .join(
+                cur.select(F.col("id").alias("parent"), "path").hint("shuffle_hash"),
+                "parent",
+            )
+            .select("id", F.concat("path", F.array("id")).alias("path"))
+        )
+        acc.append(nxt)
+        cur = nxt
+    paths = acc[0]
+    for frame in acc[1:]:
+        paths = paths.unionByName(frame)
+    return sorted_rank(paths, ["path"], out="pre").select(
+        "id", F.col("pre").cast("long").alias("pre")
+    )
+
+
+def _tv_block_labels(graph: GraphFrame, forest: DataFrame) -> DataFrame:
+    """(id, bcomp) for every NON-ROOT vertex v: the biconnected-block label of
+    v's tree edge (parent(v), v) — min vertex id over the block's tree-edge
+    child endpoints.
+
+    Tarjan–Vishkin (1985) auxiliary-graph biconnectivity, simplified by two
+    BFS-forest invariants this module's forest guarantees:
+
+    * no non-tree edge joins an ancestor–descendant pair (endpoints differ by
+      <= 1 BFS level; a one-level NT edge's upper endpoint is, by parent =
+      min-neighbor-one-level-up, never the lower endpoint's parent, hence not
+      its ancestor), so the paper's ancestor rule never fires;
+    * no non-tree edge touches a root (a root is the unique level-0 node of
+      its tree, so every edge at a root is a tree edge).
+
+    Remaining auxiliary-graph rules over tree edges (keyed by child endpoint):
+      R1  every non-tree edge {v, w}: aux edge {v, w};
+      R2  v with a non-root parent p: aux edge {v, p} iff low(v) < pre(p) or
+          high(v) > maxpre(p) — some non-tree edge escapes subtree(p) from
+          inside subtree(v), closing a cycle over both tree edges.
+    Blocks = connected components of the auxiliary graph. low/high/maxpre are
+    subtree min/max aggregates, computed in the same one-sweep bottom-up level
+    peel as the bridge XOR — O(depth) supersteps, all JVM hash aggregates."""
+    canon = (
+        graph.edges.where(F.col("src") < F.col("dst"))
+        .select(F.col("src").alias("a"), F.col("dst").alias("b"))
+        .distinct()
+    )
+    tree = forest.where(F.col("parent").isNotNull()).select(
+        F.least("id", "parent").alias("a"), F.greatest("id", "parent").alias("b")
+    )
+    nontree = truncate(canon.join(tree.hint("shuffle_hash"), ["a", "b"], "left_anti"))
+    pre = preorder_ranks(forest)
+    pa = pre.select(F.col("id").alias("a"), F.col("pre").alias("pa"))
+    pb = pre.select(F.col("id").alias("b"), F.col("pre").alias("pb"))
+    npre = nontree.join(pa.hint("shuffle_hash"), "a").join(pb.hint("shuffle_hash"), "b")
+    nbr = (
+        npre.select(F.col("a").alias("id"), F.col("pb").alias("npre"))
+        .unionByName(npre.select(F.col("b").alias("id"), F.col("pa").alias("npre")))
+        .groupBy("id")
+        .agg(F.min("npre").alias("mn"), F.max("npre").alias("mx"))
+    )
+    state = truncate(
+        forest.join(pre.hint("shuffle_hash"), "id")
+        .join(nbr.hint("shuffle_hash"), "id", "left")
+        .select(
+            "id",
+            "parent",
+            "level",
+            "pre",
+            F.least("pre", F.coalesce("mn", "pre")).alias("low"),
+            F.greatest("pre", F.coalesce("mx", "pre")).alias("high"),
+            F.col("pre").alias("maxpre"),
+        )
+    )
+    max_level = state.agg(F.max("level")).first()[0] or 0
+    for lvl in range(int(max_level), 0, -1):
+        contrib = (
+            state.where(F.col("level") == lvl)
+            .groupBy("parent")
+            .agg(
+                F.min("low").alias("clow"),
+                F.max("high").alias("chigh"),
+                F.max("maxpre").alias("cmax"),
+            )
+            .withColumnRenamed("parent", "id")
+        )
+        nxt = truncate(
+            state.join(contrib.hint("shuffle_hash"), "id", "left").select(
+                "id",
+                "parent",
+                "level",
+                "pre",
+                F.least("low", F.coalesce("clow", "low")).alias("low"),
+                F.greatest("high", F.coalesce("chigh", "high")).alias("high"),
+                F.greatest("maxpre", F.coalesce("cmax", "maxpre")).alias("maxpre"),
+            )
+        )
+        release(state)
+        state = nxt
+    parent_info = state.select(
+        F.col("id").alias("parent"),
+        F.col("pre").alias("ppre"),
+        F.col("maxpre").alias("pmaxpre"),
+        F.col("parent").alias("gparent"),
+    )
+    r2 = (
+        state.where(F.col("parent").isNotNull())
+        .join(parent_info.hint("shuffle_hash"), "parent")
+        .where(
+            F.col("gparent").isNotNull()
+            & ((F.col("low") < F.col("ppre")) | (F.col("high") > F.col("pmaxpre")))
+        )
+        .select(
+            F.least("id", "parent").alias("a"), F.greatest("id", "parent").alias("b")
+        )
+    )
+    aux_nodes = forest.where(F.col("parent").isNotNull()).select("id")
+    aux = GraphFrame.from_edge_pairs(
+        nontree.select("a", "b").unionByName(r2).selectExpr(
+            "a as src", "b as dst"
+        ),
+        nodes=aux_nodes,
+    )
+    return connected_components(aux).select("id", F.col("comp").alias("bcomp"))
+
+
+def articulation_points(
+    graph: GraphFrame, max_hops: int = 32, forest: DataFrame | None = None
+) -> DataFrame:
+    """(id) — cut vertices of the simple graph. A non-root v is a cut vertex
+    iff some child's tree-edge block differs from v's own tree-edge block; a
+    root iff its children's tree edges span >= 2 blocks."""
+    if forest is None:
+        forest = bfs_forest(graph, max_hops=max_hops)
+    labels = _tv_block_labels(graph, forest)
+    child = forest.where(F.col("parent").isNotNull()).select("id", "parent")
+    cb = child.join(labels.hint("shuffle_hash"), "id").withColumnRenamed(
+        "bcomp", "cblock"
+    )
+    pb = labels.select(F.col("id").alias("parent"), F.col("bcomp").alias("pblock"))
+    grouped = (
+        cb.join(pb.hint("shuffle_hash"), "parent", "left")
+        .groupBy("parent")
+        .agg(
+            F.countDistinct("cblock").alias("nblocks"),
+            F.max(
+                (F.col("pblock").isNotNull() & (F.col("cblock") != F.col("pblock")))
+                .cast("int")
+            ).alias("mismatch"),
+            F.max(F.col("pblock").isNull().cast("int")).alias("is_root"),
+        )
+    )
+    return grouped.where(
+        ((F.col("is_root") == 1) & (F.col("nblocks") >= 2))
+        | ((F.col("is_root") == 0) & (F.col("mismatch") == 1))
+    ).select(F.col("parent").alias("id"))
+
+
+def biconnected_components(graph: GraphFrame, max_hops: int = 32) -> DataFrame:
+    """(a, b, bcomp) — biconnected-block label per canonical edge: a tree edge
+    (parent(v), v) carries v's block; a non-tree edge carries either
+    endpoint's (equal by auxiliary rule R1). Bridges are singleton blocks."""
+    forest = bfs_forest(graph, max_hops=max_hops)
+    labels = _tv_block_labels(graph, forest)
+    tree = forest.where(F.col("parent").isNotNull()).select(
+        "id",
+        F.least("id", "parent").alias("a"),
+        F.greatest("id", "parent").alias("b"),
+    )
+    tree_lab = tree.join(labels.hint("shuffle_hash"), "id").select("a", "b", "bcomp")
+    canon = (
+        graph.edges.where(F.col("src") < F.col("dst"))
+        .select(F.col("src").alias("a"), F.col("dst").alias("b"))
+        .distinct()
+    )
+    nontree = canon.join(
+        tree.select("a", "b").hint("shuffle_hash"), ["a", "b"], "left_anti"
+    )
+    nt_lab = nontree.join(
+        labels.select(F.col("id").alias("a"), "bcomp").hint("shuffle_hash"), "a"
+    ).select("a", "b", "bcomp")
+    return tree_lab.unionByName(nt_lab)
