@@ -1729,6 +1729,29 @@ def _q_eigenvector(spark, sf_dir):
     return eigenvector_centrality(g, iters=EIG_ITERS)
 
 
+SPECTRAL_ITERS = 3
+
+
+def _q_spectral_scores(spark, sf_dir):
+    """Fiedler-direction scores (operators/spectral.fiedler_scores): deflated
+    power iteration on sigma*I - L, all-integer (trunc-div rescale + integer
+    mean deflation), 3 rounds — the spectral complement to the pool/FM
+    bisection heuristics."""
+    from kaminpar_spark.operators.spectral import fiedler_scores
+
+    g, _ = _graph(spark, sf_dir)
+    return fiedler_scores(g, iters=SPECTRAL_ITERS)
+
+
+def _q_spectral_cut(spark, sf_dir):
+    """Sign-cut statistics of the spectral scores: crossing edge weight and
+    side sizes of {fiedler >= 0 | < 0} (operators/spectral.spectral_cut_stats)."""
+    from kaminpar_spark.operators.spectral import fiedler_scores, spectral_cut_stats
+
+    g, _ = _graph(spark, sf_dir)
+    return spectral_cut_stats(g, fiedler_scores(g, iters=SPECTRAL_ITERS))
+
+
 def _q_temporal_reach(spark, sf_dir):
     """Temporal earliest-arrival (operators/temporal.py): time-respecting
     reachability from actor id 0 over the timestamped turn digraph — an edge
@@ -3404,6 +3427,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "landmark_est4": _q_landmark_est,
         "cascade_k2": _q_cascade,
         "eigenvector3": _q_eigenvector,
+        "spectral_scores3": _q_spectral_scores,
+        "spectral_cut3": _q_spectral_cut,
         "cc_profile4": _q_cc_profile,
         "role_mix": _q_role_mix,
         "repeat_contacts": _q_repeat_contacts,
@@ -5759,6 +5784,63 @@ x0 AS (SELECT id, CAST({EIG_SCALE} AS BIGINT) AS s FROM nodes){steps}
 SELECT id, s AS eig FROM x{EIG_ITERS}"""
 
 
+def _spectral_cte() -> str:
+    """Unrolled deflated power-iteration rounds on sigma*I - L (operators/
+    spectral.fiedler_scores), ending in ``fied`` (id, fiedler). Trunc-toward-
+    zero division: Spark `div` and DuckDB `//` agree on signed BIGINTs
+    (verified), so deflation and rescale are bit-exact across engines."""
+    from kaminpar_spark.operators.spectral import SPECTRAL_SCALE
+
+    sc = SPECTRAL_SCALE
+    steps, prev = "", "sx0"
+    for r in range(1, SPECTRAL_ITERS + 1):
+        steps += f""",
+sd{r} AS MATERIALIZED (
+  SELECT id, s - (SELECT sum(s) // (SELECT count(*) FROM nodes) FROM {prev}) AS s
+  FROM {prev}),
+sax{r} AS MATERIALIZED (
+  SELECT e.dst AS id, sum(e.weight * x.s) AS ax
+  FROM edges e JOIN sd{r} x ON e.src = x.id GROUP BY e.dst),
+sy{r} AS MATERIALIZED (
+  SELECT d.id,
+         ((SELECT sg FROM ssig) - dg.weighted_degree) * d.s
+           + coalesce(ax.ax, 0) AS y
+  FROM sd{r} d JOIN deg dg ON dg.id = d.id
+  LEFT JOIN sax{r} ax ON ax.id = d.id),
+sx{r} AS MATERIALIZED (
+  SELECT id,
+         CAST((CASE WHEN y < 0 THEN -1 ELSE 1 END)
+              * (abs(y) // (SELECT greatest(1, max(abs(y)) // {sc}) FROM sy{r}))
+              AS BIGINT) AS s
+  FROM sy{r})"""
+        prev = f"sx{r}"
+    return f""",
+ssig AS (SELECT 2 * max(weighted_degree) AS sg FROM deg),
+sx0 AS (SELECT id, CAST(((id * 37) % 2147483647 % 2 * 2 - 1) * {sc} AS BIGINT) AS s
+        FROM nodes){steps},
+fied AS MATERIALIZED (
+  SELECT id,
+         CAST(s - (SELECT sum(s) // (SELECT count(*) FROM nodes) FROM {prev})
+              AS BIGINT) AS fiedler
+  FROM {prev})"""
+
+
+def _spectral_scores_sql() -> str:
+    return f"""WITH {_EDGES_CTE}{_spectral_cte()}
+SELECT id, fiedler FROM fied"""
+
+
+def _spectral_cut_sql() -> str:
+    return f"""WITH {_EDGES_CTE}{_spectral_cte()},
+sside AS (SELECT id, CASE WHEN fiedler >= 0 THEN 1 ELSE 0 END AS side FROM fied)
+SELECT
+  CAST((SELECT coalesce(sum(CASE WHEN a.side <> b.side THEN e.weight ELSE 0 END), 0)
+        FROM edges e JOIN sside a ON a.id = e.src JOIN sside b ON b.id = e.dst
+        WHERE e.src < e.dst) AS BIGINT) AS cut_weight,
+  CAST((SELECT sum(side) FROM sside) AS BIGINT) AS n_nonneg,
+  CAST((SELECT sum(1 - side) FROM sside) AS BIGINT) AS n_neg"""
+
+
 def _temporal_sql() -> str:
     """Unrolled earliest-arrival relaxation over distinct (src, dst, ts)
     triples; the time-respecting filter is e.ts >= u.arr."""
@@ -7791,6 +7873,8 @@ SELECT event_type, CAST(hour(ts) AS BIGINT) AS hour,
        round(sum(value), 6) AS sum_value
 FROM events GROUP BY ROLLUP(event_type, hour(ts))""",
         "eigenvector3": _eig_sql(),
+        "spectral_scores3": _spectral_scores_sql(),
+        "spectral_cut3": _spectral_cut_sql(),
         "role_mix": f"""WITH {_EDGES_CTE}
 SELECT split_part(l.a_src, '_', 1) AS src_class,
        split_part(l.a_dst, '_', 1) AS dst_class,
