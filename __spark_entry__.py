@@ -3305,6 +3305,19 @@ def _q_bigram_surprisal(spark, sf_dir):
     return bigram_surprisal_scores(_load(spark, sf_dir, "documents"))
 
 
+BPE_ROUNDS = 4
+
+
+def _q_bpe_learn(spark, sf_dir):
+    """Distributed BPE tokenizer training (functions/bpe.bpe_learn): corpus →
+    (word, freq) dictionary once, then per merge round one adjacent-pair
+    explode + hash aggregate, a 1-row argmax, and a map-only greedy JVM fold.
+    Returns the learned merge table with post-merge corpus token counts."""
+    from kaminpar_spark.functions.bpe import bpe_learn
+
+    return bpe_learn(_load(spark, sf_dir, "documents"), rounds=BPE_ROUNDS)
+
+
 def _q_dsir_weights(spark, sf_dir):
     """DSIR-shaped importance-resampling weights (functions/text.
     dsir_weights): hashed-bigram features, target = the src0 slice, exact
@@ -3598,6 +3611,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tool_predictability": _q_tool_predictability,
         "bm25_topk": _q_bm25_topk,
         "bigram_surprisal": _q_bigram_surprisal,
+        "bpe_learn": _q_bpe_learn,
         "dsir_weights": _q_dsir_weights,
         "dsir_select": _q_dsir_select,
         "semdedup2": _q_semdedup,
@@ -7734,6 +7748,56 @@ SELECT c.vec_id, CAST(c.cell AS BIGINT) AS cell, (d.vid IS NULL) AS keep
 FROM cells c LEFT JOIN dupb d ON c.vec_id = d.vid"""
 
 
+def _bpe_sql(rounds: int) -> str:
+    """Unrolled BPE trainer oracle. Per round: pair counts over (word, pos)
+    rows, argmax with the (cnt DESC, l, r) tie-break, then greedy merge via
+    run-parity selection — within each maximal run of consecutive overlapping
+    matches greedy takes the 1st, 3rd, 5th, ... occurrence, which is exactly
+    ``(pos - run_start) % 2 = 0`` (the fold never cascades: the merged symbol
+    l||r equals l only if r is empty). Bit-for-bit vs functions/bpe.py."""
+    parts = [
+        r"""
+WITH w AS MATERIALIZED (
+  SELECT word, CAST(count(*) AS BIGINT) AS freq FROM (
+    SELECT unnest(regexp_split_to_array(text, '\s+')) AS word FROM documents) u
+  WHERE word <> '' GROUP BY word),
+t0 AS MATERIALIZED (
+  SELECT word, freq, list_append(regexp_extract_all(word, '.'), '</w>') AS toks FROM w)"""
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(f""",
+x{r} AS MATERIALIZED (
+  SELECT word, freq, pos, toks[pos] AS tok, toks[pos + 1] AS nxt FROM (
+    SELECT word, freq, toks, unnest(range(1, len(toks) + 1)) AS pos FROM t{r - 1})),
+b{r} AS MATERIALIZED (
+  SELECT tok AS l, nxt AS r2, CAST(sum(freq) AS BIGINT) AS cnt
+  FROM x{r} WHERE nxt IS NOT NULL
+  GROUP BY tok, nxt ORDER BY cnt DESC, l, r2 LIMIT 1),
+s{r} AS MATERIALIZED (
+  SELECT word, pos FROM (
+    SELECT word, pos, min(pos) OVER (PARTITION BY word, grp) AS rs FROM (
+      SELECT x.word, x.pos,
+             x.pos - row_number() OVER (PARTITION BY x.word ORDER BY x.pos) AS grp
+      FROM x{r} x, b{r} b WHERE x.tok = b.l AND x.nxt = b.r2))
+  WHERE (pos - rs) % 2 = 0),
+t{r} AS MATERIALIZED (
+  SELECT x.word, any_value(x.freq) AS freq,
+         list(CASE WHEN s.pos IS NOT NULL THEN x.tok || x.nxt ELSE x.tok END
+              ORDER BY x.pos) AS toks
+  FROM x{r} x
+  LEFT JOIN s{r} s ON s.word = x.word AND s.pos = x.pos
+  LEFT JOIN s{r} d ON d.word = x.word AND d.pos = x.pos - 1
+  WHERE d.pos IS NULL GROUP BY x.word),
+r{r} AS (
+  SELECT CAST({r} AS BIGINT) AS merge_round, b.l AS merge_left,
+         b.r2 AS merge_right, b.cnt AS pair_count,
+         (SELECT CAST(sum(freq * len(toks)) AS BIGINT) FROM t{r}) AS tokens_after
+  FROM b{r} b)""")
+    union = "\nUNION ALL\n".join(f"SELECT * FROM r{i}" for i in range(1, rounds + 1))
+    parts.append(f"\n{union}\nORDER BY merge_round")
+    return "".join(parts)
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "transcript_turns": f"WITH {_TRANSCRIPTS_CTE} "
@@ -8316,4 +8380,5 @@ WHERE rn = 1""",
         "two_edge_comps": _two_edge_comps_sql(),
         "articulation_points": _articulation_sql(),
         "biconnected_blocks": _biconnected_sql(),
+        "bpe_learn": _bpe_sql(BPE_ROUNDS),
     }

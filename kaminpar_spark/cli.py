@@ -52,13 +52,15 @@ def load_graph(spark, path: str, symmetrize: bool):
 
 def main(argv=None):
     ap = argparse.ArgumentParser(prog="kaminpar-spark")
-    ap.add_argument("command", choices=["partition", "pagerank", "ppr", "components", "labelprop", "triangles", "kcore", "stats", "bfs", "diameter", "color", "mis", "walks", "match", "hits", "msf", "truss", "anf", "wl", "ebc", "cascade", "landmark", "tmotifs", "cpm", "robustness", "vcut", "onion", "sample", "reorder", "leiden", "ties", "nullmodel", "bm25", "dsir", "semdedup"])
+    ap.add_argument("command", choices=["partition", "pagerank", "ppr", "components", "labelprop", "triangles", "kcore", "stats", "bfs", "diameter", "color", "mis", "walks", "match", "hits", "msf", "truss", "anf", "wl", "ebc", "cascade", "landmark", "tmotifs", "cpm", "robustness", "vcut", "onion", "sample", "reorder", "leiden", "ties", "nullmodel", "bm25", "dsir", "semdedup", "bpe"])
     ap.add_argument("--query", default=None,
                     help="[bm25] query string; repeatable via ';' separation")
     ap.add_argument("--target-source", default=None, dest="target_source",
                     help="[dsir] documents.source value defining the target slice")
     ap.add_argument("--threshold", type=float, default=0.95,
                     help="[semdedup] cosine duplicate threshold")
+    ap.add_argument("--rounds", type=int, default=16,
+                    help="[bpe] number of merge rounds to learn")
     ap.add_argument("--sources", default="0", help="[ppr] comma-separated teleport node ids")
     ap.add_argument("-G", "--graph", required=True)
     ap.add_argument("-k", type=int, default=2)
@@ -99,7 +101,7 @@ def main(argv=None):
 
     spark = get_spark("kaminpar_spark_cli", cores=args.threads)
 
-    if args.command in ("bm25", "dsir", "semdedup"):
+    if args.command in ("bm25", "dsir", "semdedup", "bpe"):
         # corpus commands: -G is a parquet table (documents / embeddings),
         # not an edge list
         from pyspark.sql import functions as F
@@ -147,6 +149,24 @@ def main(argv=None):
             print(
                 f"RESULT docs={agg['n']} weight=[{agg['lo']},{agg['hi']}] "
                 f"time={time.time()-t0:.3f}s"
+            )
+        elif args.command == "bpe":
+            from kaminpar_spark.functions.bpe import bpe_learn
+
+            out = bpe_learn(tab, rounds=max(args.rounds, 1))
+            if args.save:
+                out.write.mode("overwrite").parquet(args.save)
+            rows = out.orderBy("merge_round").collect()
+            print(
+                "RESULT "
+                + json.dumps(
+                    [
+                        [r["merge_round"], r["merge_left"], r["merge_right"],
+                         r["pair_count"], r["tokens_after"]]
+                        for r in rows
+                    ]
+                )
+                + f" time={time.time()-t0:.3f}s"
             )
         else:
             from kaminpar_spark.functions.similarity import semdedup
