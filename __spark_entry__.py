@@ -3318,6 +3318,22 @@ def _q_bpe_learn(spark, sf_dir):
     return bpe_learn(_load(spark, sf_dir, "documents"), rounds=BPE_ROUNDS)
 
 
+def _q_bpe_tokenize(spark, sf_dir):
+    """Train-then-tokenize end-to-end (functions/bpe.bpe_apply): learn
+    BPE_ROUNDS merges, apply them corpus-wide with the map-only fold chain
+    (zero shuffles in the apply stage), return per-doc BPE token counts."""
+    from kaminpar_spark.functions.bpe import bpe_apply, bpe_learn
+
+    docs = _load(spark, sf_dir, "documents")
+    merges = [
+        (r["merge_left"], r["merge_right"])
+        for r in bpe_learn(docs, rounds=BPE_ROUNDS).collect()
+    ]
+    return bpe_apply(docs, merges).select(
+        "doc_id", F.size("toks").cast("long").alias("n_bpe_tokens")
+    )
+
+
 def _q_dsir_weights(spark, sf_dir):
     """DSIR-shaped importance-resampling weights (functions/text.
     dsir_weights): hashed-bigram features, target = the src0 slice, exact
@@ -3612,6 +3628,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": _q_bm25_topk,
         "bigram_surprisal": _q_bigram_surprisal,
         "bpe_learn": _q_bpe_learn,
+        "bpe_tokenize": _q_bpe_tokenize,
         "dsir_weights": _q_dsir_weights,
         "dsir_select": _q_dsir_select,
         "semdedup2": _q_semdedup,
@@ -7748,13 +7765,14 @@ SELECT c.vec_id, CAST(c.cell AS BIGINT) AS cell, (d.vid IS NULL) AS keep
 FROM cells c LEFT JOIN dupb d ON c.vec_id = d.vid"""
 
 
-def _bpe_sql(rounds: int) -> str:
-    """Unrolled BPE trainer oracle. Per round: pair counts over (word, pos)
-    rows, argmax with the (cnt DESC, l, r) tie-break, then greedy merge via
-    run-parity selection — within each maximal run of consecutive overlapping
-    matches greedy takes the 1st, 3rd, 5th, ... occurrence, which is exactly
-    ``(pos - run_start) % 2 = 0`` (the fold never cascades: the merged symbol
-    l||r equals l only if r is empty). Bit-for-bit vs functions/bpe.py."""
+def _bpe_cte(rounds: int) -> str:
+    """Unrolled BPE trainer CTE chain (w, t0, then x/b/s/t/r per round).
+    Per round: pair counts over (word, pos) rows, argmax with the (cnt DESC,
+    l, r) tie-break, then greedy merge via run-parity selection — within each
+    maximal run of consecutive overlapping matches greedy takes the 1st, 3rd,
+    5th, ... occurrence, which is exactly ``(pos - run_start) % 2 = 0`` (the
+    fold never cascades: the merged symbol l||r equals l only if r is empty).
+    Bit-for-bit vs functions/bpe.py."""
     parts = [
         r"""
 WITH w AS MATERIALIZED (
@@ -7793,9 +7811,30 @@ r{r} AS (
          b.r2 AS merge_right, b.cnt AS pair_count,
          (SELECT CAST(sum(freq * len(toks)) AS BIGINT) FROM t{r}) AS tokens_after
   FROM b{r} b)""")
-    union = "\nUNION ALL\n".join(f"SELECT * FROM r{i}" for i in range(1, rounds + 1))
-    parts.append(f"\n{union}\nORDER BY merge_round")
     return "".join(parts)
+
+
+def _bpe_sql(rounds: int) -> str:
+    """Learned merge table: the per-round r{i} rows of the trainer CTE."""
+    union = "\nUNION ALL\n".join(f"SELECT * FROM r{i}" for i in range(1, rounds + 1))
+    return f"{_bpe_cte(rounds)}\n{union}\nORDER BY merge_round"
+
+
+def _bpe_tokenize_sql(rounds: int) -> str:
+    """Per-doc token counts after applying the learned merges: each word's
+    final tokenization is its t{rounds} row, so a doc's count is the sum of
+    len(toks) over its (repeated) words — left join keeps empty docs at 0."""
+    return f"""{_bpe_cte(rounds)},
+doc_words AS (
+  SELECT doc_id, word FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(text, '\\s+')) AS word
+    FROM documents) u
+  WHERE word <> ''),
+per_doc AS (
+  SELECT dw.doc_id, sum(len(t.toks)) AS n
+  FROM doc_words dw JOIN t{rounds} t USING (word) GROUP BY dw.doc_id)
+SELECT d.doc_id, CAST(coalesce(p.n, 0) AS BIGINT) AS n_bpe_tokens
+FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -8381,4 +8420,5 @@ WHERE rn = 1""",
         "articulation_points": _articulation_sql(),
         "biconnected_blocks": _biconnected_sql(),
         "bpe_learn": _bpe_sql(BPE_ROUNDS),
+        "bpe_tokenize": _bpe_tokenize_sql(BPE_ROUNDS),
     }
