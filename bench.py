@@ -276,6 +276,14 @@ def main():
         queries["semdedup"] = round(time.time() - t0, 3)
         _phase("semdedup done")
 
+        # ---- BPE tokenizer training (word-freq-dict formulation) ----
+        from kaminpar_spark.functions.bpe import bpe_learn
+
+        t0 = time.time()
+        bpe_learn(docs, rounds=4).count()
+        queries["bpe_learn4"] = round(time.time() - t0, 3)
+        _phase("bpe done")
+
     supersteps = pr_iters + lpa_iters
     kernel_sec = pr_sec + lpa_sec
     eps_per_superstep = m * supersteps / kernel_sec if kernel_sec > 0 else 0.0
