@@ -31,7 +31,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from kaminpar_spark.plans.lineage import truncate
+from kaminpar_spark.plans.lineage import release, truncate
 
 END_WORD = "</w>"
 
@@ -52,14 +52,21 @@ def word_dict(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def bpe_learn(
-    docs: DataFrame, rounds: int = 3, text_col: str = "text"
+    docs: DataFrame,
+    rounds: int = 3,
+    text_col: str = "text",
+    words: DataFrame | None = None,
 ) -> DataFrame:
     """(merge_round, merge_left, merge_right, pair_count, tokens_after) —
     the first ``rounds`` learned BPE merges over the corpus, plus the total
-    corpus token count after each merge is applied."""
+    corpus token count after each merge is applied.
+
+    ``words`` optionally supplies a pre-built (word, freq) dictionary
+    (`word_dict` output, e.g. persisted once and reused across tokenizer
+    experiments); when given, the corpus pass is skipped entirely."""
     spark = docs.sparkSession
     state = truncate(
-        word_dict(docs, text_col).select(
+        (words if words is not None else word_dict(docs, text_col)).select(
             "word",
             "freq",
             F.expr(
@@ -87,7 +94,7 @@ def bpe_learn(
         best = pairs.orderBy(F.desc("cnt"), "l", "r").first()
         a, b = best["l"], best["r"]
         la, lb, lm = _sq(a), _sq(b), _sq(a + b)
-        state = truncate(
+        new_state = truncate(
             state.select(
                 "word",
                 "freq",
@@ -101,10 +108,18 @@ def bpe_learn(
                 ).alias("toks"),
             )
         )
+        # new_state is eagerly materialized, so the superseded generation's
+        # checkpoint blocks can go — without this, `rounds` generations of
+        # the full toks-array dictionary pile up in the block manager and
+        # the resulting eviction/GC pressure throttles concurrent tasks
+        # (same superstep discipline as the graph kernels).
+        release(state)
+        state = new_state
         tokens_after = state.agg(
             F.sum(F.col("freq") * F.size("toks"))
         ).first()[0]
         records.append((r, a, b, int(best["cnt"]), int(tokens_after)))
+    release(state)
     return spark.createDataFrame(
         records,
         "merge_round long, merge_left string, merge_right string,"
