@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, Window, functions as F
 
 from kaminpar_spark.graph import GraphFrame
 from kaminpar_spark.operators.labelprop import label_scores
-from kaminpar_spark.plans.lineage import truncate
+from kaminpar_spark.plans.lineage import release, truncate
 
 
 def _with_caps(bw: DataFrame, max_block_weight: int | list[int]) -> DataFrame:
@@ -198,5 +198,7 @@ def balance(
         )
         if not total_over:
             break
-        part = truncate(balance_round(graph, part, max_block_weight, k=k))
+        new_part = truncate(balance_round(graph, part, max_block_weight, k=k))
+        release(part)
+        part = new_part
     return part

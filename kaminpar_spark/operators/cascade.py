@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from kaminpar_spark.graph import GraphFrame
-from kaminpar_spark.plans.lineage import truncate
+from kaminpar_spark.plans.lineage import release, truncate
 
 
 def threshold_cascade(
@@ -63,5 +63,7 @@ def threshold_cascade(
             .join(active.select("id").hint("shuffle_hash"), "id", "left_anti")
             .withColumn("round", F.lit(r))
         )
-        active = truncate(active.unionByName(newly))
+        new_active = truncate(active.unionByName(newly))
+        release(active)
+        active = new_active
     return active

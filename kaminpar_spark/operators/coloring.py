@@ -92,13 +92,15 @@ def jp_color(graph: GraphFrame, rounds: int = 6) -> DataFrame:
     """(id, color) after exactly ``rounds`` Jones-Plassmann supersteps —
     color is NULL for nodes not yet scheduled (the hop-bounded contract of
     bfs_dist4: well-defined and oracle-checkable round by round)."""
-    from kaminpar_spark.plans.lineage import truncate
+    from kaminpar_spark.plans.lineage import release, truncate
 
     state = graph.nodes.select(
         "id", color_priority(F.col("id")).alias("pri"), F.lit(None).cast("long").alias("color")
     )
     for _ in range(rounds):
-        state = truncate(jp_round(graph, state))
+        new_state = truncate(jp_round(graph, state))
+        release(state)
+        state = new_state
     return state.select("id", "color")
 
 
@@ -151,13 +153,15 @@ def luby_mis(graph: GraphFrame, rounds: int = 6) -> DataFrame:
     maximal independent set). Deterministic: same hash priorities as
     jp_color. Unlike a clique-bound coloring, Luby halves the undecided set
     per round in expectation on ANY graph."""
-    from kaminpar_spark.plans.lineage import truncate
+    from kaminpar_spark.plans.lineage import release, truncate
 
     state = graph.nodes.select(
         "id", color_priority(F.col("id")).alias("pri"), F.lit(0).cast("int").alias("st")
     )
     for _ in range(rounds):
-        state = truncate(luby_mis_round(graph, state))
+        new_state = truncate(luby_mis_round(graph, state))
+        release(state)
+        state = new_state
     return state.select("id", "st")
 
 
@@ -166,13 +170,15 @@ def color_to_completion(graph: GraphFrame, max_rounds: int = 100) -> DataFrame:
     ``max_rounds``; a warning row is impossible — JP colors >= 1 node per
     round, so max_rounds bounds the worst case, and the caller can assert
     no NULLs remain)."""
-    from kaminpar_spark.plans.lineage import truncate
+    from kaminpar_spark.plans.lineage import release, truncate
 
     state = graph.nodes.select(
         "id", color_priority(F.col("id")).alias("pri"), F.lit(None).cast("long").alias("color")
     )
     for _ in range(max_rounds):
-        state = truncate(jp_round(graph, state))
+        new_state = truncate(jp_round(graph, state))
+        release(state)
+        state = new_state
         if state.where(F.col("color").isNull()).limit(1).count() == 0:
             break
     return state.select("id", "color")

@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from kaminpar_spark.graph import GraphFrame
-from kaminpar_spark.plans.lineage import truncate
+from kaminpar_spark.plans.lineage import release, truncate
 
 
 def _round_stats(deg: DataFrame) -> tuple[int, int]:
@@ -68,7 +68,7 @@ def densest_peel_rounds(
                 > F.lit(eps_den + eps_num) * F.lit(h)
             ).select(F.col("src").alias("id"))
         )
-        e = truncate(
+        new_e = truncate(
             e.join(
                 survivors.withColumnRenamed("id", "src").hint("shuffle_hash"),
                 "src",
@@ -79,6 +79,12 @@ def densest_peel_rounds(
                 "left_semi",
             )
         )
+        # per-round stats are already on the driver; the peeled generation
+        # and its survivor set are dead once the new edge set materializes
+        # (densest_members, by contrast, must keep every round's edges)
+        release(e)
+        release(survivors)
+        e = new_e
     # Fixed row count for the oracle: pad exhausted rounds with the empty graph.
     while len(out) <= rounds:
         out.append((len(out), 0, 0))

@@ -118,7 +118,7 @@ def smoothed_features(
     Unfeatured nodes contribute nothing and keep q = floor(0) (callers
     supply a feature row per node; the join is left so missing rows become
     zero vectors, documented)."""
-    from kaminpar_spark.plans.lineage import truncate
+    from kaminpar_spark.plans.lineage import release, truncate
 
     q = quantize_features(feats, dim, feat_col, scale)
     state = (
@@ -153,7 +153,9 @@ def smoothed_features(
             F.expr(f"(num{i} - pmod(num{i}, den)) div den").cast("long")
             for i in range(dim)
         ]
-        state = truncate(tmp.select("id", F.array(*comps).alias("q")))
+        new_state = truncate(tmp.select("id", F.array(*comps).alias("q")))
+        release(state)
+        state = new_state
     return state
 
 
@@ -180,7 +182,7 @@ def sage_sample(
     form layer-(l+1)'s frontier.
     """
     from kaminpar_spark.functions.hashing import POLY_MOD, minhash_perms
-    from kaminpar_spark.plans.lineage import truncate
+    from kaminpar_spark.plans.lineage import release, truncate
 
     frontier = roots.select(F.col("id").alias("src"))
     out: DataFrame | None = None
@@ -217,5 +219,9 @@ def sage_sample(
         )
         drawn = truncate(drawn)
         out = drawn if out is None else out.unionByName(drawn)
-        frontier = truncate(drawn.select(F.col("dst").alias("src")).distinct())
+        # drawn generations back ``out`` and must stay; only the superseded
+        # frontier is dead
+        new_frontier = truncate(drawn.select(F.col("dst").alias("src")).distinct())
+        release(frontier)
+        frontier = new_frontier
     return out

@@ -56,7 +56,7 @@ def hits(edges: DataFrame, iters: int = 3) -> DataFrame:
     weight) table — exact integers on the [0, HITS_SCALE] lattice (the
     round leader scores HITS_SCALE). Deterministic and reproducible in ANSI
     SQL (__spark_entry__._hits_sql twin)."""
-    from kaminpar_spark.plans.lineage import truncate
+    from kaminpar_spark.plans.lineage import release, truncate
 
     edges = truncate(edges)
     nodes = truncate(
@@ -67,8 +67,12 @@ def hits(edges: DataFrame, iters: int = 3) -> DataFrame:
     hub = nodes.select("id", F.lit(HITS_SCALE).cast("long").alias("s"))
     auth = None
     for _ in range(iters):
-        auth = truncate(_rescale(_gather(edges, hub, "src", "dst"), nodes))
-        hub = truncate(_rescale(_gather(edges, auth, "dst", "src"), nodes))
+        new_auth = truncate(_rescale(_gather(edges, hub, "src", "dst"), nodes))
+        release(auth)
+        auth = new_auth
+        new_hub = truncate(_rescale(_gather(edges, auth, "dst", "src"), nodes))
+        release(hub)
+        hub = new_hub
     return (
         nodes.join(auth.withColumnRenamed("s", "auth"), "id")
         .join(hub.withColumnRenamed("s", "hub"), "id")

@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window, functions as F
 
 from kaminpar_spark.graph import GraphFrame
-from kaminpar_spark.plans.lineage import truncate
+from kaminpar_spark.plans.lineage import release, truncate
 
 
 def k_core_members(
@@ -46,11 +46,16 @@ def k_core_members(
     for _ in range(max_rounds):
         deg = edges.groupBy("src").agg(deg_col.alias("d"))
         victims = deg.where(F.col("d") < k).select("src")
-        edges = truncate(
+        new_edges = truncate(
             edges.join(victims, "src", "left_anti")
             .join(victims.withColumnRenamed("src", "dst"), "dst", "left_anti")
             .select("src", "dst", "weight")
         )
+        # the peeled generation's checkpoint blocks are dead once the new
+        # edge set is materialized — release them so max_rounds generations
+        # of the edge table never pile up in the block manager
+        release(edges)
+        edges = new_edges
         m = edges.count()
         if m == prev_m:
             break
@@ -96,11 +101,16 @@ def onion_layers(graph: GraphFrame, rounds: int) -> DataFrame:
             F.lit(k).cast("long").alias("core"),
         )
         out = layer_rows if out is None else out.unionByName(layer_rows)
-        nodes = truncate(nodes.join(victims, "id", "left_anti"))
-        edges = truncate(
+        new_nodes = truncate(nodes.join(victims, "id", "left_anti"))
+        new_edges = truncate(
             edges.join(victims.withColumnRenamed("id", "src"), "src", "left_anti")
             .join(victims.withColumnRenamed("id", "dst"), "dst", "left_anti")
         )
+        # superseded node/edge generations are dead; victims' blocks must
+        # survive — the lazily-built ``out`` union still reads them
+        release(nodes)
+        release(edges)
+        nodes, edges = new_nodes, new_edges
     if out is None:
         spark = graph.nodes.sparkSession
         return spark.createDataFrame([], "id long, layer int, core long")
@@ -168,6 +178,7 @@ def core_numbers(
     converged = rounds is not None
     for _ in range(n_rounds):
         new = truncate(hindex_round(graph, state))
+        release(state)
         if rounds is None:
             changed = new.agg(F.sum("changed")).first()[0] or 0
             if changed == 0:

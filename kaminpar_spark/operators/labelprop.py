@@ -38,7 +38,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window, functions as F
 
 from kaminpar_spark.graph import GraphFrame
-from kaminpar_spark.plans.lineage import truncate
+from kaminpar_spark.plans.lineage import release, truncate
 
 
 def label_scores(graph: GraphFrame, state: DataFrame) -> DataFrame:
@@ -346,7 +346,7 @@ def seeded_label_propagation(
             .agg(F.max(F.struct(F.col("w"), (-F.col("label")).alias("nl"))).alias("b"))
             .select("id", (-F.col("b.nl")).alias("new_label"))
         )
-        state = truncate(
+        new_state = truncate(
             state.select("id", "seed_label", F.col("label").alias("old_label"))
             .join(best.hint("shuffle_hash"), "id", "left")
             .select(
@@ -357,4 +357,6 @@ def seeded_label_propagation(
                 ).alias("label"),
             )
         )
+        release(state)
+        state = new_state
     return state.select("id", "label")

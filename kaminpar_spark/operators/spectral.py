@@ -41,7 +41,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from kaminpar_spark.graph import GraphFrame
-from kaminpar_spark.plans.lineage import truncate
+from kaminpar_spark.plans.lineage import release, truncate
 
 SPECTRAL_SCALE = 1 << 20
 
@@ -100,7 +100,7 @@ def fiedler_scores(
         m = y.agg(
             F.greatest(F.lit(1), _tdiv(f"max(abs(y))", scale)).alias("m")
         )
-        x = truncate(
+        new_x = truncate(
             y.crossJoin(F.broadcast(m)).select(
                 "id",
                 (
@@ -111,6 +111,8 @@ def fiedler_scores(
                 .alias("s"),
             )
         )
+        release(x)
+        x = new_x
     mean = x.agg(_tdiv("sum(s)", n).alias("c"))
     return x.crossJoin(F.broadcast(mean)).select(
         "id", (F.col("s") - F.col("c")).cast("long").alias("fiedler")

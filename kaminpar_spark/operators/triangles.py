@@ -241,11 +241,17 @@ def truss_decompose(graph: GraphFrame, k: int, max_rounds: int = 50) -> DataFram
     each non-final round removes >= 1 edge, and real peels converge in a
     handful of rounds because support loss cascades along shared triangles.
     """
-    from kaminpar_spark.plans.lineage import truncate
+    from kaminpar_spark.plans.lineage import release, truncate
 
     g = graph
+    prev_sup = None
     for _ in range(max_rounds):
         sup = truncate(edge_support(g))
+        # the previous round's support table backed this round's g; with the
+        # new support materialized it is dead (the convergence-round return
+        # and the final return both ride the CURRENT generation's blocks)
+        release(prev_sup)
+        prev_sup = sup
         kept = sup.where(F.col("support") >= k - 2)
         n_before = sup.count()
         n_after = kept.count()

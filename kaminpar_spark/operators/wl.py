@@ -118,11 +118,13 @@ def wl_class_counts(graph: GraphFrame, rounds: int = 2) -> list[int]:
     """Number of distinct structural classes after each round 0..rounds —
     non-decreasing (refinement only splits classes, modulo hash collisions);
     the fixpoint count is the graph's 1-WL color count."""
-    from kaminpar_spark.plans.lineage import truncate
+    from kaminpar_spark.plans.lineage import release, truncate
 
     state = truncate(wl_init(graph))
     out = [state.select("wl").distinct().count()]
     for _ in range(rounds):
-        state = truncate(wl_round(graph, state))
+        new_state = truncate(wl_round(graph, state))
+        release(state)
+        state = new_state
         out.append(state.select("wl").distinct().count())
     return out
