@@ -1,0 +1,68 @@
+"""Iterative loops must not accumulate checkpoint generations.
+
+Every ad-hoc round loop (outside SuperstepRunner, which diff-releases
+automatically) releases the superseded generation once its successor is
+materialized; otherwise `rounds` copies of O(n) state pile up in the block
+manager and the eviction/GC pressure throttles concurrent tasks (measured
+on the BPE trainer: 16M-doc scaling efficiency 0.44 -> 0.71 after the fix,
+BENCH/BPE_SCALING.md). These tests pin the bounded-block-count property.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kaminpar_spark.graph import GraphFrame
+from kaminpar_spark.operators.coloring import color_to_completion
+from kaminpar_spark.operators.kcore import core_numbers, k_core_members
+
+
+def _n_persistent(spark) -> int:
+    return spark.sparkContext._jsc.getPersistentRDDs().size()
+
+
+def _ring_with_clique(spark, n_ring: int = 40, k_clique: int = 6) -> GraphFrame:
+    ring = spark.range(n_ring).select(
+        F.col("id").alias("src"), ((F.col("id") + 1) % n_ring).alias("dst")
+    )
+    cl = spark.range(k_clique).alias("a").crossJoin(spark.range(k_clique).alias("b"))
+    clique = cl.where(F.col("a.id") < F.col("b.id")).select(
+        (F.col("a.id") + n_ring).alias("src"), (F.col("b.id") + n_ring).alias("dst")
+    )
+    return GraphFrame.from_edge_pairs(ring.unionByName(clique))
+
+
+def test_core_numbers_fixpoint_releases_generations(spark):
+    g = _ring_with_clique(spark)
+    before = _n_persistent(spark)
+    cores = core_numbers(g)  # iterates to fixpoint (many internal rounds)
+    assert cores.agg(F.max("core")).first()[0] == 5  # the clique's core
+    after = _n_persistent(spark)
+    # one live generation (+ the graph's own prepared blocks), never
+    # one-per-round: allow a small constant margin
+    assert after - before <= 4, f"checkpoint pileup: {before} -> {after}"
+
+
+def test_k_core_members_releases_generations(spark):
+    g = _ring_with_clique(spark)
+    before = _n_persistent(spark)
+    members = k_core_members(g, k=3)
+    assert members.count() == 6  # only the clique survives the 3-core peel
+    after = _n_persistent(spark)
+    assert after - before <= 4, f"checkpoint pileup: {before} -> {after}"
+
+
+def test_color_to_completion_releases_generations(spark):
+    g = _ring_with_clique(spark)
+    before = _n_persistent(spark)
+    colors = color_to_completion(g)
+    assert colors.where(F.col("color").isNull()).count() == 0
+    # proper coloring: no monochromatic edge
+    e = g.edges.join(
+        colors.withColumnRenamed("id", "src").withColumnRenamed("color", "ca"), "src"
+    ).join(
+        colors.withColumnRenamed("id", "dst").withColumnRenamed("color", "cb"), "dst"
+    )
+    assert e.where(F.col("ca") == F.col("cb")).count() == 0
+    after = _n_persistent(spark)
+    assert after - before <= 4, f"checkpoint pileup: {before} -> {after}"
