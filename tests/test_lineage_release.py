@@ -3,9 +3,12 @@
 Every ad-hoc round loop (outside SuperstepRunner, which diff-releases
 automatically) releases the superseded generation once its successor is
 materialized; otherwise `rounds` copies of O(n) state pile up in the block
-manager and the eviction/GC pressure throttles concurrent tasks (measured
-on the BPE trainer: 16M-doc scaling efficiency 0.44 -> 0.71 after the fix,
-BENCH/BPE_SCALING.md). These tests pin the bounded-block-count property.
+manager — unbounded storage growth for to-fixpoint loops (core_numbers
+runs up to 100 rounds), with eviction/GC pressure on long runs. The
+discipline is structural (bounded generations regardless of round count);
+its wall-clock effect at bench sizes is within host run variance and is
+not claimed as measured (BENCH/BPE_SCALING.md sweep). These tests pin the
+bounded-block-count property.
 """
 
 from __future__ import annotations
