@@ -40,9 +40,25 @@ def main():
     # Shuffle partitions are sized to the DATA, identical at every
     # parallelism level (the r1 rule "2x cores" quadrupled the task count at
     # local[32] and task-dispatch overhead dominated: measured 3.5x slower
-    # ETL at sp=64 vs sp=16 on the same 1.9M-edge input). 32 partitions keeps
-    # all cores busy at the top level and costs only wave-count at local[8].
-    sp = int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"))
+    # ETL at sp=64 vs sp=16 on the same 1.9M-edge input). Within the
+    # data-sized rule the constant matters at the small end too: sf0.1
+    # carries ~470k half-edges, and 32 partitions make ~15k-edge tasks whose
+    # dispatch cost dominates the superstep (measured PR 13.4s at sp=32 vs
+    # 6.2s at sp=8 on identical input). So the default derives sp from the
+    # input scale — ~60k half-edges per partition (half_edges ~ 3.2/conv),
+    # clamped to [8, 32] — and the env override pins it for protocol runs.
+    n_convs_hint = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "0"))
+    if not n_convs_hint:
+        try:  # parquet footer row count: no Spark session needed yet
+            import pyarrow.parquet as pq
+
+            n_convs_hint = pq.ParquetFile(
+                f"{sf_dir}/orders.parquet"
+            ).metadata.num_rows
+        except Exception:
+            n_convs_hint = 0
+    sp_auto = min(32, max(8, int(3.2 * n_convs_hint) // 60_000)) if n_convs_hint else 32
+    sp = int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "0")) or sp_auto
     # AQE off for the superstep bench: with explicit shuffle-hash hints and a
     # fixed data-sized partitioning there is nothing left for AQE to re-plan,
     # and its per-stage re-optimization is pure serial driver latency here
@@ -61,9 +77,9 @@ def main():
     # the scaling protocol can synthesize enough work to amortize fixed
     # per-superstep overhead (scripts/scaling_bench.py).
     t0 = time.time()
-    n_convs = int(
-        os.environ.get("SPARK_GRAFT_BENCH_CONVS", "0")
-    ) or spark.read.parquet(f"{sf_dir}/orders.parquet").count()
+    n_convs = n_convs_hint or spark.read.parquet(
+        f"{sf_dir}/orders.parquet"
+    ).count()
     t = synth_transcripts(spark, n_convs)
     g, _ = transcript_graph(t, n_convs, stable_ids=False, num_partitions=sp)
     gp = g.prepare(num_partitions=sp, hub_degree_threshold=1 << 13, salt_factor=8, spark=spark)
