@@ -5209,20 +5209,42 @@ FROM cb JOIN cells ON cb.row = cells.row AND cb.bucket = cells.bucket
 GROUP BY cb.val, cb.exact_count"""
 
 
-def _dup_windows_sql() -> str:
-    """Twin of dedup.repeated_window_stats at window=DUP_WINDOW. dup_share is
-    one exactly-rounded division of exact int64 counts — deterministic
-    without rounding."""
+def _token_hash_list_sql() -> str:
+    """Per-token character-poly-hash list over w (the token-level rolling
+    scheme of dedup.token_window_hashes; empty tokens hash to 0, matching
+    Spark's filtered char fold)."""
     from kaminpar_spark.functions.hashing import char_poly_hash_sql
 
+    return (
+        "list_transform(w, t -> CASE WHEN t = '' THEN CAST(0 AS BIGINT) "
+        f"ELSE {char_poly_hash_sql('t')} END)"
+    )
+
+
+def _window_hash_sql(window: int) -> str:
+    """Span hash at position i (1-based array math): polynomial fold (mult
+    POLY_MULT2) over the window's token hashes — the twin of the nested
+    aggregate in dedup.token_window_hashes."""
+    from kaminpar_spark.functions.hashing import POLY_MOD, POLY_MULT2
+
+    return (
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"array_slice(th, i + 1, i + {window})), "
+        f"(a, b) -> (a * {POLY_MULT2} + b) % {POLY_MOD})"
+    )
+
+
+def _dup_windows_sql() -> str:
+    """Twin of dedup.repeated_window_stats at window=DUP_WINDOW (token-level
+    rolling window hashes). dup_share is one exactly-rounded division of
+    exact int64 counts — deterministic without rounding."""
     w = DUP_WINDOW
-    gh = char_poly_hash_sql("gram")
     return f"""
-WITH toks AS (SELECT doc_id AS id, string_split(lower(text), ' ') AS w FROM documents),
-idx AS (SELECT id, w, unnest(range(greatest(len(w) - {w - 1}, 1))) AS i FROM toks),
-grams AS (SELECT id, array_to_string(array_slice(w, i + 1, i + {w}), ' ') AS gram
-          FROM idx WHERE array_to_string(array_slice(w, i + 1, i + {w}), ' ') <> ''),
-wins AS MATERIALIZED (SELECT id, {gh} AS wh FROM grams),
+WITH toks AS (SELECT doc_id AS id, string_split(lower(text), ' ') AS w FROM documents
+              WHERE len(string_split(lower(text), ' ')) > 1 OR string_split(lower(text), ' ')[1] <> ''),
+th AS (SELECT id, {_token_hash_list_sql()} AS th, len(w) AS n FROM toks),
+idx AS (SELECT id, th, unnest(range(greatest(n - {w - 1}, 1))) AS i FROM th),
+wins AS MATERIALIZED (SELECT id, {_window_hash_sql(w)} AS wh FROM idx),
 rep AS (SELECT wh FROM wins GROUP BY wh HAVING count(DISTINCT id) >= 2)
 SELECT id AS doc_id,
        CAST(count(*) AS BIGINT) AS n_windows,
@@ -5234,21 +5256,17 @@ FROM wins GROUP BY id"""
 
 
 def _strip_dup_spans_sql() -> str:
-    """Twin of dedup.strip_dup_spans: same window hashes, covered positions
-    by +0..window-1 offsets, anti-join against the per-position token table,
-    ordered string_agg re-assembly."""
-    from kaminpar_spark.functions.hashing import char_poly_hash_sql
-
+    """Twin of dedup.strip_dup_spans: same token-level rolling window
+    hashes, covered positions by +0..window-1 offsets, anti-join against the
+    per-position token table, ordered string_agg re-assembly."""
     w = DUP_WINDOW
-    gh = char_poly_hash_sql("gram")
     return f"""
 WITH tl AS (SELECT doc_id AS id, string_split(lower(text), ' ') AS w,
                    string_split(text, ' ') AS wo FROM documents),
-idx AS (SELECT id, w, unnest(range(greatest(len(w) - {w - 1}, 1))) AS i FROM tl),
-wins AS MATERIALIZED (
-  SELECT id, i, {gh} AS wh FROM (
-    SELECT id, i, array_to_string(array_slice(w, i + 1, i + {w}), ' ') AS gram
-    FROM idx) t WHERE gram <> ''),
+thx AS (SELECT id, {_token_hash_list_sql()} AS th, len(w) AS n FROM tl
+        WHERE len(w) > 1 OR w[1] <> ''),
+idx AS (SELECT id, th, unnest(range(greatest(n - {w - 1}, 1))) AS i FROM thx),
+wins AS MATERIALIZED (SELECT id, i, {_window_hash_sql(w)} AS wh FROM idx),
 rep AS (SELECT wh FROM wins GROUP BY wh HAVING count(DISTINCT id) >= 2),
 cov AS MATERIALIZED (
   SELECT DISTINCT ws.id, ws.i + g.g AS pos
