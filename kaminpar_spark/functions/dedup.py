@@ -216,9 +216,16 @@ def minhash_dedup_pairs(
 ) -> DataFrame:
     """End-to-end MinHash+LSH near-dup pipeline: (id_a, id_b, est_jaccard)
     with est_jaccard >= threshold. Fully deterministic and reproducible in
-    ANSI SQL (see __spark_entry__.oracle_sql)."""
+    ANSI SQL (see __spark_entry__.oracle_sql).
+
+    The signature table is materialized once: it feeds the banded candidate
+    join and BOTH sides of the verification join, and unmaterialized each
+    consumer re-ran the shingle explode + 64-min-aggregate groupBy
+    (measured ~3x the signature cost at sf0.1)."""
+    from kaminpar_spark.plans.lineage import truncate
+
     sh = shingles(docs, id_col, text_col, n=shingle_n, portable=True)
-    sigs = minhash_signatures(sh, num_hashes=num_hashes, seed=seed)
+    sigs = truncate(minhash_signatures(sh, num_hashes=num_hashes, seed=seed))
     cand = lsh_candidate_pairs(sigs, bands=bands)
     return minhash_jaccard(sigs, cand).where(F.col("est_jaccard") >= threshold)
 
@@ -246,11 +253,15 @@ def minhash_ingest_pairs(
     STREAMED, never shuffled, per ingest. The emitted set equals the full
     LSH near-dup pairs filtered to pairs with >=1 new id (co-bucketing is
     pairwise, so restricting one join side to the shard loses nothing)."""
+    from kaminpar_spark.plans.lineage import truncate
+
     sh_old = shingles(docs_old, id_col, text_col, n=shingle_n, portable=True)
     sh_new = shingles(docs_new, id_col, text_col, n=shingle_n, portable=True)
     sigs_old = minhash_signatures(sh_old, num_hashes=num_hashes, seed=seed)
-    sigs_new = minhash_signatures(sh_new, num_hashes=num_hashes, seed=seed)
-    sigs = sigs_old.unionByName(sigs_new)
+    # materialize: sigs_new feeds its own banding AND the union; sigs feeds
+    # the corpus banding and both verification sides
+    sigs_new = truncate(minhash_signatures(sh_new, num_hashes=num_hashes, seed=seed))
+    sigs = truncate(sigs_old.unionByName(sigs_new))
     b_all = banded_signatures(sigs, bands)
     b_new = banded_signatures(sigs_new, bands).select(
         F.col("id").alias("id_n"), "band", "band_key"
@@ -880,8 +891,12 @@ def minhash_calibration_hist(
     the standard post-LSH verify cost); the bucket id is pure int64
     arithmetic ((buckets * |A∩B|) div |A∪B|), so the histogram is
     cross-engine exact. Returns (bucket, n_pairs, est_match_sum)."""
-    sh = shingles(docs, id_col, text_col, n=shingle_n, portable=True)
-    sigs = minhash_signatures(sh, num_hashes=num_hashes, seed=seed)
+    from kaminpar_spark.plans.lineage import truncate
+
+    # sh feeds sizes + both intersection sides; sigs feeds the candidate
+    # join + both estimator sides — materialize each once
+    sh = truncate(shingles(docs, id_col, text_col, n=shingle_n, portable=True))
+    sigs = truncate(minhash_signatures(sh, num_hashes=num_hashes, seed=seed))
     cand = lsh_candidate_pairs(sigs, bands=bands)
     sizes = sh.groupBy("id").agg(F.count("*").cast("long").alias("sz"))
     sh_a = sh.select(F.col("id").alias("id_a"), "shingle_hash")
