@@ -728,3 +728,48 @@ def test_ivf_filtered_topk_respects_label_filter(spark):
         cand = [i for i in range(120) if i != q and labels[i] == labels[q]]
         best = sorted(cand, key=lambda i: (-round(cos(vecs[q], vecs[i]), 4), i))[:5]
         assert by_q[q] == set(best)
+
+
+def test_token_window_hashes_edge_cases_cross_engine(spark):
+    """Pin the token-level rolling window hash on the awkward corpus the
+    parquet fixtures never contain — empty text (no rows), double spaces
+    (empty tokens hash to 0), single-token docs, exact cross-doc spans —
+    and assert bit-parity with the DuckDB twin used by the driver oracles."""
+    import duckdb
+    import pandas as pd
+
+    import __spark_entry__ as entry_mod
+
+    rows = [
+        (0, ""),                                   # empty: must emit no rows
+        (1, "a  b c d e f g h i"),                 # double space -> '' token
+        (2, "solo"),                               # single token, w > n
+        (3, "a  b c d e f g h i"),                 # exact dup of 1
+        (4, "x " * 11 + "y"),                      # trailing-token windows
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    w = 8
+    got = {
+        (r["id"], r["i"], r["wh"])
+        for r in dedup.token_window_hashes(docs, window=w).collect()
+    }
+    assert not any(i == 0 for i, _, _ in got)  # empty text excluded
+    # doc 2: one window (the whole short doc); docs 1/3 identical hashes
+    d1 = sorted((i, h) for did, i, h in got if did == 1)
+    d3 = sorted((i, h) for did, i, h in got if did == 3)
+    # 10 tokens (the double space contributes an empty token), window 8
+    # -> 3 positions
+    assert d1 == d3 and len(d1) == 3
+
+    con = duckdb.connect()
+    con.register("documents_pd", pd.DataFrame(rows, columns=["doc_id", "text"]))
+    con.execute("CREATE VIEW documents AS SELECT * FROM documents_pd")
+    sql = f"""
+WITH tl AS (SELECT doc_id AS id, string_split(lower(text), ' ') AS w FROM documents
+            WHERE len(string_split(lower(text), ' ')) > 1
+               OR string_split(lower(text), ' ')[1] <> ''),
+thx AS (SELECT id, {entry_mod._token_hash_list_sql()} AS th, len(w) AS n FROM tl),
+idx AS (SELECT id, th, unnest(range(greatest(n - {w - 1}, 1))) AS i FROM thx)
+SELECT id, i, {entry_mod._window_hash_sql(w)} AS wh FROM idx"""
+    oracle = {(r[0], r[1], r[2]) for r in con.execute(sql).fetchall()}
+    assert got == oracle
