@@ -125,7 +125,10 @@ def banded_signatures(sigs: DataFrame, bands: int) -> DataFrame:
 
 
 def lsh_candidate_pairs(
-    sigs: DataFrame, bands: int = 16, max_bucket_size: int | None = None
+    sigs: DataFrame,
+    bands: int = 16,
+    max_bucket_size: int | None = None,
+    materialized: bool = False,
 ) -> DataFrame:
     """(id_a, id_b) candidate near-dup pairs: split signatures into bands,
     bucket-join on (band, band_key). Scale path: no all-pairs comparison —
@@ -147,7 +150,18 @@ def lsh_candidate_pairs(
     differ are the documented recall trade at the cap. Group members stay
     mutually reachable through the representative, which is what
     keep-one-representative dedup / near_dup_clusters' transitive closure
-    consume."""
+    consume.
+
+    The signature table feeds up to four executions here (both band-join
+    sides, the bucket-size filter, the identical-signature star) — each one
+    re-running the shingle explode + k-min-aggregate groupBy when ``sigs``
+    arrives unmaterialized. It is checkpointed once on entry unless the
+    caller declares it already materialized (``materialized=True`` avoids a
+    redundant second copy of an n x k table on the 100 TB path)."""
+    from kaminpar_spark.plans.lineage import truncate
+
+    if not materialized:
+        sigs = truncate(sigs)
     banded = banded_signatures(sigs, bands)
     if max_bucket_size is not None:
         ok = (
@@ -226,7 +240,7 @@ def minhash_dedup_pairs(
 
     sh = shingles(docs, id_col, text_col, n=shingle_n, portable=True)
     sigs = truncate(minhash_signatures(sh, num_hashes=num_hashes, seed=seed))
-    cand = lsh_candidate_pairs(sigs, bands=bands)
+    cand = lsh_candidate_pairs(sigs, bands=bands, materialized=True)
     return minhash_jaccard(sigs, cand).where(F.col("est_jaccard") >= threshold)
 
 
@@ -591,7 +605,16 @@ def simhash128_near_pairs(
     each identical-sketch group's min-id representative (s-1 pairs per s-doc
     group, not a single-task clique); pairs at distance 1..max_hamming whose
     EVERY shared band bucket is oversized are the documented recall trade at
-    the cap."""
+    the cap.
+
+    The sketch table is checkpointed on entry: it feeds the band explode,
+    both join sides, the bucket-size filter and the identical-sketch star —
+    unmaterialized, each consumer re-ran the 124-aggregate sketch groupBy.
+    The sketch is 3 longs per doc, so the second checkpoint is free even
+    when the caller already materialized it."""
+    from kaminpar_spark.plans.lineage import truncate
+
+    sh = truncate(sh)
     band_structs = [
         F.struct(
             F.lit(i).alias("band"),
@@ -897,7 +920,7 @@ def minhash_calibration_hist(
     # join + both estimator sides — materialize each once
     sh = truncate(shingles(docs, id_col, text_col, n=shingle_n, portable=True))
     sigs = truncate(minhash_signatures(sh, num_hashes=num_hashes, seed=seed))
-    cand = lsh_candidate_pairs(sigs, bands=bands)
+    cand = lsh_candidate_pairs(sigs, bands=bands, materialized=True)
     sizes = sh.groupBy("id").agg(F.count("*").cast("long").alias("sz"))
     sh_a = sh.select(F.col("id").alias("id_a"), "shingle_hash")
     sh_b = sh.select(F.col("id").alias("id_b"), "shingle_hash")
