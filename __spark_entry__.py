@@ -5223,12 +5223,13 @@ def _token_hash_list_sql() -> str:
 
 def _window_hash_sql(window: int) -> str:
     """Span hash at position i (1-based array math): polynomial fold (mult
-    POLY_MULT2) over the window's token hashes — the twin of the nested
-    aggregate in dedup.token_window_hashes."""
+    POLY_MULT2, seed 1 — a 0-seed would absorb leading empty tokens) over
+    the window's token hashes — the twin of the nested aggregate in
+    dedup.token_window_hashes."""
     from kaminpar_spark.functions.hashing import POLY_MOD, POLY_MULT2
 
     return (
-        "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        "list_reduce(list_prepend(CAST(1 AS BIGINT), "
         f"array_slice(th, i + 1, i + {window})), "
         f"(a, b) -> (a * {POLY_MULT2} + b) % {POLY_MOD})"
     )

@@ -76,6 +76,10 @@ def main():
     # SPARK_GRAFT_BENCH_CONVS overrides the sf-derived conversation count so
     # the scaling protocol can synthesize enough work to amortize fixed
     # per-superstep overhead (scripts/scaling_bench.py).
+    # Metric-region note: the conversation count now usually comes from the
+    # parquet footer read above (outside the timed region); earlier rounds
+    # timed a spark.read.count() job here, so round-over-round ETL
+    # comparisons include that protocol change (~0.5s at sf0.1).
     t0 = time.time()
     n_convs = n_convs_hint or spark.read.parquet(
         f"{sf_dir}/orders.parquet"

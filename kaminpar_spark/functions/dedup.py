@@ -343,20 +343,27 @@ def token_window_hashes(
     character, so every character was re-folded up to ``window`` times and
     each span paid ~|span| interpreted-lambda steps; this shape pays
     ~|token| per token plus ``window`` steps per span (~6x less lambda work
-    at window=8, measured 18.3s -> 5.6s strip_dup_spans at sf0.1). Span-hash
-    equality still means span equality modulo hash collisions — the same
-    contract as before, reproduced bit-for-bit by the DuckDB twin.
+    at window=8, measured 18.3s -> 7.8s end-to-end strip_dup_spans at
+    sf0.1). Span-hash equality means equality of the window's token-hash
+    SEQUENCE modulo hash collisions, reproduced bit-for-bit by the DuckDB
+    twin. The fold seeds at 1 (not 0): empty tokens hash to 0, and a
+    0-seeded fold would absorb leading empty tokens ('' + 'a' and 'a' alone
+    would collide deterministically on whitespace-irregular corpora); the
+    1-seed keeps the fold injective over token-hash sequences of the fixed
+    window length.
 
     Overflow: token hashes and acc are < 2^31, so acc*37 + h < 2^37 —
     int64-exact in both engines. Empty-text documents emit no rows (the
     old ``gram != ''`` filter excluded exactly those).
 
-    The token-hash array is CHECKPOINTED before the window fold: Catalyst's
+    The token-hash array is CHECKPOINTED before the window fold (Catalyst's
     projection collapse otherwise inlines the whole-array hash expression
     into the per-window lambda, re-hashing every token of the document once
-    per window (measured 21.3s vs 4.1s for the materialized shape at
-    sf0.1)."""
-    from kaminpar_spark.plans.lineage import truncate
+    per window — measured 21.3s vs 4.1s at sf0.1), the window-hash table is
+    checkpointed for its downstream consumers, and the superseded token-hash
+    staging copy is RELEASED once the window table is materialized (the same
+    bounded-checkpoint-generation discipline as the iterative kernels)."""
+    from kaminpar_spark.plans.lineage import release, truncate
 
     toks_l = F.split(F.lower(F.col(text_col)), " ")
     th_col = F.transform(toks_l, lambda t: char_poly_hash(t))
@@ -371,11 +378,13 @@ def token_window_hashes(
         idx,
         lambda i: F.aggregate(
             F.slice(F.col("th"), i + 1, window),
-            F.lit(0).cast("long"),
+            F.lit(1).cast("long"),
             lambda acc, h: (acc * F.lit(POLY_MULT2) + h) % F.lit(POLY_MOD),
         ),
     )
-    return base.select("id", F.posexplode(whs).alias("i", "wh"))
+    wins = truncate(base.select("id", F.posexplode(whs).alias("i", "wh")))
+    release(base)
+    return wins
 
 
 def repeated_window_stats(
@@ -399,13 +408,9 @@ def repeated_window_stats(
     Pure JVM; the polynomial window hash makes the DuckDB oracle exact.
     dup_share is an exactly-rounded IEEE division of two exact int64 counts,
     so it is cross-engine deterministic without rounding."""
-    from kaminpar_spark.plans.lineage import truncate
-
-    # materialize: wins feeds BOTH the repeated-set aggregate and the final
-    # per-doc aggregate — unmaterialized, the explode+hash subtree runs twice
-    wins = truncate(
-        token_window_hashes(docs, id_col, text_col, window).select("id", "wh")
-    )
+    # token_window_hashes returns a checkpointed table: wins feeds BOTH the
+    # repeated-set aggregate and the final per-doc aggregate
+    wins = token_window_hashes(docs, id_col, text_col, window).select("id", "wh")
     rep = (
         wins.groupBy("wh")
         .agg(F.count_distinct("id").alias("nd"))
@@ -976,11 +981,9 @@ def strip_dup_spans(
     exploding a length-``window`` integer range, one anti-join against the
     token table and one per-doc ordered re-assembly (collect_list bounded by
     document length, never corpus-scale). No pairwise joins, pure JVM."""
-    from kaminpar_spark.plans.lineage import truncate
-
-    # materialize: wins feeds the repeated-set aggregate AND the covered-
-    # position semi-join — unmaterialized, the explode+hash subtree runs twice
-    wins = truncate(token_window_hashes(docs, id_col, text_col, window))
+    # token_window_hashes returns a checkpointed table: wins feeds the
+    # repeated-set aggregate AND the covered-position semi-join
+    wins = token_window_hashes(docs, id_col, text_col, window)
     rep = (
         wins.groupBy("wh")
         .agg(F.count_distinct("id").alias("nd"))

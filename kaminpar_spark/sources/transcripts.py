@@ -234,10 +234,10 @@ def transcript_digraph(
     transcript_graph this keeps the turn DIRECTION (prev actor -> next
     actor), the input for directed link analysis (HITS: who initiates vs who
     responds). Same two-level dense ids, same materialized mapping."""
-    from kaminpar_spark.plans.lineage import truncate as _tr
+    from kaminpar_spark.plans.lineage import truncate
 
     # same once-not-thrice materialization as transcript_graph
-    links = _tr(turn_links(transcripts, n_convs))
+    links = truncate(turn_links(transcripts, n_convs))
     actors = links.select(F.col("a_src").alias("actor")).unionByName(
         links.select(F.col("a_dst").alias("actor"))
     )
@@ -245,8 +245,6 @@ def transcript_digraph(
         amap = dense_ids_by_order(actors, "actor", out="id")
     else:
         amap = dense_ids(actors, "actor", num_partitions=num_partitions, out="id")
-    from kaminpar_spark.plans.lineage import truncate
-
     amap = truncate(amap)
     edges = (
         links.join(amap.withColumnRenamed("actor", "a_src").withColumnRenamed("id", "src"), "a_src")
