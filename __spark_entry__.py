@@ -1880,18 +1880,41 @@ def _q_csr_blocks(spark, sf_dir):
     """Hash-partitioned CSR adjacency blocks (plans/csr_blocks.py): per
     block the src-sorted offset/index/weight arrays — the north star's
     'src-sorted edge blocks with per-partition offset arrays', value-exact
-    down to every array element."""
+    down to every array element. The library API returns one row per block
+    with array columns; the driver harness canonicalizer sorts scalar cells
+    only, so THIS wrapper posexplodes each array to (block, arr, pos, value)
+    rows — same information, hash-checkable element by element."""
     from kaminpar_spark.plans.csr_blocks import to_csr_blocks
 
     g, _ = _graph(spark, sf_dir)
-    return to_csr_blocks(g, num_blocks=CSR_BLOCKS)
+    blocks = to_csr_blocks(g, num_blocks=CSR_BLOCKS)
+
+    def _ex(col: str) -> DataFrame:
+        return blocks.select(
+            "block", F.lit(col).alias("arr"), F.posexplode(F.col(col))
+        ).select(
+            "block",
+            "arr",
+            F.col("pos").cast("long").alias("pos"),
+            F.col("col").cast("long").alias("value"),
+        )
+
+    return (
+        _ex("ids")
+        .unionByName(_ex("indptr"))
+        .unionByName(_ex("indices"))
+        .unionByName(_ex("eweights"))
+    )
 
 
 def _q_nbr_mean(spark, sf_dir):
     """GraphSAGE mean aggregator (operators/gnn.py): per node, the
     element-wise mean of its neighbors' 64-dim embeddings (features assigned
     deterministically by id mod |embeddings|). Integer-lattice quantization
-    makes the float means cross-engine exact."""
+    makes the float means cross-engine exact. The library returns
+    (id, n_nbrs, nbr_mean array<double>); the harness canonicalizer cannot
+    sort array cells, so the wrapper posexplodes to (id, n_nbrs, pos, value)
+    scalar rows."""
     from kaminpar_spark.operators.gnn import neighbor_mean_features
 
     g, _ = _graph(spark, sf_dir)
@@ -1901,7 +1924,13 @@ def _q_nbr_mean(spark, sf_dir):
         F.broadcast(emb),
         F.pmod(F.col("id"), F.lit(n_vecs)) == F.col("vec_id"),
     ).select("id", F.col("embedding").alias("feat"))
-    return neighbor_mean_features(g, feats, dim=EMB_DIM)
+    nm = neighbor_mean_features(g, feats, dim=EMB_DIM)
+    return nm.select("id", "n_nbrs", F.posexplode("nbr_mean")).select(
+        "id",
+        "n_nbrs",
+        F.col("pos").cast("long").alias("pos"),
+        F.col("col").alias("value"),
+    )
 
 
 MSF_ROUNDS = 2
@@ -3427,56 +3456,65 @@ def _q_semdedup(spark, sf_dir):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-        "transcript_turns": _q_transcript_turns,
-        "transcript_edges": _q_transcript_edges,
-        "conv_stats": _q_conv_stats,
-        "tool_transitions": _q_tool_transitions,
-        "degrees": _q_degrees,
-        "bfs_dist4": _q_bfs_dist,
-        "sssp_dist4": _q_sssp_dist,
-        "degree_buckets": _q_degree_buckets,
-        "pagerank5": _q_pagerank5,
-        "pagerank_warm": _q_pagerank_warm,
-        "ppr5": _q_ppr5,
-        "lcc": _q_lcc,
-        "connected_components": _q_cc,
-        "cc_incremental": _q_cc_incremental,
-        "component_sizes": _q_component_sizes,
-        "digraph_stats": _q_digraph_stats,
-        "scc": _q_scc,
-        "bowtie": _q_bowtie,
-        "condensation_levels": _q_condensation,
+        # ---- driver-verification window (first 50): rotated per round so
+        # every registered query re-earns a CURRENT-round green row (the
+        # driver checks the first 50 entries only). Round-4 window =
+        # the two r3-red rows (now exploded to scalar columns) + the
+        # SURVEY §2-core rows whose implementation files changed since
+        # their r2 green + the dedup/ANN family + r3 additions that were
+        # outside the r3 window. Policy + last-green stamps: COVERAGE.md.
         "nbr_mean_features": _q_nbr_mean,
-        "brandes_stress4": _q_brandes_stress,
-        "louvain_moves4": _q_louvain_moves,
-        "louvain_modularity": _q_louvain_modularity,
-        "katz3": _q_katz,
-        "temporal_reach6": _q_temporal_reach,
-        "temporal_triangles60": _q_temporal_triangles,
-        "landmark_est4": _q_landmark_est,
-        "cascade_k2": _q_cascade,
-        "eigenvector3": _q_eigenvector,
-        "spectral_scores3": _q_spectral_scores,
-        "spectral_cut3": _q_spectral_cut,
-        "cc_profile4": _q_cc_profile,
-        "role_mix": _q_role_mix,
-        "repeat_contacts": _q_repeat_contacts,
         "csr_blocks4": _q_csr_blocks,
-        "attributed_purchases": _q_attributed_purchases,
-        "event_rollup": _q_event_rollup,
-        "actor_churn": _q_actor_churn,
-        "triangle_count": _q_triangle_count,
-        "triangles_incremental": _q_triangles_incremental,
-        "transitivity": _q_transitivity,
-        "snm_candidates": _q_snm_candidates,
-        "wl_classes2": _q_wl_classes,
-        "ego_density": _q_ego_density,
-        "curriculum_batches": _q_curriculum,
-        "edge_stress4": _q_edge_stress,
-        "gn_split": _q_gn_split,
-        "cycle_stats": _q_cycle_stats,
-        "linkpred_negatives": _q_linkpred_negatives,
-        "linkpred_training": _q_linkpred_training,
+        "lp_step1": _q_lp_step1,
+        "lp_capped_step": _q_lp_capped_step,
+        "lp_hardcap_step": _q_lp_hardcap_step,
+        "contraction_edges": _q_contraction_edges,
+        "contraction_nodes": _q_contraction_nodes,
+        "edge_cut_mod4": _q_edge_cut_mod4,
+        "block_weights_mod4": _q_block_weights_mod4,
+        "kcore_peel8": _q_kcore_peel8,
+        "isolated_rescale": _q_isolated_rescale,
+        "subgraph_block0": _q_subgraph_block0,
+        "degree_permutation": _q_degree_permutation,
+        "capped_neighbors": _q_capped_neighbors,
+        "balance_round_skew": _q_balance_round,
+        "minhash_near_dups": _q_minhash_near_dups,
+        "minhash_calibration20": _q_minhash_calibration,
+        "minhash_ingest": _q_minhash_ingest,
+        "simhash_near_dups": _q_simhash_near_dups,
+        "lsh_topk": _q_lsh_topk,
+        "ivf_topk": _q_ivf_topk,
+        "pq_topk": _q_pq_topk,
+        "kmeans_cells2": _q_kmeans_cells,
+        "lsh_recall": _q_lsh_recall,
+        "ivf_recall": _q_ivf_recall,
+        "pq_recall": _q_pq_recall,
+        "sq8_topk": _q_sq8_topk,
+        "sq8_recall": _q_sq8_recall,
+        "embedding_near_dups": _q_embedding_near_dups,
+        "semdedup2": _q_semdedup,
+        "dedup_exact": _q_dedup_exact,
+        "clean_corpus": _q_clean_corpus,
+        "near_dup_clusters": _q_near_dup_clusters,
+        "dedup_keep_best": _q_dedup_keep_best,
+        "decontaminate": _q_decontaminate,
+        "dup_windows8": _q_dup_windows,
+        "strip_dup_spans8": _q_strip_dup_spans,
+        "ngram_jaccard": _q_ngram_jaccard,
+        "fingerprints": _q_fingerprints,
+        "kmv_shingles": _q_kmv_shingles,
+        "hll_shingles": _q_hll_shingles,
+        "cms_tokens": _q_cms_tokens,
+        "sage_sample32": _q_sage_sample,
+        "feature_smooth2": _q_feature_smooth,
+        "bpe_learn": _q_bpe_learn,
+        "bpe_tokenize": _q_bpe_tokenize,
+        "bm25_topk": _q_bm25_topk,
+        "bigram_surprisal": _q_bigram_surprisal,
+        "dsir_weights": _q_dsir_weights,
+        "dsir_select": _q_dsir_select,
+        # ---- rotation backlog: never-driver-verified first (r5 window
+        #      candidates), then previously-green rows, oldest green first.
         "ssjoin_prefix": _q_ssjoin,
         "seeded_labels3": _q_seeded_labels,
         "rank_movers": _q_rank_movers,
@@ -3487,9 +3525,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "surprisal_scores": _q_surprisal,
         "cohesion_chunks": _q_cohesion_chunks,
         "vocab_growth": _q_vocab_growth,
-        "feature_smooth2": _q_feature_smooth,
-        "sq8_topk": _q_sq8_topk,
-        "sq8_recall": _q_sq8_recall,
         "edge_churn": _q_edge_churn,
         "rectangles": _q_rectangles,
         "two_hop_reach": _q_two_hop_reach,
@@ -3497,10 +3532,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_jaccard": _q_weighted_jaccard,
         "bipartite_check12": _q_bipartite_check,
         "response_latency": _q_response_latency,
-        "lp_step1": _q_lp_step1,
         "lpa_warm": _q_lpa_warm,
-        "lpa_modularity": _q_lpa_modularity,
-        "adjacency_jaccard": _q_adjacency_jaccard,
         "resource_alloc": _q_resource_alloc,
         "assortativity": _q_assortativity,
         "role_assortativity": _q_role_assortativity,
@@ -3521,12 +3553,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conductance_mod4": _q_conductance_mod4,
         "graph_summary": _q_graph_summary,
         "domain_mix": _q_domain_mix,
-        "edge_cut_mod4": _q_edge_cut_mod4,
         "comm_volume_mod4": _q_comm_volume_mod4,
-        "block_weights_mod4": _q_block_weights_mod4,
-        "dedup_exact": _q_dedup_exact,
-        "clean_corpus": _q_clean_corpus,
-        "near_dup_clusters": _q_near_dup_clusters,
         "stratified_sample": _q_stratified_sample,
         "pack_sequences": _q_pack_sequences,
         "source_filter": _q_source_filter,
@@ -3534,57 +3561,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_topk": _q_ngram_topk,
         "pii_scrub": _q_pii_scrub,
         "repetition_stats": _q_repetition_stats,
-        "decontaminate": _q_decontaminate,
-        "dup_windows8": _q_dup_windows,
-        "strip_dup_spans8": _q_strip_dup_spans,
-        "kmv_shingles": _q_kmv_shingles,
-        "hll_shingles": _q_hll_shingles,
-        "cms_tokens": _q_cms_tokens,
-        "token_counts": _q_token_counts,
-        "text_quality": _q_text_quality,
-        "embedding_topk": _q_embedding_topk,
         "event_props_agg": _q_event_props,
         "funnel_counts": _q_funnel,
-        "windowed_event_counts": _q_windowed_events,
-        "sessionized_events": _q_sessionized_events,
-        "kcore_peel8": _q_kcore_peel8,
         "onion_layers6": _q_onion_layers,
         "vertex_cut16": _q_vertex_cut,
-        "sage_sample32": _q_sage_sample,
         "bandwidth_orders": _q_bandwidth_orders,
         "score_peel8": _q_score_peel8,
-        "lp_capped_step": _q_lp_capped_step,
-        "contraction_edges": _q_contraction_edges,
-        "contraction_nodes": _q_contraction_nodes,
-        "pagerank_weighted5": _q_pagerank_weighted5,
         "pagerank_recency5": _q_pagerank_recency,
-        "language_id": _q_language_id,
-        "bpe_token_counts": _q_bpe_tokens,
-        "ngram_jaccard": _q_ngram_jaccard,
-        # sketch family (cross-engine polynomial hashing -> full oracles)
-        "minhash_near_dups": _q_minhash_near_dups,
-        "minhash_calibration20": _q_minhash_calibration,
-        "minhash_ingest": _q_minhash_ingest,
-        "simhash_near_dups": _q_simhash_near_dups,
-        "lsh_topk": _q_lsh_topk,
-        "ivf_topk": _q_ivf_topk,
-        "pq_topk": _q_pq_topk,
-        "kmeans_cells2": _q_kmeans_cells,
-        "lsh_recall": _q_lsh_recall,
-        "ivf_recall": _q_ivf_recall,
-        "pq_recall": _q_pq_recall,
-        "fingerprints": _q_fingerprints,
-        "media_features": _q_media_features,
-        "embedding_near_dups": _q_embedding_near_dups,
-        "frame_sample_plan": _q_frame_sample_plan,
-        # partitioner tier
-        "core_hindex4": _q_core_hindex,
-        "subgraph_block0": _q_subgraph_block0,
-        "isolated_rescale": _q_isolated_rescale,
-        "lp_hardcap_step": _q_lp_hardcap_step,
-        "balance_round_skew": _q_balance_round,
-        "capped_neighbors": _q_capped_neighbors,
-        "degree_permutation": _q_degree_permutation,
         "msf_bounded": _q_msf_bounded,
         "anf_ranks3": _q_anf_ranks,
         "hop_plot3": _q_hop_plot,
@@ -3596,7 +3579,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triad_census": _q_triad_census,
         "clique_percolation8": _q_clique_percolation,
         "clustering_spectrum": _q_clustering_spectrum,
-        "dedup_keep_best": _q_dedup_keep_best,
         "knn_spectrum": _q_knn_spectrum,
         "pagerank_by_role": _q_pagerank_by_role,
         "degree_gini": _q_degree_gini,
@@ -3625,17 +3607,71 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mean_shift": _q_mean_shift,
         "lang_confusion": _q_lang_confusion,
         "tool_predictability": _q_tool_predictability,
-        "bm25_topk": _q_bm25_topk,
-        "bigram_surprisal": _q_bigram_surprisal,
-        "bpe_learn": _q_bpe_learn,
-        "bpe_tokenize": _q_bpe_tokenize,
-        "dsir_weights": _q_dsir_weights,
-        "dsir_select": _q_dsir_select,
-        "semdedup2": _q_semdedup,
         "bridges_weak": _q_bridges,
         "two_edge_comps": _q_two_edge_components,
         "articulation_points": _q_articulation_points,
         "biconnected_blocks": _q_biconnected_blocks,
+        "lpa_modularity": _q_lpa_modularity,
+        "adjacency_jaccard": _q_adjacency_jaccard,
+        "token_counts": _q_token_counts,
+        "text_quality": _q_text_quality,
+        "embedding_topk": _q_embedding_topk,
+        "windowed_event_counts": _q_windowed_events,
+        "sessionized_events": _q_sessionized_events,
+        "pagerank_weighted5": _q_pagerank_weighted5,
+        "language_id": _q_language_id,
+        "bpe_token_counts": _q_bpe_tokens,
+        "media_features": _q_media_features,
+        "frame_sample_plan": _q_frame_sample_plan,
+        "core_hindex4": _q_core_hindex,
+        "transcript_turns": _q_transcript_turns,
+        "transcript_edges": _q_transcript_edges,
+        "conv_stats": _q_conv_stats,
+        "tool_transitions": _q_tool_transitions,
+        "degrees": _q_degrees,
+        "bfs_dist4": _q_bfs_dist,
+        "sssp_dist4": _q_sssp_dist,
+        "degree_buckets": _q_degree_buckets,
+        "pagerank5": _q_pagerank5,
+        "pagerank_warm": _q_pagerank_warm,
+        "ppr5": _q_ppr5,
+        "lcc": _q_lcc,
+        "connected_components": _q_cc,
+        "cc_incremental": _q_cc_incremental,
+        "component_sizes": _q_component_sizes,
+        "digraph_stats": _q_digraph_stats,
+        "scc": _q_scc,
+        "bowtie": _q_bowtie,
+        "condensation_levels": _q_condensation,
+        "brandes_stress4": _q_brandes_stress,
+        "louvain_moves4": _q_louvain_moves,
+        "louvain_modularity": _q_louvain_modularity,
+        "katz3": _q_katz,
+        "temporal_reach6": _q_temporal_reach,
+        "temporal_triangles60": _q_temporal_triangles,
+        "landmark_est4": _q_landmark_est,
+        "cascade_k2": _q_cascade,
+        "eigenvector3": _q_eigenvector,
+        "spectral_scores3": _q_spectral_scores,
+        "spectral_cut3": _q_spectral_cut,
+        "cc_profile4": _q_cc_profile,
+        "role_mix": _q_role_mix,
+        "repeat_contacts": _q_repeat_contacts,
+        "attributed_purchases": _q_attributed_purchases,
+        "event_rollup": _q_event_rollup,
+        "actor_churn": _q_actor_churn,
+        "triangle_count": _q_triangle_count,
+        "triangles_incremental": _q_triangles_incremental,
+        "transitivity": _q_transitivity,
+        "snm_candidates": _q_snm_candidates,
+        "wl_classes2": _q_wl_classes,
+        "ego_density": _q_ego_density,
+        "curriculum_batches": _q_curriculum,
+        "edge_stress4": _q_edge_stress,
+        "gn_split": _q_gn_split,
+        "cycle_stats": _q_cycle_stats,
+        "linkpred_negatives": _q_linkpred_negatives,
+        "linkpred_training": _q_linkpred_training,
     }
 
 
@@ -6197,9 +6233,9 @@ q AS MATERIALIZED (
   FROM feat CROSS JOIN (SELECT unnest(range({EMB_DIM})) AS pos) p),
 gath AS (SELECT e.dst AS id, q.pos, q.qv FROM edges e JOIN q ON e.src = q.id),
 agg AS (SELECT id, pos, sum(qv) AS s, count(*) AS c FROM gath GROUP BY id, pos)
-SELECT id, CAST(max(c) AS BIGINT) AS n_nbrs,
-       list(CAST(s AS DOUBLE) / ({s}.0 * c) ORDER BY pos) AS nbr_mean
-FROM agg GROUP BY id"""
+SELECT id, CAST(c AS BIGINT) AS n_nbrs, CAST(pos AS BIGINT) AS pos,
+       CAST(s AS DOUBLE) / ({s}.0 * c) AS value
+FROM agg"""
 
 
 def _msf_chain() -> tuple[str, list[str]]:
@@ -8033,23 +8069,31 @@ FROM p JOIN v ON v.user_id = p.user_id
  AND v.view_ts >= p.purchase_ts - INTERVAL 30 MINUTE
 GROUP BY p.purchase_id, p.user_id""",
         "csr_blocks4": f"""WITH {_EDGES_CTE},
-be AS (SELECT CAST(src % {CSR_BLOCKS} AS INT) AS block, src, dst, weight FROM edges),
-run AS (
-  SELECT block, src, c,
-         CAST(sum(c) OVER (PARTITION BY block ORDER BY src) AS BIGINT) AS cum
-  FROM (SELECT block, src, count(*) AS c FROM be GROUP BY block, src)),
-parts AS (
-  SELECT block,
-         list(src ORDER BY src) AS ids,
-         list_prepend(CAST(0 AS BIGINT), list(cum ORDER BY src)) AS indptr
-  FROM run GROUP BY block),
-idx AS (
-  SELECT block,
-         list(dst ORDER BY src, dst) AS indices,
-         list(weight ORDER BY src, dst) AS eweights
-  FROM be GROUP BY block)
-SELECT p.block, p.ids, p.indptr, i.indices, i.eweights
-FROM parts p JOIN idx i ON p.block = i.block""",
+be AS MATERIALIZED (SELECT CAST(src % {CSR_BLOCKS} AS INT) AS block, src, dst, weight FROM edges),
+bdeg AS MATERIALIZED (SELECT block, src, count(*) AS c FROM be GROUP BY block, src)
+SELECT block, 'ids' AS arr,
+       CAST(row_number() OVER (PARTITION BY block ORDER BY src) - 1 AS BIGINT) AS pos,
+       CAST(src AS BIGINT) AS value
+FROM bdeg
+UNION ALL
+SELECT block, 'indptr' AS arr,
+       CAST(row_number() OVER (PARTITION BY block ORDER BY src) AS BIGINT) AS pos,
+       CAST(sum(c) OVER (PARTITION BY block ORDER BY src) AS BIGINT) AS value
+FROM bdeg
+UNION ALL
+SELECT DISTINCT block, 'indptr' AS arr, CAST(0 AS BIGINT) AS pos,
+       CAST(0 AS BIGINT) AS value
+FROM bdeg
+UNION ALL
+SELECT block, 'indices' AS arr,
+       CAST(row_number() OVER (PARTITION BY block ORDER BY src, dst) - 1 AS BIGINT) AS pos,
+       CAST(dst AS BIGINT) AS value
+FROM be
+UNION ALL
+SELECT block, 'eweights' AS arr,
+       CAST(row_number() OVER (PARTITION BY block ORDER BY src, dst) - 1 AS BIGINT) AS pos,
+       CAST(weight AS BIGINT) AS value
+FROM be""",
         "triangle_count": _TRIANGLE_SQL,
         "triangles_incremental": _TRI_INCR_SQL,
         "transitivity": _TRANSITIVITY_SQL,

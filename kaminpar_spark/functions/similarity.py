@@ -782,16 +782,29 @@ def pq_topk(
     )
 
 
+SEMDEDUP_TARGET_CELL = 1024
+SEMDEDUP_MAX_CELL = 8 * SEMDEDUP_TARGET_CELL
+
+
+def semdedup_auto_k(n: int, target_cell_size: int = SEMDEDUP_TARGET_CELL) -> int:
+    """k that keeps the EXPECTED cell ~``target_cell_size`` vectors: the
+    paper's own regime is k proportional to corpus size (tens of thousands
+    of clusters at 10^8 vectors), NOT a fixed small k — with k fixed, cells
+    grow ~n/k and the within-cell self-join is O(n^2/k), quadratic at scale."""
+    return max(2, -(-n // max(1, target_cell_size)))
+
+
 def semdedup(
     vecs: DataFrame,
-    k: int = 8,
+    k: int | None = None,
     iters: int = 2,
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int | None = None,
-    max_cell_size: int | None = None,
+    max_cell_size: int | None = SEMDEDUP_MAX_CELL,
     round_digits: int = 4,
+    target_cell_size: int = SEMDEDUP_TARGET_CELL,
 ) -> DataFrame:
     """(vec_id, cell, keep) — SemDeDup-style semantic deduplication (Abbas et
     al. 2023): k-means-cluster the embeddings, compare pairs ONLY within a
@@ -814,7 +827,18 @@ def semdedup(
     exempts degenerate cells from the self-join, mirroring the LSH bucket
     cap); the keep flag is one semi-join (a vector is pruned iff it appears
     as id_b of some duplicate pair). ``round_digits=4`` keeps the threshold
-    comparison reproducible across float summation orders."""
+    comparison reproducible across float summation orders.
+
+    Scale DEFAULTS (both armed — a caller passing nothing gets the
+    scale-safe configuration): ``k=None`` derives k from the corpus size so
+    the expected cell holds ~``target_cell_size`` vectors
+    (``semdedup_auto_k``: k ~ n/1024, one driver-side count to size it);
+    ``max_cell_size`` defaults to ``8 * target_cell_size`` so a degenerate
+    cell (all-identical embeddings, k-means collapse) caps the self-join at
+    cells x max_cell_size^2 pairs instead of n^2. Pass ``max_cell_size=None``
+    to explicitly disarm the breaker (small-corpus exact parity runs)."""
+    if k is None:
+        k = semdedup_auto_k(vecs.count(), target_cell_size)
     cells = kmeans_quantized(vecs, k=k, iters=iters, id_col=id_col, vec_col=vec_col, dim=dim)
     ce = cells.join(
         vecs.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")), "id"

@@ -66,17 +66,42 @@ def neighbor_mean_features(
         # Cap the AGGREGATING side: gather flows src-features to dst, so the
         # sampled neighborhood is per-dst (P4's cap_neighbors ranks per-src —
         # the rating-kernel view — which would not bound the aggregation).
-        # Deterministic pseudo-random subset: lowest xxhash64(src, dst), same
-        # trade as P4 (a row_number window; a 10^7-degree hub sorts in one
-        # task — at that scale pre-split hubs or use threshold sampling).
-        from pyspark.sql import Window
+        # Hub-safe shape (the sage_sample formulation, gnn.py:162): ``cap``
+        # independent affine-keyed argmin draws per dst — ONE hash aggregate
+        # with ``cap`` struct-min columns, map-side partial agg, so a
+        # 10^7-degree hub reduces across tasks instead of sorting in one
+        # (the per-dst row_number window this replaced put the whole hub
+        # neighborhood in a single task). Sampling with replacement then
+        # dedup: <= cap distinct neighbors, GraphSAGE semantics.
+        from kaminpar_spark.functions.hashing import POLY_MOD, minhash_perms
 
-        w = Window.partitionBy("dst").orderBy(F.xxhash64("src", "dst"), F.col("src"))
+        a, b = minhash_perms(cap, seed=23)
+        e0 = graph.edges.select("src", "dst")
+        keys = [
+            (
+                (F.col("src") * F.lit(a[j])) % F.lit(POLY_MOD)
+                + (F.col("dst") * F.lit(b[j])) % F.lit(POLY_MOD)
+            )
+            % F.lit(POLY_MOD)
+            for j in range(cap)
+        ]
+        keyed = e0.select("src", "dst", *[keys[j].alias(f"k{j}") for j in range(cap)])
+        aggs = [
+            F.min(F.struct(F.col(f"k{j}").alias("k"), F.col("src").alias("s"))).alias(
+                f"m{j}"
+            )
+            for j in range(cap)
+        ]
         e = (
-            graph.edges.select("src", "dst", "weight")
-            .withColumn("rn", F.row_number().over(w))
-            .where(F.col("rn") <= cap)
-            .drop("rn")
+            keyed.groupBy("dst")
+            .agg(*aggs)
+            .select(
+                "dst",
+                F.explode(
+                    F.array_distinct(F.array(*[F.col(f"m{j}.s") for j in range(cap)]))
+                ).alias("src"),
+            )
+            .select("src", "dst", F.lit(1).cast("long").alias("weight"))
         )
         graph = GraphFrame(edges=e, nodes=graph.nodes)
     q = quantize_features(feats, dim, feat_col, scale)

@@ -410,6 +410,7 @@ def recursive_bisect(
     total_weight_root: int | None = None,
     final_k: int | None = None,
     multilevel: bool = True,
+    replication_threads: int = 1,
 ) -> np.ndarray:
     """Recursive bisection to k blocks (helper.cc:87-176
     extend_partition_recursive). ``final_k`` (>= k) is how many of the FINAL
@@ -422,7 +423,10 @@ def recursive_bisect(
 
     ``multilevel=True`` (default, the reference's behavior) runs each
     bisection through the sequential multilevel pipeline (E6/E7,
-    multilevel_bipartition); False bisects the graph flat (pool only)."""
+    multilevel_bipartition); False bisects the graph flat (pool only).
+    ``replication_threads > 1`` instead runs each bisection through the E9
+    split-and-join replica tree (replicated_bipartition) with that thread
+    budget — mid-coarsening forks + best-of joins."""
     final_k = final_k or k
     k_final = k_final or final_k
     total_weight_root = total_weight_root or g.total_weight
@@ -434,7 +438,13 @@ def recursive_bisect(
     )
     fk1, fk2 = split_integral(final_k)
     k1, k2 = split_integral(k)
-    bipartition = multilevel_bipartition if multilevel else pool_bipartition
+    if replication_threads > 1:
+        def bipartition(gg, ee, seed, ratio):
+            return replicated_bipartition(
+                gg, ee, seed=seed, num_threads=replication_threads, ratio=ratio
+            )
+    else:
+        bipartition = multilevel_bipartition if multilevel else pool_bipartition
     part = bipartition(g, eps_prime, seed=seed, ratio=(fk1, fk2))
     if k1 == 1 and k2 == 1:
         return part
@@ -594,6 +604,103 @@ def multilevel_bipartition(
             if (f_inf, cut_of(g, flat)) < (infeasible, cut_of(g, part)):
                 return flat
     return part
+
+
+def compute_num_copies(
+    n: int, converged: bool, num_threads: int, contraction_limit: int = IP_CONTRACTION_LIMIT
+) -> int:
+    """The reference's replica-fork rule (helper.cc:211-227
+    compute_num_copies): while the graph is still large relative to the
+    contraction limit C, keep ONE chain coarsening (f = 2^ceil(log2(n/C)) >
+    threads); once n is within reach, split the thread budget into
+    threads/f replica groups; at n <= 2C (or a converged coarsener), fan out
+    fully — one replica per remaining thread."""
+    c = max(1, contraction_limit)
+    if converged or n <= 2 * c:
+        return num_threads
+    f = 1 << max(0, math.ceil(math.log2(n / c)))
+    if f > num_threads:
+        return 1
+    return max(1, num_threads // f)
+
+
+def replicated_bipartition(
+    g: SmallGraph,
+    epsilon: float,
+    seed: int = 42,
+    num_threads: int = 4,
+    repetitions: int = 4,
+    ratio: tuple[int, int] = (1, 1),
+    trace: list | None = None,
+) -> np.ndarray:
+    """E9, completed: the reference's split-and-join replica TREE
+    (parallel_initial_partitioner.cc:11-69 partition_recursive /
+    split_and_join), not just a coarsest-graph seed portfolio. The chain
+    coarsens while the graph is large (compute_num_copies returns 1); once
+    within reach of the contraction limit it FORKS mid-coarsening into
+    replica groups, each continuing to coarsen independently under its own
+    seed; leaf replicas (thread budget 1) run the full sequential multilevel
+    bipartition (helper::bipartition base case); every join selects the best
+    replica by (infeasibility, cut) (select_best, helper.h:77-104) and every
+    unwind projects + 2-way-FM-refines one level (uncoarsen_once + refine).
+    Driver-sized numpy — the forks cost leaf-count x base work, bounded by
+    ``num_threads``.
+
+    ``trace``, if given, records (n, num_copies) at each fork (>1 copy) so
+    tests can assert forks happen MID-coarsening (n > contraction limit)."""
+    if g.n == 0:
+        return np.zeros(0, dtype=np.int64)
+    max_cw = int(IP_CLUSTER_WEIGHT_MULTIPLIER * (1 + epsilon) * g.total_weight / 2)
+    k1, k2 = ratio
+    slack = int(g.nweights.max(initial=1))
+    caps = tuple(
+        max(
+            (1 + epsilon) * math.ceil(g.total_weight * ks / (k1 + k2)),
+            math.ceil(g.total_weight * ks / (k1 + k2)) + slack,
+        )
+        for ks in (k1, k2)
+    )
+
+    def score(gr: SmallGraph, part: np.ndarray) -> tuple[int, int]:
+        bw = _block_weights(gr, part)
+        infeasible = int(max(0, bw[0] - caps[0]) + max(0, bw[1] - caps[1]))
+        return (infeasible, cut_of(gr, part))
+
+    def partition_recursive(cur: SmallGraph, threads: int, s: int) -> np.ndarray:
+        if threads <= 1:
+            # sequential base case: full multilevel bipartition (E6+E7)
+            return multilevel_bipartition(
+                cur, epsilon, seed=s, repetitions=repetitions, ratio=ratio
+            )
+        rng = np.random.default_rng(s ^ 0x9E3779B9)
+        shrunk, mapping, coarse = False, None, cur
+        if cur.n > IP_CONTRACTION_LIMIT:
+            leader, moves = lp_cluster_seq(cur, max_cw, rng)
+            c_n = cur.n - moves
+            if (1.0 - c_n / cur.n) > IP_CONVERGENCE_THRESHOLD:
+                coarse, mapping = contract_clustering(cur, leader)
+                shrunk = True
+        part = split_and_join(coarse, threads, not shrunk, s)
+        if shrunk:
+            part = part[mapping]
+            part = fm_refine_2way(cur, part, caps, rng=rng)
+        return part
+
+    def split_and_join(cur: SmallGraph, threads: int, converged: bool, s: int) -> np.ndarray:
+        copies = compute_num_copies(cur.n, converged, threads)
+        if trace is not None and copies > 1:
+            trace.append((int(cur.n), copies))
+        tpc = max(1, threads // copies)
+        best: tuple[tuple[int, int], np.ndarray] | None = None
+        for c in range(copies):
+            # replica 0 keeps the chain seed, siblings get derived streams
+            p = partition_recursive(cur, tpc, s + 7919 * c)
+            sc = score(cur, p)
+            if best is None or sc < best[0]:
+                best = (sc, p)
+        return best[1]
+
+    return split_and_join(g, num_threads, False, seed)
 
 
 def best_of_bisections(

@@ -43,8 +43,41 @@ def test_cap_limits_neighborhood(spark):
         r["id"]: r["n_nbrs"]
         for r in neighbor_mean_features(g, feats, dim=2, cap=2).collect()
     }
-    assert out[1] == 2  # node 1's 3 neighbors sampled down to 2
+    # sage_sample semantics: cap draws with replacement then dedup -> at most
+    # cap distinct neighbors (1 or 2 of node 1's 3 nbrs), deterministic
+    assert 1 <= out[1] <= 2
     assert out[0] == 1 and out[2] == 1
+    out2 = {
+        r["id"]: r["n_nbrs"]
+        for r in neighbor_mean_features(g, feats, dim=2, cap=2).collect()
+    }
+    assert out == out2  # deterministic draw
+
+
+def test_cap_is_hub_safe(spark):
+    """10^5-degree hub: the capped aggregator must not route the hub's whole
+    neighborhood through one per-dst sort task — the plan has NO window
+    operator (one hash aggregate with cap struct-min columns instead), and
+    the hub still aggregates <= cap sampled neighbor features."""
+    n = 100_000
+    spokes = spark.range(1, n + 1).select(
+        F.col("id").alias("src"), F.lit(0).cast("long").alias("dst")
+    )
+    edges = spokes.unionByName(
+        spokes.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).withColumn("weight", F.lit(1).cast("long"))
+    nodes = spark.range(0, n + 1).select(F.col("id"))
+    g = GraphFrame(edges=edges, nodes=nodes)
+    feats = nodes.select(
+        "id", F.array(F.lit(1.0), F.lit(2.0)).cast("array<float>").alias("feat")
+    )
+    out_df = neighbor_mean_features(g, feats, dim=2, cap=4)
+    plan = out_df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan, plan
+    hub = {r["id"]: r for r in out_df.where(F.col("id") == 0).collect()}
+    assert 1 <= hub[0]["n_nbrs"] <= 4
+    # every spoke has exactly the hub as its only neighbor
+    assert math.isclose(hub[0]["nbr_mean"][0], 1.0, abs_tol=1e-6)
 
 
 def test_quantization_is_floor_lattice(spark):

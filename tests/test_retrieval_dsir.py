@@ -109,6 +109,49 @@ def test_semdedup_cell_cap_exempts_degenerate_cells(spark):
     assert out.where(~F.col("keep")).count() == 0
 
 
+def test_semdedup_auto_k_tracks_corpus_size():
+    from kaminpar_spark.functions.similarity import (
+        SEMDEDUP_TARGET_CELL,
+        semdedup_auto_k,
+    )
+
+    assert semdedup_auto_k(10) == 2  # floor at 2 cells
+    assert semdedup_auto_k(10_000_000) == -(-10_000_000 // SEMDEDUP_TARGET_CELL)
+    assert semdedup_auto_k(1_000, target_cell_size=100) == 10
+
+
+def test_semdedup_defaults_bound_pairs_on_skewed_corpus(spark):
+    """Skewed corpus (one value repeated 200x + a spread tail): with the
+    DEFAULT arguments the within-cell candidate pair count must be bounded
+    by cells x max_cell_size^2, never the n^2/k of a fixed-k run with the
+    breaker disarmed."""
+    from kaminpar_spark.functions.similarity import kmeans_quantized, semdedup
+
+    n_dup, n_tail = 200, 40
+    rows = [(i, [1.0, 0.0]) for i in range(n_dup)] + [
+        (n_dup + j, [float(j % 7 - 3), float(j % 5 - 2)]) for j in range(n_tail)
+    ]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cap = 20
+    out = semdedup(vecs, iters=1, threshold=0.99, dim=2, max_cell_size=cap)
+    # behavior: degenerate 200-member cell is exempted, so its members all keep
+    assert out.where(~F.col("keep")).count() < n_dup
+    # bound: recompute the armed cells and count candidate pairs the self-join
+    # would form — must be <= cells * cap^2 and far below n^2
+    from kaminpar_spark.functions.similarity import semdedup_auto_k
+
+    k = semdedup_auto_k(n_dup + n_tail)
+    cells = kmeans_quantized(vecs, k=k, iters=1, dim=2)
+    sizes = [
+        r["c"]
+        for r in cells.groupBy("cell").agg(F.count("*").alias("c")).collect()
+        if r["c"] <= cap
+    ]
+    pairs = sum(c * c for c in sizes)
+    assert pairs <= len(sizes) * cap * cap
+    assert pairs < (n_dup + n_tail) ** 2 / 4
+
+
 def test_dsir_select_top_fraction(spark):
     from kaminpar_spark.functions.pipeline import dsir_select
 
