@@ -164,9 +164,13 @@ def main():
 
         t0 = time.time()
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-        n_dups = minhash_dedup_pairs(
-            docs, threshold=0.7, num_hashes=32, bands=8
-        ).count()
+        pairs_df = minhash_dedup_pairs(docs, threshold=0.7, num_hashes=32, bands=8)
+        n_dups = pairs_df.count()
+        # release the pipeline's staging checkpoints (lineage.carry contract):
+        # this driver runs ~20 more queries in the same session
+        from kaminpar_spark.plans.lineage import release
+
+        release(pairs_df)
         queries["minhash_dedup"] = round(time.time() - t0, 3)
         _phase(f"minhash dedup done ({n_dups} pairs)")
 
@@ -308,6 +312,16 @@ def main():
     kernel_sec = pr_sec + lpa_sec
     eps_per_superstep = m * supersteps / kernel_sec if kernel_sec > 0 else 0.0
 
+    # Per-line wall budget (bench-suite discipline): any line above
+    # SPARK_GRAFT_LINE_BUDGET_SEC at sf0.1 is flagged so a new operator
+    # can't land un-audited — a flagged line needs a BENCH/PLANS.md entry
+    # explaining its plan or a fix. etl_edge_table is exempt (one-time
+    # materialization shared by every downstream query, not a kernel).
+    budget = float(os.environ.get("SPARK_GRAFT_LINE_BUDGET_SEC", "10"))
+    over_budget = sorted(
+        q for q, sec in queries.items() if sec > budget and q != "etl_edge_table"
+    )
+
     out = {
         "metric": "edges_per_sec_per_superstep",
         "value": round(eps_per_superstep, 1),
@@ -316,8 +330,12 @@ def main():
         "sf": sf_dir,
         "cpus": cpus,
         "graph": {"nodes": n, "half_edges": m, "supersteps": supersteps},
+        "line_budget_sec": budget,
+        "over_budget": over_budget,
         "total_sec": round(time.time() - t_all, 3),
     }
+    if over_budget:
+        _phase(f"OVER BUDGET (> {budget}s): {', '.join(over_budget)}")
     print(json.dumps(out))
 
 

@@ -235,13 +235,17 @@ def minhash_dedup_pairs(
     The signature table is materialized once: it feeds the banded candidate
     join and BOTH sides of the verification join, and unmaterialized each
     consumer re-ran the shingle explode + 64-min-aggregate groupBy
-    (measured ~3x the signature cost at sf0.1)."""
-    from kaminpar_spark.plans.lineage import truncate
+    (measured ~3x the signature cost at sf0.1). The returned table CARRIES
+    the staging checkpoint's block ids (lineage.carry): a multi-query driver
+    should ``release(result)`` after its final action over the pairs, or the
+    signature blocks stay persisted for the session lifetime."""
+    from kaminpar_spark.plans.lineage import carry, truncate
 
     sh = shingles(docs, id_col, text_col, n=shingle_n, portable=True)
     sigs = truncate(minhash_signatures(sh, num_hashes=num_hashes, seed=seed))
     cand = lsh_candidate_pairs(sigs, bands=bands, materialized=True)
-    return minhash_jaccard(sigs, cand).where(F.col("est_jaccard") >= threshold)
+    out = minhash_jaccard(sigs, cand).where(F.col("est_jaccard") >= threshold)
+    return carry(out, sigs)
 
 
 def minhash_ingest_pairs(
@@ -349,8 +353,10 @@ def token_window_hashes(
     twin. The fold seeds at 1 (not 0): empty tokens hash to 0, and a
     0-seeded fold would absorb leading empty tokens ('' + 'a' and 'a' alone
     would collide deterministically on whitespace-irregular corpora); the
-    1-seed keeps the fold injective over token-hash sequences of the fixed
-    window length.
+    1-seed eliminates that deterministic leading-empty-token collision
+    class — distinct sequences still collide with generic ~2^-31 hash
+    probability (a fold mod 2^31-1 over 31-bit token hashes cannot be
+    injective).
 
     Overflow: token hashes and acc are < 2^31, so acc*37 + h < 2^37 —
     int64-exact in both engines. Empty-text documents emit no rows (the
@@ -362,7 +368,10 @@ def token_window_hashes(
     per window — measured 21.3s vs 4.1s at sf0.1), the window-hash table is
     checkpointed for its downstream consumers, and the superseded token-hash
     staging copy is RELEASED once the window table is materialized (the same
-    bounded-checkpoint-generation discipline as the iterative kernels)."""
+    bounded-checkpoint-generation discipline as the iterative kernels).
+    The RETURNED table is itself a checkpoint: multi-query drivers should
+    ``lineage.release(result)`` after their final action over it, or its
+    n-token-scale blocks stay persisted for the session lifetime."""
     from kaminpar_spark.plans.lineage import release, truncate
 
     toks_l = F.split(F.lower(F.col(text_col)), " ")
@@ -617,7 +626,7 @@ def simhash128_near_pairs(
     unmaterialized, each consumer re-ran the 124-aggregate sketch groupBy.
     The sketch is 3 longs per doc, so the second checkpoint is free even
     when the caller already materialized it."""
-    from kaminpar_spark.plans.lineage import truncate
+    from kaminpar_spark.plans.lineage import carry, truncate
 
     sh = truncate(sh)
     band_structs = [
@@ -677,7 +686,10 @@ def simhash128_near_pairs(
             )
         )
         pairs = pairs.unionByName(ident)
-    return pairs.distinct().where(F.col("hamming") <= max_hamming)
+    # the returned table carries the sketch checkpoint's block ids: callers
+    # that run multiple queries in one session should release(result) after
+    # the final action (lineage.carry contract, same as minhash_dedup_pairs)
+    return carry(pairs.distinct().where(F.col("hamming") <= max_hamming), sh)
 
 
 def decontaminate(

@@ -711,13 +711,18 @@ def best_of_bisections(
     k_final: int | None = None,
     total_weight_root: int | None = None,
     final_k: int | None = None,
+    replication_threads: int = 1,
 ) -> np.ndarray:
     """Deep-IP replication, driver analog (E9): the reference forks
     coarsening+IP replicas across threads and keeps the best result
     (parallel_initial_partitioner.cc:11-69, copies rule helper.cc:211-227).
     Here the coarsest graph is already driver-sized, so the portfolio is R
     independent seeded recursive bisections scored by (infeasibility, cut) —
-    the same select_best ordering as helper.h:77-104."""
+    the same select_best ordering as helper.h:77-104. With
+    ``replication_threads > 1`` each portfolio member additionally runs its
+    bisections through the split-and-join replica TREE
+    (replicated_bipartition) — mid-coarsening coarsener forks, the
+    reference's full E9 shape."""
     final_k = final_k or k
     k_final = k_final or final_k
     from kaminpar_spark.functions.rules import fill_final_k, max_block_weight_final_k
@@ -738,6 +743,7 @@ def best_of_bisections(
         labels = recursive_bisect(
             g, k, epsilon, seed=s, k_final=k_final,
             total_weight_root=total_weight_root, final_k=final_k,
+            replication_threads=replication_threads,
         )
         bw = _block_weights(g, labels, k)
         infeasible = int(np.maximum(0, bw - caps).sum())

@@ -64,6 +64,20 @@ def release(df: DataFrame | None) -> None:
     df._kaminpar_chk_ids = set()
 
 
+def carry(df: DataFrame, *sources: DataFrame) -> DataFrame:
+    """Propagate the checkpoint-block ids of intermediate ``truncate``d
+    tables onto the DataFrame a pipeline RETURNS, so a multi-query driver
+    can ``release(result)`` after its final action and drop every block the
+    pipeline pinned (pipelines like minhash_dedup_pairs checkpoint internal
+    staging tables whose blocks would otherwise stay persisted for the
+    session lifetime — the accumulation this module's header warns about)."""
+    ids: set[int] = set(getattr(df, "_kaminpar_chk_ids", None) or set())
+    for s in sources:
+        ids |= getattr(s, "_kaminpar_chk_ids", None) or set()
+    df._kaminpar_chk_ids = ids
+    return df
+
+
 def release_ids(spark, ids: set[int]) -> None:
     """Unpersist a set of RDD ids (for intermediates a superstep created and
     no longer needs once its output state is materialized)."""

@@ -1,0 +1,87 @@
+"""Driver-window telemetry (VERDICT r3 items 2 & 9): stamp every registered
+query with its last driver-green round and its position relative to the
+50-query verification window, and rewrite the generated block at the end of
+COVERAGE.md so evidence staleness is visible at a glance.
+
+The driver checks the FIRST 50 entries of `__spark_entry__.queries()` each
+round, so the dict order IS the rotation policy. This script documents the
+current window and the backlog; re-run it after editing the dict order or
+when a new CORRECTNESS_r{N}.json lands.
+
+Usage: python scripts/coverage_stamps.py
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import re
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+BEGIN = "<!-- BEGIN GENERATED: rotation stamps (scripts/coverage_stamps.py) -->"
+END = "<!-- END GENERATED: rotation stamps -->"
+WINDOW = 50
+
+
+def main() -> None:
+    import __spark_entry__ as entry
+
+    names = list(entry.queries().keys())
+
+    last_green: dict[str, int] = {}
+    rounds = []
+    for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
+        rnd = int(re.search(r"_r(\d+)", path).group(1))
+        rounds.append(rnd)
+        data = json.load(open(path))
+        for name, row in data.items():
+            if row.get("rows_match") and row.get("schema_match") and row.get("hash_match"):
+                last_green[name] = rnd
+
+    n_stale = sum(1 for n in names if n not in last_green)
+    lines = [
+        BEGIN,
+        "",
+        "## Driver-verification rotation (generated)",
+        "",
+        "The per-round driver hash-checks the FIRST %d entries of" % WINDOW,
+        "`__spark_entry__.queries()` against their DuckDB oracles at sf0.01, so",
+        "the dict order is the rotation policy: each round the window is",
+        "reordered to hold (a) queries whose implementation files changed since",
+        "their last green row, (b) never-verified queries, oldest-priority",
+        "first — so every query re-earns a current-round green row instead of",
+        "riding stale evidence. Backlog order tees up the next round's window.",
+        "",
+        f"Registered queries: {len(names)}; driver-green at least once:"
+        f" {len([n for n in names if n in last_green])};"
+        f" never driver-verified: {n_stale}"
+        f" (latest round scanned: r{max(rounds) if rounds else '—'}).",
+        "",
+        "| # | query | last driver-green | in current window |",
+        "|---|---|---|---|",
+    ]
+    for i, name in enumerate(names):
+        stamp = f"r{last_green[name]}" if name in last_green else "never"
+        window = "yes" if i < WINDOW else ""
+        lines.append(f"| {i + 1} | `{name}` | {stamp} | {window} |")
+    lines += ["", END]
+
+    cov_path = os.path.join(REPO, "COVERAGE.md")
+    text = open(cov_path).read()
+    block = "\n".join(lines)
+    if BEGIN in text:
+        text = re.sub(
+            re.escape(BEGIN) + r".*?" + re.escape(END), block, text, flags=re.S
+        )
+    else:
+        text = text.rstrip() + "\n\n" + block + "\n"
+    open(cov_path, "w").write(text)
+    print(f"stamped {len(names)} queries ({n_stale} never-verified) into COVERAGE.md")
+
+
+if __name__ == "__main__":
+    main()

@@ -51,17 +51,22 @@ def main():
         sf = os.path.basename(sf_dir.rstrip("/"))
         sizes[sf] = (g.num_nodes(), g.num_half_edges())
         for k in ks:
-            for scheme in ("deep", "rb"):
+            # deep+rep4 = deep schedule with the E9 split-and-join replica
+            # tree armed at 4 threads inside every coarsest-graph bisection
+            # (mid-coarsening coarsener forks, best-of joins); deep/rb run
+            # the single sequential chain (rep threads = 1).
+            for scheme, rep in (("deep", 1), ("deep", 4), ("rb", 1)):
                 t0 = time.time()
                 res = Partitioner(
-                    g, spark, contraction_limit=400, seed=42, scheme=scheme
+                    g, spark, contraction_limit=400, seed=42, scheme=scheme,
+                    ip_replication_threads=rep,
                 ).partition(k, epsilon=0.03)
                 wall = time.time() - t0
                 rows.append(
                     {
                         "sf": sf,
                         "k": k,
-                        "scheme": scheme,
+                        "scheme": scheme if rep == 1 else f"{scheme}+rep{rep}",
                         "cut": res.cut,
                         "imbalance": round(res.imbalance, 4),
                         "feasible": res.feasible,
@@ -83,7 +88,10 @@ def main():
         "coarsest graph to k'=2^ceil(log2(n/C)) and extends per uncoarsening",
         "level with refinement at every intermediate k (the reference's deep",
         "multilevel schedule, with per-block final_k/split_integral extension",
-        "bookkeeping — k=6 exercises the non-power-of-2 path); `rb` bisects to",
+        "bookkeeping — k=6 exercises the non-power-of-2 path); `deep+rep4`",
+        "additionally arms the E9 split-and-join replica tree (4 threads:",
+        "mid-coarsening coarsener forks, best-of per join) inside every",
+        "coarsest-graph bisection; `rb` bisects to",
         "the final k at the coarsest graph (round-1 behavior).",
         "",
         "| sf | k | scheme | edge cut | imbalance | feasible | wall (s) |",

@@ -69,3 +69,24 @@ def test_color_to_completion_releases_generations(spark):
     assert e.where(F.col("ca") == F.col("cb")).count() == 0
     after = _n_persistent(spark)
     assert after - before <= 4, f"checkpoint pileup: {before} -> {after}"
+
+
+def test_pipeline_results_carry_and_release_staging_blocks(spark):
+    """ADVICE r3: minhash_dedup_pairs / simhash128_near_pairs checkpoint
+    internal staging tables; the RETURNED table must carry those block ids
+    (lineage.carry) so a multi-query driver can release(result) after its
+    final action and leave the block manager where it started."""
+    from kaminpar_spark.functions.dedup import minhash_dedup_pairs
+    from kaminpar_spark.plans.lineage import release
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta epsilon {i % 3}") for i in range(30)],
+        "doc_id long, text string",
+    )
+    before = _n_persistent(spark)
+    pairs = minhash_dedup_pairs(docs, threshold=0.5, num_hashes=8, bands=4)
+    pairs.count()
+    assert getattr(pairs, "_kaminpar_chk_ids", None), "result lost staging ids"
+    assert _n_persistent(spark) > before  # staging is pinned while in use
+    release(pairs)
+    assert _n_persistent(spark) == before, "release left staging blocks behind"
