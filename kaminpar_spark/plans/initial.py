@@ -647,7 +647,14 @@ def replicated_bipartition(
     ``num_threads``.
 
     ``trace``, if given, records (n, num_copies) at each fork (>1 copy) so
-    tests can assert forks happen MID-coarsening (n > contraction limit)."""
+    tests can assert forks happen MID-coarsening (n > contraction limit).
+
+    The final select_best ALSO scores the plain single-chain
+    multilevel_bipartition at the same seed: the tree's replica seeds
+    necessarily diverge from the sequential chain's rng stream, so without
+    this the tree could lose to the chain it replaces on an unlucky draw
+    (observed: +17% cut at k=6 on an Erdos-Renyi grid cell). One extra
+    driver-sized chain makes the result never worse than either."""
     if g.n == 0:
         return np.zeros(0, dtype=np.int64)
     max_cw = int(IP_CLUSTER_WEIGHT_MULTIPLIER * (1 + epsilon) * g.total_weight / 2)
@@ -700,7 +707,11 @@ def replicated_bipartition(
                 best = (sc, p)
         return best[1]
 
-    return split_and_join(g, num_threads, False, seed)
+    tree = split_and_join(g, num_threads, False, seed)
+    chain = multilevel_bipartition(
+        g, epsilon, seed=seed, repetitions=repetitions, ratio=ratio
+    )
+    return tree if score(g, tree) <= score(g, chain) else chain
 
 
 def best_of_bisections(
