@@ -1889,21 +1889,24 @@ def _q_csr_blocks(spark, sf_dir):
     g, _ = _graph(spark, sf_dir)
     blocks = to_csr_blocks(g, num_blocks=CSR_BLOCKS)
 
-    def _ex(col: str) -> DataFrame:
-        return blocks.select(
-            "block", F.lit(col).alias("arr"), F.posexplode(F.col(col))
-        ).select(
-            "block",
-            "arr",
-            F.col("pos").cast("long").alias("pos"),
-            F.col("col").cast("long").alias("value"),
+    # ONE explode over a concat of (arr, pos, value) structs — a union of
+    # four per-array selects would re-run the applyInPandas CSR build per
+    # branch (Catalyst does not CSE across union arms)
+    def _tagged(col: str):
+        return F.transform(
+            F.col(col),
+            lambda v, i: F.struct(
+                F.lit(col).alias("arr"),
+                i.cast("long").alias("pos"),
+                v.cast("long").alias("value"),
+            ),
         )
 
-    return (
-        _ex("ids")
-        .unionByName(_ex("indptr"))
-        .unionByName(_ex("indices"))
-        .unionByName(_ex("eweights"))
+    combined = F.concat(
+        _tagged("ids"), _tagged("indptr"), _tagged("indices"), _tagged("eweights")
+    )
+    return blocks.select("block", F.explode(combined).alias("e")).select(
+        "block", "e.arr", "e.pos", "e.value"
     )
 
 
