@@ -59,6 +59,7 @@ TREE = [(0, 1), (0, 2), (1, 3), (1, 4), (2, 5)]
 TWO_COMP = [(0, 1), (1, 2), (2, 0), (10, 11), (11, 12)]
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("edges", [BARBELL, CHORDED, TREE, TWO_COMP])
 def test_bridges_match_brute_force(spark, edges):
     g = _graph(spark, edges)
@@ -173,6 +174,7 @@ def _brute_biconnected(n, edge_set):
     return frozenset(b for b in blocks if b)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("edges", [BARBELL, CHORDED, TREE, TWO_COMP])
 def test_articulation_points_match_brute_force(spark, edges):
     g = _graph(spark, edges)
@@ -182,6 +184,7 @@ def test_articulation_points_match_brute_force(spark, edges):
     assert got == expect
 
 
+@pytest.mark.slow
 def test_articulation_shared_vertex_no_bridges(spark):
     # two triangles sharing vertex 2: a cut vertex with zero bridges —
     # distinguishes articulation logic from the bridge XOR test
@@ -191,6 +194,7 @@ def test_articulation_shared_vertex_no_bridges(spark):
     assert {r["id"] for r in articulation_points(g).collect()} == {2}
 
 
+@pytest.mark.slow
 def test_articulation_random_graphs(spark):
     rng = random.Random(11)
     for _ in range(4):
@@ -208,6 +212,7 @@ def test_articulation_random_graphs(spark):
         assert got == expect, edges
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("edges", [BARBELL, CHORDED, TREE, TWO_COMP])
 def test_biconnected_blocks_match_hopcroft_tarjan(spark, edges):
     g = _graph(spark, edges)

@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from kaminpar_spark import fixtures
@@ -68,6 +70,7 @@ def test_luby_mis_invariants(spark):
     assert excl.join(cover, "id", "left_anti").count() == 0
 
 
+@pytest.mark.slow
 def test_cli_new_subcommands(spark, tmp_path, capsys):
     from kaminpar_spark import cli
 

@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 import numpy as np
 
 from kaminpar_spark import fixtures
@@ -67,6 +69,7 @@ def test_largest_component(spark):
     assert members == [1, 2, 3]
 
 
+@pytest.mark.slow
 def test_cc_incremental_matches_full(spark):
     """Warm-start CC: labels from a base-edge subgraph run, continued over
     the full graph, must equal the cold full recompute exactly — and when
@@ -98,6 +101,7 @@ def test_cc_incremental_matches_full(spark):
     assert len(rounds) == 1 and rounds[0]["moved"] == 0
 
 
+@pytest.mark.slow
 def test_cli_warm_start_roundtrip(spark, tmp_path, capsys):
     """--save then --warm round-trip for components and pagerank (cli.py):
     the warm components run matches the cold labels."""

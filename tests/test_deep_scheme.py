@@ -58,6 +58,7 @@ def test_fill_final_k_and_extension_plan():
     assert sub_ks == [2, 1, 2, 1] and offs == [0, 2, 3, 5, 6] and nfk == [1] * 6
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("k", [6, 12])
 def test_deep_scheme_non_power_of_two_k(spark, k):
     """VERDICT r2 item 5: non-power-of-2 targets must stay feasible under the
@@ -151,6 +152,7 @@ def test_recursive_bisect_replication_threads_feasible(spark):
     assert bw.max() <= (1 + 0.05) * sg.total_weight / 4 + sg.nweights.max()
 
 
+@pytest.mark.slow
 def test_deep_scheme_quality_vs_rb(spark):
     """Reference schedule (extend per level, refine at every k) must not lose
     to round-1 rb-at-coarsest on cut at equal feasibility (VERDICT item 5)."""

@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from kaminpar_spark.graph import GraphFrame
@@ -37,6 +39,7 @@ def test_synchronous_step_from_singletons_is_greedy_argmax(spark):
     assert new == {0: 1, 1: 0, 2: 0}
 
 
+@pytest.mark.slow
 def test_two_cliques_bridged_found_exactly(spark):
     pairs = _clique(0, 4) + _clique(4, 4) + [(3, 4)]
     g = _graph(spark, pairs)
@@ -50,6 +53,7 @@ def test_two_cliques_bridged_found_exactly(spark):
     assert q > 0.3
 
 
+@pytest.mark.slow
 def test_multilevel_improves_modularity_on_transcript_graph(spark):
     from kaminpar_spark.sources.transcripts import synth_transcripts, transcript_graph
 

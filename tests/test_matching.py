@@ -3,6 +3,8 @@ fixpoint, and HEM clustering feeding the contraction operator."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from kaminpar_spark.operators.matching import (
@@ -28,6 +30,7 @@ def test_matching_is_valid(spark):
     assert matched <= edges
 
 
+@pytest.mark.slow
 def test_matching_maximal_at_fixpoint(spark):
     g, _, _ = fixtures.erdos_renyi(spark, n=80, p=0.08, seed=5)
     st = heavy_edge_matching(g, rounds=20)
@@ -71,6 +74,7 @@ def test_matching_clustering_contracts(spark):
     assert cg.total_node_weight() == g.total_node_weight()
 
 
+@pytest.mark.slow
 def test_partitioner_hem_coarsener(spark):
     """Partitioner(coarsener='hem') end-to-end: feasible k-way partition via
     matching-based coarsening (the METIS-family pipeline shape)."""

@@ -3,6 +3,8 @@ under the same (weight, a, b) total order, plus forest invariants."""
 
 from __future__ import annotations
 
+import pytest
+
 import numpy as np
 from pyspark.sql import functions as F
 
@@ -45,6 +47,7 @@ def _kruskal(sorted_edges, nodes):
     return forest
 
 
+@pytest.mark.slow
 def test_msf_matches_kruskal(spark):
     g, sorted_edges = _weighted_graph(spark)
     nodes = {r["id"] for r in g.nodes.select("id").collect()}
@@ -55,6 +58,7 @@ def test_msf_matches_kruskal(spark):
     assert msf_total_weight(msf) == sum(w for _, _, w in expect)
 
 
+@pytest.mark.slow
 def test_msf_spans_components(spark):
     g, _, _ = fixtures.erdos_renyi(spark, n=150, p=0.015, seed=3)
     msf, comp = boruvka_msf(g)

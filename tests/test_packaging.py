@@ -32,6 +32,7 @@ JOB = textwrap.dedent(
 )
 
 
+@pytest.mark.slow
 @pytest.mark.skipif(shutil.which("spark-submit") is None, reason="no spark-submit")
 def test_spark_submit_pyfiles(tmp_path):
     subprocess.run(

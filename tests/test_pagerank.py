@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 import numpy as np
 
 from kaminpar_spark import fixtures
@@ -32,6 +34,7 @@ def test_pagerank_k3(spark):
         assert abs(res[i] - 1 / 3) < 1e-8
 
 
+@pytest.mark.slow
 def test_pagerank_star(spark):
     """Fixed-iteration comparison: BSP supersteps must track numpy power
     iteration exactly (same trajectory, float-assoc error only). The star
@@ -46,6 +49,7 @@ def test_pagerank_star(spark):
         assert abs(got[i] - want[i]) < 1e-9
 
 
+@pytest.mark.slow
 def test_pagerank_er_oracle(spark):
     g, src, dst = fixtures.erdos_renyi(spark, n=500, p=0.01, seed=42, hub_overlay=3)
     want = numpy_pagerank(500, src, dst)
@@ -54,6 +58,7 @@ def test_pagerank_er_oracle(spark):
     assert np.allclose(arr, want, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_pagerank_salted_matches(spark):
     g, src, dst = fixtures.erdos_renyi(spark, n=400, p=0.01, seed=1, hub_overlay=2)
     gp = g.prepare(num_partitions=8, hub_degree_threshold=10, salt_factor=4, spark=spark)
@@ -79,6 +84,7 @@ def numpy_ppr(n, src, dst, sources, damping=0.85, iters=200):
     return r
 
 
+@pytest.mark.slow
 def test_personalized_pagerank_matches_numpy(spark):
     from kaminpar_spark.operators.pagerank import personalized_pagerank
 
@@ -93,6 +99,7 @@ def test_personalized_pagerank_matches_numpy(spark):
     assert abs(arr.sum() - 1.0) < 1e-6  # PPR mass conserved
 
 
+@pytest.mark.slow
 def test_pagerank_warm_start_converges_faster(spark):
     """Snapshot-update scenario: converge on graph A, grow it slightly to B,
     re-rank B warm vs cold. Warm start must (a) reach the same fixpoint and

@@ -21,6 +21,7 @@ def random_balanced_cut(spark, g, k, seed=0):
     return M.edge_cut(g, part)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("k", [2, 4])
 def test_partition_er_no_coarsening(spark, k):
     """n=500 < 2*contraction_limit: direct driver-side IP path."""
@@ -33,6 +34,7 @@ def test_partition_er_no_coarsening(spark, k):
     assert res.cut <= random_balanced_cut(spark, g, k)
 
 
+@pytest.mark.slow
 def test_partition_multilevel(spark):
     """Small contraction limit forces >=1 coarsening level; pipeline must
     still produce a feasible partition with sane cut."""
@@ -76,6 +78,7 @@ def test_partition_weighted_grid(spark):
     assert all(r["block_weight"] <= cap for r in bw.collect())
 
 
+@pytest.mark.slow
 def test_refinement_reduces_cut_vs_projection(spark):
     """Driver-visible invariant: final cut <= the cut right after initial
     partition projection (refinement never makes it worse at level 0... we
@@ -89,6 +92,7 @@ def test_refinement_reduces_cut_vs_projection(spark):
     assert q.cut == res.cut
 
 
+@pytest.mark.slow
 def test_partition_reference_knobs(spark):
     """Reference coarsening knobs (arguments.h:11-35): neighbor-scan cap,
     large-degree freeze, block-weight cluster rule — pipeline stays feasible
@@ -112,6 +116,7 @@ def test_partition_reference_knobs(spark):
     assert res.partition.select("id").distinct().count() == 500
 
 
+@pytest.mark.slow
 def test_partition_uncapped_clusters_complete(spark):
     """cluster_weight_limit='zero' (no cap, reference ZERO) must still
     coarsen and partition."""

@@ -11,6 +11,8 @@ deterministic derandomize mode keeps CI stable.
 
 from __future__ import annotations
 
+import pytest
+
 from hypothesis import HealthCheck, assume, given, settings, strategies as st
 from pyspark.sql import functions as F
 
@@ -84,6 +86,7 @@ def test_connected_components_match_union_find(spark, g):
     assert got == expect
 
 
+@pytest.mark.slow
 @given(small_graph())
 @SETTINGS
 def test_contraction_conserves_weight(spark, g):
@@ -105,6 +108,7 @@ def test_contraction_conserves_weight(spark, g):
     assert cg.edges.where(F.col("src") == F.col("dst")).count() == 0
 
 
+@pytest.mark.slow
 @given(small_graph())
 @SETTINGS
 def test_core_numbers_match_peeling_oracle(spark, g):
@@ -140,6 +144,7 @@ def test_core_numbers_match_peeling_oracle(spark, g):
     assert got == core
 
 
+@pytest.mark.slow
 @given(small_graph(), st.integers(min_value=0, max_value=3))
 @SETTINGS
 def test_luby_mis_is_independent_and_maximal(spark, g, _salt):

@@ -3,6 +3,8 @@ from snapshot, bit-identical final state; manifest carries lineage+metrics."""
 
 from __future__ import annotations
 
+import pytest
+
 import json
 
 from kaminpar_spark import fixtures
@@ -11,6 +13,7 @@ from kaminpar_spark.operators.components import connected_components
 from kaminpar_spark.plans.superstep import SuperstepRunner
 
 
+@pytest.mark.slow
 def test_pagerank_resume_bit_identical(spark, tmp_path):
     g, _, _ = fixtures.erdos_renyi(spark, n=300, p=0.02, seed=5, hub_overlay=1)
     # uninterrupted reference run

@@ -3,6 +3,8 @@ brute force, connectivity preservation, composition invariants."""
 
 from __future__ import annotations
 
+import pytest
+
 import numpy as np
 from pyspark.sql import functions as F
 
@@ -44,6 +46,7 @@ def test_topk_matches_brute_force(spark):
         assert got == _brute_topk(und, k), k
 
 
+@pytest.mark.slow
 def test_backbone_preserves_components(spark):
     g, _, _ = fixtures.erdos_renyi(spark, n=150, p=0.02, seed=6)
     bb = weight_backbone(g, k=1)
@@ -56,6 +59,7 @@ def test_backbone_preserves_components(spark):
     assert got == want  # the MSF layer spans every component
 
 
+@pytest.mark.slow
 def test_backbone_supersets_msf_and_bounds(spark):
     from kaminpar_spark.operators.mst import boruvka_msf
 

@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 import numpy as np
 from pyspark.sql import functions as F
 
@@ -174,6 +176,7 @@ def test_streaming_dedup_first_seen_across_batches(spark, tmp_path):
     assert len(rows) == 3
 
 
+@pytest.mark.slow
 def test_streaming_dedup_ttl_evicts_and_reemits(spark, tmp_path):
     """With a 1 ms TTL, a fingerprint whose state expires while ABSENT from a
     microbatch is evicted and re-emitted on its next appearance; a fresh
@@ -220,6 +223,7 @@ def test_streaming_dedup_ttl_evicts_and_reemits(spark, tmp_path):
     assert got == [(100, 10), (200, 20), (100, 30)]
 
 
+@pytest.mark.slow
 def test_streaming_ingest_to_pagerank_end_to_end(spark, tmp_path):
     """Lambda pattern end to end: stream transcripts -> edge deltas ->
     compacted snapshot -> PageRank; must equal PageRank over the batch ETL
@@ -261,6 +265,7 @@ def test_streaming_ingest_to_pagerank_end_to_end(spark, tmp_path):
     assert all(abs(pr_s[i] - pr_b[i]) < 1e-6 for i in pr_s)
 
 
+@pytest.mark.slow
 def test_streaming_cms_matches_batch_cells(spark, tmp_path):
     """Streaming CMS cell counts after two microbatches equal the batch
     sketch's cell sums over the union of both batches (same hash family,

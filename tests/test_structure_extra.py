@@ -4,6 +4,8 @@ response-latency quantiles — each vs a brute-force python oracle."""
 
 from __future__ import annotations
 
+import pytest
+
 import itertools
 
 import numpy as np
@@ -68,6 +70,7 @@ def test_rectangles_k4(spark):
     assert rectangle_count(k4).first()["rectangles"] == 3
 
 
+@pytest.mark.slow
 def test_khop_ball_sizes_path(spark):
     from kaminpar_spark.operators.paths import khop_ball_sizes
 
@@ -77,6 +80,7 @@ def test_khop_ball_sizes_path(spark):
     assert out == {0: 3, 2: 5}
 
 
+@pytest.mark.slow
 def test_effective_diameter_clique_vs_path(spark):
     from kaminpar_spark.operators.anf import effective_diameter, rank_histogram
 
@@ -120,6 +124,7 @@ def test_weighted_jaccard_exact(spark):
     assert abs(row["w_jaccard"] - inter / union) < 1e-12
 
 
+@pytest.mark.slow
 def test_bipartite_check_cycles(spark):
     from kaminpar_spark.operators.components import bipartite_check
 
@@ -131,6 +136,7 @@ def test_bipartite_check_cycles(spark):
     assert out[10]["is_bipartite"] is False and out[10]["conflict_edges"] >= 1
 
 
+@pytest.mark.slow
 def test_bipartite_check_star_and_hop_bound(spark):
     from kaminpar_spark.operators.components import bipartite_check
 
@@ -182,6 +188,7 @@ def test_response_latency_quantiles(spark):
         assert out[actor]["p90_s"] == lower_quantile(xs, 9, 10)
 
 
+@pytest.mark.slow
 def test_ordering_comparison_path_graph(spark):
     """On a path graph labeled in order, identity ordering is optimal
     (bandwidth 1, profile n-1) and BFS order from an endpoint reproduces it;

@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 from kaminpar_spark.operators.temporal import earliest_arrival
 
 
@@ -13,6 +15,7 @@ def _arr(spark, edges, sources, rounds=6):
     }
 
 
+@pytest.mark.slow
 def test_time_respecting_beats_static_shortcut(spark):
     # static reach would use (1,2,t=5); temporally it departs before arrival
     edges = [(0, 1, 10), (1, 2, 5), (1, 2, 20), (0, 3, 7), (3, 2, 8)]
@@ -20,6 +23,7 @@ def test_time_respecting_beats_static_shortcut(spark):
     assert got == {0: 0, 1: 10, 3: 7, 2: 8}
 
 
+@pytest.mark.slow
 def test_improved_arrival_unlocks_earlier_edges(spark):
     # round 2 lowers arr(1) 100 -> 2 via node 2, which unlocks (1,4,50)
     edges = [(0, 1, 100), (0, 2, 1), (2, 1, 2), (1, 4, 50)]
@@ -27,12 +31,14 @@ def test_improved_arrival_unlocks_earlier_edges(spark):
     assert got == {0: 0, 1: 2, 2: 1, 4: 50}
 
 
+@pytest.mark.slow
 def test_unreachable_nodes_absent_and_hop_bound(spark):
     edges = [(0, 1, 1), (1, 2, 2), (2, 3, 3), (9, 0, 5)]
     got = _arr(spark, edges, [0], rounds=2)
     assert got == {0: 0, 1: 1, 2: 2}  # 3 needs 3 hops; 9 unreachable
 
 
+@pytest.mark.slow
 def test_transcript_temporal_edges_shape(spark):
     from kaminpar_spark.sources.transcripts import (
         synth_transcripts,

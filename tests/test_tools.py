@@ -19,6 +19,7 @@ from kaminpar_spark.verify import verify_partition
 REF_INSTANCES = "/root/reference/tests/test_instances"
 
 
+@pytest.mark.slow
 def test_kcore_clique_pendant(spark):
     """k_core_test.cc:67-100 spirit: 4-clique + pendant chain 3-4-5."""
     g = fixtures.clique_pendant(spark)
@@ -30,6 +31,7 @@ def test_kcore_clique_pendant(spark):
     assert cores == {0: 3, 1: 3, 2: 3, 3: 3, 4: 1, 5: 1}
 
 
+@pytest.mark.slow
 def test_core_numbers_star_hub(spark):
     """VERDICT r2 'weak' #3 regression: a mega-hub (star of 10^5 leaves glued
     to a 4-clique) must not funnel its whole neighborhood into one sort task.
@@ -52,6 +54,7 @@ def test_core_numbers_star_hub(spark):
     assert cores[hub + 1] == cores[hub + 2] == cores[hub + 3] == 3
 
 
+@pytest.mark.slow
 def test_graph_stats_star(spark):
     g = fixtures.star5(spark)
     s = graph_stats(g)
@@ -62,6 +65,7 @@ def test_graph_stats_star(spark):
     assert s.isolated_nodes == 0
 
 
+@pytest.mark.slow
 @pytest.mark.skipif(not os.path.isdir(REF_INSTANCES), reason="reference fixtures absent")
 def test_metis_reader_reference_fixtures(spark):
     """io_test.cc:26-73: load the reference's own K3 fixture files."""
@@ -88,6 +92,7 @@ def test_metis_large_weights(spark):
     assert g.total_node_weight() == 123456789 + 234567891
 
 
+@pytest.mark.slow
 def test_metis_roundtrip(spark, tmp_path):
     g = fixtures.k3(spark, weighted=True)
     path = str(tmp_path / "k3.graph")
@@ -112,6 +117,7 @@ def test_snap_reader(spark, tmp_path):
     g.validate()
 
 
+@pytest.mark.slow
 def test_isolated_preprocess_epsilon(spark):
     """graph_utils_test.cc:232-259: 12-node fixture, k=2, eps=0.17 ->
     eps' in (1.33, 1.34) after dropping the 6 isolated nodes."""
@@ -127,6 +133,7 @@ def test_isolated_preprocess_epsilon(spark):
     assert all(r["w"] <= 7 for r in bw.collect())
 
 
+@pytest.mark.slow
 def test_verify_partition(spark):
     g = fixtures.star5(spark)
     part = spark.createDataFrame(

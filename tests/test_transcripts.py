@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from kaminpar_spark.sources.transcripts import (
@@ -113,6 +115,7 @@ def test_tool_transitions(spark):
     assert sum(r["n"] for r in out) == per_conv
 
 
+@pytest.mark.slow
 def test_incremental_etl_matches_full_rebuild(spark):
     """Snapshot cadence: ETL 60 convs in one shot vs 40 + a 20-conv delta.
     The edge multiset must agree ACTOR-wise (ids may differ between the two

@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 import numpy as np
 
 from kaminpar_spark import fixtures
@@ -25,6 +27,7 @@ def test_p2_no_triangle(spark):
     assert triangle_count(fixtures.p2(spark)) == 0
 
 
+@pytest.mark.slow
 def test_clique_pendant(spark):
     g = fixtures.clique_pendant(spark)
     assert triangle_count(g) == 4  # C(4,3) in the 4-clique
@@ -38,6 +41,7 @@ def test_er_oracle(spark):
     assert triangle_count(g) == want
 
 
+@pytest.mark.slow
 def test_transcript_graph_scalable_ids_regression(spark):
     """Regression: triangle counting over the scalable dense-id ETL path
     returned 0 under AQE (left-semi self-join wrong-result) until the
@@ -77,6 +81,7 @@ def test_adjacency_jaccard_clique_pendant(spark):
     assert aj[(0, 1)] == 0.5
 
 
+@pytest.mark.slow
 def test_incremental_triangle_count_matches_full(spark):
     """Delta-anchored incremental count: tri_old equals the base-graph count,
     tri_total equals the union count, on an ER graph with a hub overlay
@@ -102,6 +107,7 @@ def test_incremental_triangle_count_matches_full(spark):
     assert row0["tri_delta"] == 0 and row0["tri_total"] == row0["tri_old"]
 
 
+@pytest.mark.slow
 def test_triangle_communities_shared_edge_merges(spark):
     # {0,1,2} and {1,2,3} share edge (1,2) -> one community; {4,5,6} is its
     # own; the bridge 3-4 carries no triangle and must not merge them.

@@ -3,6 +3,8 @@ nesting/clique invariants."""
 
 from __future__ import annotations
 
+import pytest
+
 import numpy as np
 from pyspark.sql import functions as F
 
@@ -45,6 +47,7 @@ def _py_truss(und, k):
         edges = keep
 
 
+@pytest.mark.slow
 def test_k_truss_matches_python_peel(spark):
     und = _er_edges()
     g = _graph_from(spark, und)
@@ -68,6 +71,7 @@ def test_edge_support_counts_triangles(spark):
     assert got == {(0, 1): 1, (0, 2): 1, (1, 2): 1, (2, 3): 0}
 
 
+@pytest.mark.slow
 def test_clique_is_full_truss(spark):
     # K6: every edge has support 4 -> 6-truss == the whole clique
     und = [(i, j) for i in range(6) for j in range(i + 1, 6)]
@@ -76,6 +80,7 @@ def test_clique_is_full_truss(spark):
     assert k_truss(g, 7).count() == 0
 
 
+@pytest.mark.slow
 def test_truss_nesting_and_profile(spark):
     und = _er_edges(n=50, p=0.2, seed=8)
     g = _graph_from(spark, und)
@@ -87,6 +92,7 @@ def test_truss_nesting_and_profile(spark):
     assert prof[5] <= prof[4] <= prof[3]
 
 
+@pytest.mark.slow
 def test_bounded_rounds_supersets_fixpoint(spark):
     und = _er_edges(n=60, p=0.12, seed=5)
     g = _graph_from(spark, und)

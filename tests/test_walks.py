@@ -118,6 +118,7 @@ def test_cooccurrence_stats_consistency(spark):
     assert all(r["n_context"] == mx[r["context"]] for r in out)
 
 
+@pytest.mark.slow
 def test_node2vec_walks_valid_and_deterministic(spark):
     from kaminpar_spark.operators.walks import node2vec_walks
 

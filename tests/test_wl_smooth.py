@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 import itertools
 
 from pyspark.sql import functions as F
@@ -13,6 +15,7 @@ def _graph(spark, pairs):
     return _wgraph(spark, [(u, v, 1) for u, v in pairs])
 
 
+@pytest.mark.slow
 def test_wl_regular_graph_stays_one_class(spark):
     from kaminpar_spark.operators.wl import wl_class_counts, wl_refine
 
@@ -36,6 +39,7 @@ def test_wl_path_refines_to_distance_classes(spark):
     assert counts[-1] == 3
 
 
+@pytest.mark.slow
 def test_wl_cannot_split_c6_vs_2x_c3(spark):
     from kaminpar_spark.operators.wl import wl_refine
 

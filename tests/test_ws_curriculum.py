@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 
@@ -35,6 +37,7 @@ def test_ws_rewire_preserves_edge_mass(spark):
     assert g2.num_half_edges() == g.num_half_edges()
 
 
+@pytest.mark.slow
 def test_ws_small_world_shrinks_diameter(spark):
     from kaminpar_spark.operators.paths import double_sweep_diameter
     from kaminpar_spark.sources.generators import watts_strogatz
