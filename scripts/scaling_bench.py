@@ -74,7 +74,13 @@ g, _ = transcript_graph(t, {convs}, stable_ids=False, num_partitions={2 * build_
 g.edges.write.mode("overwrite").parquet({edges!r})
 g.nodes.write.mode("overwrite").parquet({nodes!r})
 """
-    sh([sys.executable, "-c", code], timeout=5400)
+    # the build JVM needs the big driver heap too (the 36M-conv dense-id
+    # stage OOMs at the 16g default)
+    sh(
+        [sys.executable, "-c", code],
+        env_extra={"SPARK_GRAFT_DRIVER_MEM": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "56g")},
+        timeout=5400,
+    )
     return edges, nodes
 
 
@@ -180,7 +186,15 @@ planted duplicate pairs), input pre-built and shared across levels.
 Reproduce: `python scripts/dedup_scaling_bench.py`.
 """
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+    # preserve manually-curated kernel rows / calibration / notes appended
+    # after the dedup section (regen previously clobbered them)
+    path = os.path.join(REPO, "BENCH", "BASELINE.md")
+    if os.path.exists(path):
+        prev = open(path).read()
+        marker = "## CC-kernel row"
+        if marker in prev and marker not in md:
+            md = md.rstrip() + "\n\n" + prev[prev.index(marker):]
+    with open(path, "w") as f:
         f.write(md)
     print(md)
 
