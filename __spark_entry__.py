@@ -3448,9 +3448,12 @@ def _q_semdedup(spark, sf_dir):
     with a higher-similarity twin of smaller id; keep flag per vector."""
     from kaminpar_spark.functions.similarity import semdedup
 
+    # k omitted -> the LIBRARY's scale default (semdedup_auto_k: k ~ n/1024,
+    # max_cell_size armed) is what the oracle checks; at the correctness
+    # gate's fixed sf0.01 corpus (500 vectors) auto-k resolves to 2, which
+    # the static unrolled oracle mirrors (_semdedup_sql).
     return semdedup(
         _load(spark, sf_dir, "embeddings"),
-        k=KMEANS_K,
         iters=KMEANS_ITERS,
         threshold=SEMDEDUP_THRESH,
         dim=EMB_DIM,
@@ -5572,8 +5575,8 @@ tot AS (SELECT count(*) AS n_tot FROM exact)
 SELECT round(CAST(n_hit AS DOUBLE) / n_tot, 6) AS recall_at_10 FROM hit, tot"""
 
 
-def _kmeans_sql() -> str:
-    """DuckDB twin of similarity.kmeans_quantized (k=KMEANS_K, iters=2,
+def _kmeans_sql(k: int = KMEANS_K) -> str:
+    """DuckDB twin of similarity.kmeans_quantized (k cells, iters=2,
     unrolled). Exactness argument: quantized components are int64, so the
     per-cell sums are order-independent; every distance is the same
     left-to-right IEEE fold Spark runs (_kmeans_dist_expr), so assignments
@@ -5627,7 +5630,7 @@ WITH q AS MATERIALIZED (
   FROM embeddings),
 c0_seed AS MATERIALIZED (
   SELECT id AS cid, qv AS svec, CAST(1 AS BIGINT) AS n FROM q
-  ORDER BY (id * {IVF_MIX_MULT}) % {IVF_MIX_MOD}, id LIMIT {KMEANS_K}),
+  ORDER BY (id * {IVF_MIX_MULT}) % {IVF_MIX_MOD}, id LIMIT {k}),
 c0 AS (SELECT * FROM c0_seed){steps}
 SELECT id AS vec_id, CAST(cell AS BIGINT) AS cell FROM afinal"""
 
@@ -7807,11 +7810,18 @@ SELECT id, comp AS tcomp FROM tc{CC_STEPS}"""
 
 def _semdedup_sql() -> str:
     """DuckDB twin of similarity.semdedup: the kmeans cell assignment is the
-    bit-exact _kmeans_sql lattice; the within-cell pairwise stage mirrors the
-    Spark self-join with the same round-4 cosine threshold device already
-    proven by embedding_near_dups; keep = no duplicate partner of smaller id."""
+    bit-exact _kmeans_sql lattice at the AUTO-DERIVED k the Spark side's
+    scale default picks (semdedup_auto_k over the correctness gate's fixed
+    sf0.01 embeddings corpus, 500 vectors -> k=2 — a static unrolled oracle
+    cannot read the corpus size at runtime, so the gate's fixed sf is the
+    contract; scripts/check_oracle.py validates the pairing end-to-end); the
+    within-cell pairwise stage mirrors the Spark self-join with the same
+    round-4 cosine threshold device already proven by embedding_near_dups;
+    keep = no duplicate partner of smaller id."""
+    from kaminpar_spark.functions.similarity import semdedup_auto_k
+
     return f"""
-WITH cells AS MATERIALIZED ({_kmeans_sql()}),
+WITH cells AS MATERIALIZED ({_kmeans_sql(k=semdedup_auto_k(500))}),
 ce AS MATERIALIZED (
   SELECT c.vec_id, c.cell, e.embedding FROM cells c JOIN embeddings e USING (vec_id)),
 dupb AS (
