@@ -12,6 +12,7 @@ scale factor via ``count(orders)`` on both sides.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
@@ -369,15 +370,18 @@ RA_CAP = 64
 def _q_resource_alloc(spark, sf_dir):
     """Top link-prediction candidates by Resource-Allocation index
     (Σ 1/deg(center) over common neighbors, exact on the ×2^20 integer
-    lattice; deterministic (ra, u, w) ordering). Centers scan at most
-    RA_CAP neighbors (arithmetic-mixer cap, oracle-reproducible) — the
-    uncapped wedge join is quadratic in hub degree and stalls at sf0.1."""
+    lattice; deterministic (ra, u, w) ordering). Centers scan ~RA_CAP
+    neighbors (hub-safe hash-threshold cap, arithmetic mixer,
+    oracle-reproducible) — the uncapped wedge join is quadratic in hub
+    degree and stalls at sf0.1."""
     from kaminpar_spark.operators.linkpred import resource_allocation
 
     g, _ = _graph(spark, sf_dir)
-    key = (F.col("dst") * F.lit(_CAP_MIX_MULT)) % F.lit(_CAP_MIX_MOD)
     ra = resource_allocation(
-        g, min_common=JACCARD_MIN_COMMON, max_num_neighbors=RA_CAP, order_key=key
+        g,
+        min_common=JACCARD_MIN_COMMON,
+        max_num_neighbors=RA_CAP,
+        order_key=_cap_key_col(),
     )
     return ra.orderBy(F.desc("ra"), "u", "w").limit(JACCARD_TOPK)
 
@@ -1434,15 +1438,30 @@ _CAP_MIX_MULT = 2654435761  # Knuth multiplicative mixer; ids < 2^31 so no overf
 _CAP_MIX_MOD = (1 << 31) - 1
 
 
+def _cap_key_col():
+    """(src, dst) arithmetic mixer for the neighbor-cap threshold, evaluated
+    bit-identically by Spark and DuckDB: ((src*M) % P + dst) % P * M % P.
+    Every intermediate stays < 2^63 for ids < 2^31; all operands are
+    non-negative so ``%`` agrees across engines."""
+    m, p = F.lit(_CAP_MIX_MULT), F.lit(_CAP_MIX_MOD)
+    return (((F.col("src") * m) % p + F.col("dst")) % p * m) % p
+
+
+def _cap_key_sql(src: str = "src", dst: str = "dst") -> str:
+    m, p = _CAP_MIX_MULT, _CAP_MIX_MOD
+    return f"((({src} * {m}) % {p} + {dst}) % {p} * {m}) % {p}"
+
+
 def _q_capped_neighbors(spark, sf_dir):
-    """Neighbor-scan cap (P4): keep the CAP_NEIGHBORS lowest-hash neighbors
-    per src. Cross-engine arithmetic mixer as the ranking key (library
-    default is xxhash64, Spark-only)."""
+    """Neighbor-scan cap (P4), hub-safe r5 shape: keep ~CAP_NEIGHBORS
+    neighbors per src by hash thresholding pmod(key, degree) < cap (min-key
+    edge always kept) — one hash aggregate + gather join, no per-src sort
+    window. Cross-engine arithmetic mixer as the key (library default is
+    xxhash64, Spark-only)."""
     from kaminpar_spark.operators.preprocess import cap_neighbors
 
     g, _ = _graph(spark, sf_dir)
-    key = (F.col("dst") * F.lit(_CAP_MIX_MULT)) % F.lit(_CAP_MIX_MOD)
-    return cap_neighbors(g, CAP_NEIGHBORS, order_key=key).edges.select(
+    return cap_neighbors(g, CAP_NEIGHBORS, order_key=_cap_key_col()).edges.select(
         "src", "dst", "weight"
     )
 
@@ -3074,6 +3093,77 @@ def _q_partition_agreement(spark, sf_dir):
     return pair_counting_agreement(lp, lv)
 
 
+PV_K = 4
+PV_EPS = 0.03
+
+
+def _partition_snapshot_path(sf_name: str) -> str:
+    """Shared Spark/DuckDB location of the partition_verify (id, block)
+    snapshot — keyed by sf dir name so concurrent checks at different scales
+    don't collide."""
+    import tempfile
+
+    return os.path.join(
+        tempfile.gettempdir(), f"kaminpar_partition_verify_{sf_name}.parquet"
+    )
+
+
+def _q_partition_verify(spark, sf_dir):
+    """End-to-end FLAGSHIP check (apps/tools/verify_partition.cc:13-38
+    analog; VERDICT r4 item 6): run the seeded deep multilevel partitioner,
+    snapshot (id, block) to parquet, and recompute cut / max block weight /
+    feasibility FROM THE SNAPSHOT — the oracle recomputes the same metrics
+    from the same snapshot in DuckDB, so the headline partitioner's actual
+    output is driver-hash-checked, not just pytest-covered. The snapshot is
+    written eagerly here; the oracle (run after the Spark side, as the
+    driver and scripts/check_oracle.py both do) reads it."""
+    from kaminpar_spark.functions import rules
+    from kaminpar_spark.plans.partitioner import Partitioner
+
+    g, _ = _graph(spark, sf_dir)
+    res = Partitioner(g, spark, seed=42).partition(PV_K, PV_EPS)
+    snap = _partition_snapshot_path(os.path.basename(os.path.normpath(sf_dir)))
+    (
+        res.partition.select("id", F.col("block").cast("long").alias("block"))
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(snap)
+    )
+    part = spark.read.parquet(snap)
+
+    tw = g.total_node_weight()
+    cap = rules.max_block_weight(tw, PV_K, PV_EPS, g.max_node_weight())
+    ps = part.select(F.col("id").alias("src"), F.col("block").alias("bs"))
+    pd_ = part.select(F.col("id").alias("dst"), F.col("block").alias("bd"))
+    cut = (
+        g.edges.join(ps, "src")
+        .join(pd_, "dst")
+        .select(
+            F.when(F.col("bs") != F.col("bd"), F.col("weight"))
+            .otherwise(F.lit(0))
+            .alias("c")
+        )
+        .agg((F.sum("c") / 2).cast("long").alias("cut"))
+    )
+    bw = (
+        g.nodes.join(part, "id")
+        .groupBy("block")
+        .agg(F.sum("weight").alias("w"))
+        .agg(
+            F.max("w").cast("long").alias("max_block_weight"),
+            F.count("*").cast("long").alias("n_blocks"),
+        )
+    )
+    return cut.crossJoin(bw).select(  # 1-row x 1-row
+        F.lit(PV_K).cast("long").alias("k"),
+        F.lit(tw).cast("long").alias("total_weight"),
+        "cut",
+        "max_block_weight",
+        "n_blocks",
+        (F.col("max_block_weight") <= F.lit(cap)).alias("feasible"),
+    )
+
+
 def _q_retention_cohorts(spark, sf_dir):
     """Weekly cohort-retention matrix over the events table: cohort = epoch
     week of each user's first event; cells count users active k weeks later
@@ -3460,15 +3550,136 @@ def _q_semdedup(spark, sf_dir):
     )
 
 
+# ---- round-5 driver-verification window (first 50 of queries()): the
+# never-driver-verified backlog, oldest-position first (VERDICT r4 item 1:
+# registry positions 51+ were teed up never-verified-first), plus the two
+# entries that MUST re-earn a green row this round: partition_verify (new,
+# VERDICT item 6 — the flagship partitioner's first driver row) and
+# capped_neighbors (implementation replaced by the hub-safe hash-threshold
+# shape, VERDICT item 2). 48 never-verified entries remain in the backlog
+# (positions 51-98), pre-validated by scripts/check_oracle.py this round.
+_R5_WINDOW = [
+    "partition_verify",
+    "capped_neighbors",
+    "ssjoin_prefix",
+    "seeded_labels3",
+    "rank_movers",
+    "rich_club",
+    "wl_quotient",
+    "oov_rate",
+    "zipf_profile",
+    "surprisal_scores",
+    "cohesion_chunks",
+    "vocab_growth",
+    "edge_churn",
+    "rectangles",
+    "two_hop_reach",
+    "anf_rank_hist3",
+    "weighted_jaccard",
+    "bipartite_check12",
+    "response_latency",
+    "lpa_warm",
+    "resource_alloc",
+    "assortativity",
+    "role_assortativity",
+    "truss_edges5",
+    "harmonic4",
+    "diameter_sweep",
+    "jp_colors6",
+    "luby_mis6",
+    "hem_matching3",
+    "hits3",
+    "salsa",
+    "butterflies",
+    "char_diversity",
+    "random_walks4",
+    "walk_contexts",
+    "cooc_stats",
+    "node2vec_walks4",
+    "conductance_mod4",
+    "graph_summary",
+    "domain_mix",
+    "comm_volume_mod4",
+    "stratified_sample",
+    "pack_sequences",
+    "source_filter",
+    "tfidf_top_terms",
+    "ngram_topk",
+    "pii_scrub",
+    "repetition_stats",
+    "event_props_agg",
+    "funnel_counts",
+]
+
+# Backlog head (positions 51+): the still-never-driver-verified queries, in
+# rotation order, so any future window lifts them first.
+_R5_BACKLOG_HEAD = [
+    "onion_layers6",
+    "vertex_cut16",
+    "bandwidth_orders",
+    "score_peel8",
+    "pagerank_recency5",
+    "msf_bounded",
+    "anf_ranks3",
+    "hop_plot3",
+    "ktruss4_round2",
+    "backbone2",
+    "pagerank_directed4",
+    "densest_peel6",
+    "four_cliques",
+    "triad_census",
+    "clique_percolation8",
+    "clustering_spectrum",
+    "knn_spectrum",
+    "pagerank_by_role",
+    "degree_gini",
+    "community_size_hist",
+    "hub_robustness",
+    "tool_usage_by_depth",
+    "core_profile",
+    "pagerank_gini",
+    "tool_stats",
+    "ppr_sweep",
+    "coactor_hist",
+    "source_dup_rate",
+    "partition_agreement",
+    "retention_cohorts",
+    "event_bursts",
+    "readability",
+    "group_split",
+    "null_model",
+    "ngram_containment",
+    "leiden_refine",
+    "tie_overlap",
+    "dau_wau",
+    "zorder_layout",
+    "tool_affinity",
+    "ivf_filtered_topk",
+    "mean_shift",
+    "lang_confusion",
+    "tool_predictability",
+    "bridges_weak",
+    "two_edge_comps",
+    "articulation_points",
+    "biconnected_blocks",
+]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    q = _queries_literal()
+    head = _R5_WINDOW + _R5_BACKLOG_HEAD
+    missing = [n for n in head if n not in q]
+    assert not missing, f"rotation references unknown queries: {missing}"
+    rest = {k: v for k, v in q.items() if k not in set(head)}
+    return {**{k: q[k] for k in head}, **rest}
+
+
+def _queries_literal() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-        # ---- driver-verification window (first 50): rotated per round so
-        # every registered query re-earns a CURRENT-round green row (the
-        # driver checks the first 50 entries only). Round-4 window =
-        # the two r3-red rows (now exploded to scalar columns) + the
-        # SURVEY §2-core rows whose implementation files changed since
-        # their r2 green + the dedup/ANN family + r3 additions that were
-        # outside the r3 window. Policy + last-green stamps: COVERAGE.md.
+        # ---- registry in round-4 literal order; the rotation (window +
+        # backlog head) is applied by queries() from _R5_WINDOW /
+        # _R5_BACKLOG_HEAD above. Policy + last-green stamps: COVERAGE.md.
+        "partition_verify": _q_partition_verify,
         "nbr_mean_features": _q_nbr_mean,
         "csr_blocks4": _q_csr_blocks,
         "lp_step1": _q_lp_step1,
@@ -4294,11 +4505,12 @@ ORDER BY jaccard DESC, u, w LIMIT {JACCARD_TOPK}"""
 
 _RA_SQL = f"""WITH {_EDGES_CTE},
 cape AS MATERIALIZED (
-  SELECT src, dst FROM (
-    SELECT src, dst,
-           row_number() OVER (PARTITION BY src
-                              ORDER BY (dst * {_CAP_MIX_MULT}) % {_CAP_MIX_MOD}, dst) AS rn
-    FROM edges) WHERE rn <= {RA_CAP}),
+  SELECT e.src, e.dst
+  FROM edges e JOIN (
+    SELECT src, count(*) AS cdeg, min({_cap_key_sql()}) AS mk
+    FROM edges GROUP BY src) capst USING (src)
+  WHERE ({_cap_key_sql('e.src', 'e.dst')}) % capst.cdeg < {RA_CAP}
+     OR ({_cap_key_sql('e.src', 'e.dst')}) = capst.mk),
 wed AS MATERIALIZED (
   SELECT l.dst AS u, r.dst AS w,
          CAST(count(*) AS BIGINT) AS common,
@@ -5755,12 +5967,13 @@ SELECT c.id, CAST(coalesce(a.best_label, c.cur_label) AS BIGINT) AS label
 FROM cand c LEFT JOIN admitted a ON c.id = a.id"""
 
 _CAPPED_NEIGHBORS_SQL = f"""WITH {_EDGES_CTE},
-ranked AS (
-  SELECT src, dst, weight,
-         row_number() OVER (PARTITION BY src
-                            ORDER BY (dst * {_CAP_MIX_MULT}) % {_CAP_MIX_MOD}, dst) AS rn
-  FROM edges)
-SELECT src, dst, weight FROM ranked WHERE rn <= {CAP_NEIGHBORS}"""
+capst AS (
+  SELECT src, count(*) AS cdeg, min({_cap_key_sql()}) AS mk
+  FROM edges GROUP BY src)
+SELECT e.src, e.dst, e.weight
+FROM edges e JOIN capst USING (src)
+WHERE ({_cap_key_sql('e.src', 'e.dst')}) % capst.cdeg < {CAP_NEIGHBORS}
+   OR ({_cap_key_sql('e.src', 'e.dst')}) = capst.mk"""
 
 
 _DEGREE_PERM_SQL = f"""WITH {_EDGES_CTE}
@@ -6113,6 +6326,36 @@ def _louvain_sql() -> str:
     ctes, final = _louvain_ctes()
     return f"""WITH {_EDGES_CTE}{ctes}
 SELECT id, comm FROM {final}"""
+
+
+def _partition_verify_sql() -> str:
+    """Recompute the partition_verify metrics from the SAME (id, block)
+    snapshot the Spark side wrote (verify_partition.cc analog). The cap is
+    rules.max_block_weight with max node weight 1 (transcript actors are
+    unweighted): floor((1+eps) * ceil(W/k)) — int() truncation == floor for
+    positive doubles, and both engines evaluate the same IEEE multiply."""
+    snap = _partition_snapshot_path(
+        os.path.basename(
+            os.path.normpath(
+                os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
+            )
+        )
+    )
+    return f"""WITH {_EDGES_CTE},
+part AS MATERIALIZED (SELECT id, block FROM read_parquet('{snap}/*.parquet')),
+pcut AS (
+  SELECT CAST(sum(CASE WHEN ps.block <> pd.block THEN e.weight ELSE 0 END) // 2 AS BIGINT) AS cut
+  FROM edges e JOIN part ps ON e.src = ps.id JOIN part pd ON e.dst = pd.id),
+bw AS (
+  SELECT CAST(max(w) AS BIGINT) AS max_block_weight, CAST(count(*) AS BIGINT) AS n_blocks
+  FROM (SELECT p.block, count(*) AS w FROM nodes n JOIN part p ON n.id = p.id GROUP BY p.block)),
+tw AS (SELECT CAST(count(*) AS BIGINT) AS total_weight FROM nodes)
+SELECT CAST({PV_K} AS BIGINT) AS k, tw.total_weight, pcut.cut, bw.max_block_weight,
+       bw.n_blocks,
+       bw.max_block_weight
+         <= CAST(floor({1 + PV_EPS!r} * CAST(ceil(tw.total_weight / {PV_K}.0) AS BIGINT)) AS BIGINT)
+         AS feasible
+FROM pcut, bw, tw"""
 
 
 def _partition_agreement_sql() -> str:
@@ -7811,17 +8054,32 @@ SELECT id, comp AS tcomp FROM tc{CC_STEPS}"""
 def _semdedup_sql() -> str:
     """DuckDB twin of similarity.semdedup: the kmeans cell assignment is the
     bit-exact _kmeans_sql lattice at the AUTO-DERIVED k the Spark side's
-    scale default picks (semdedup_auto_k over the correctness gate's fixed
-    sf0.01 embeddings corpus, 500 vectors -> k=2 — a static unrolled oracle
-    cannot read the corpus size at runtime, so the gate's fixed sf is the
-    contract; scripts/check_oracle.py validates the pairing end-to-end); the
-    within-cell pairwise stage mirrors the Spark self-join with the same
-    round-4 cosine threshold device already proven by embedding_near_dups;
-    keep = no duplicate partner of smaller id."""
+    scale default picks. The Spark side derives k from a runtime
+    vecs.count(), so the oracle derives n the same way AT ORACLE-BUILD TIME
+    from the gate corpus parquet itself (ADVICE r4: a pinned n=500 silently
+    desynchronizes if the gate corpus is ever regenerated at another size;
+    scripts/check_oracle.py points SPARK_GRAFT_ORACLE_SF at the sf_dir under
+    test, the driver's gate runs at the default sf0.01); the within-cell
+    pairwise stage mirrors the Spark self-join with the same round-4 cosine
+    threshold device already proven by embedding_near_dups; keep = no
+    duplicate partner of smaller id."""
     from kaminpar_spark.functions.similarity import semdedup_auto_k
 
+    n = 500  # gate-corpus fallback if the parquet is unreadable here
+    try:
+        import duckdb as _dd
+
+        _f = os.path.join(
+            os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01"),
+            "embeddings.parquet",
+        )
+        if os.path.exists(_f):
+            n = _dd.sql(f"SELECT count(*) FROM read_parquet('{_f}')").fetchone()[0]
+    except Exception:
+        pass
+
     return f"""
-WITH cells AS MATERIALIZED ({_kmeans_sql(k=semdedup_auto_k(500))}),
+WITH cells AS MATERIALIZED ({_kmeans_sql(k=semdedup_auto_k(n))}),
 ce AS MATERIALIZED (
   SELECT c.vec_id, c.cell, e.embedding FROM cells c JOIN embeddings e USING (vec_id)),
 dupb AS (
@@ -8328,6 +8586,7 @@ FROM documents""",
         "coactor_hist": _COACTOR_HIST_SQL,
         "source_dup_rate": _source_dup_rate_sql(),
         "partition_agreement": _partition_agreement_sql(),
+        "partition_verify": _partition_verify_sql(),
         "retention_cohorts": """
 WITH wkev AS (
   SELECT DISTINCT user_id,

@@ -60,8 +60,15 @@ def neighbor_mean_features(
     """(id, n_nbrs, nbr_mean array<double>) — element-wise mean of the
     feature vectors of ``id``'s distinct neighbors (GraphSAGE mean
     aggregator, unweighted). Nodes with no neighbors are absent (nothing to
-    aggregate). ``cap`` samples at most K neighbors per node first
-    (deterministic order key, preprocess.cap_neighbors)."""
+    aggregate). ``cap`` samples at most K neighbors per node first via
+    ``cap`` deterministic affine-keyed draws WITH replacement, deduplicated:
+    a node with degree >= cap aggregates *up to* cap distinct neighbors, in
+    expectation ~cap·(1 - ((cap-1)/cap)^deg) < cap of them (the classic
+    occupancy shrinkage, ≈0.63·cap at deg >> cap) — not exactly
+    min(cap, degree). This is standard GraphSAGE sampling semantics and the
+    price of the hub-safe one-pass hash aggregate; preprocess.cap_neighbors
+    offers the other hub-safe tradeoff (hash thresholding: cap in
+    expectation, unbiased, but not a hard per-node bound)."""
     if cap is not None:
         # Cap the AGGREGATING side: gather flows src-features to dst, so the
         # sampled neighborhood is per-dst (P4's cap_neighbors ranks per-src —

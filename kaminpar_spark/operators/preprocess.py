@@ -11,7 +11,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import DataFrame, functions as F
 
 from kaminpar_spark.functions.rules import adapt_epsilon_after_isolated_removal
 from kaminpar_spark.graph import GraphFrame
@@ -21,24 +21,49 @@ def cap_neighbors(
     graph: GraphFrame, max_num_neighbors: int, order_key: F.Column | None = None
 ) -> GraphFrame:
     """Neighbor-scan cap (SURVEY.md P4; parallel_label_propagation.h:284-286):
-    LP rates at most ``max_num_neighbors`` neighbors per node. One-time edge
-    sampling — keep the cap lowest-hash neighbors per src (deterministic
-    pseudo-random subset, the BSP analog of the reference's truncated scan).
+    LP rates roughly ``max_num_neighbors`` neighbors per node — the BSP
+    analog of the reference's arbitrary truncated scan.
 
-    ``order_key`` overrides the pseudo-random ranking column (default
-    xxhash64(dst)); the correctness oracle passes an arithmetic mixer both
-    engines evaluate bit-identically.
+    Hub-safe shape (no per-src sort): per-src (degree, min-key) come from ONE
+    hash aggregate (map-side partial combine — a 10^8-degree hub reduces
+    across tasks instead of sorting in one), attached back to the edges via
+    the engine's gather join (salted on prepared graphs, AQE-skew-splittable
+    otherwise); an edge survives iff ``pmod(key, degree) < cap`` — hash
+    thresholding. The per-src row_number window this replaced put a hub's
+    whole adjacency in a single task, the exact straggler shape the operator
+    exists to prevent (reference default caps at 200,000,
+    parallel_label_propagation.h:284-286).
+
+    Semantics (changed from the exact-rank version, r5): a src with degree
+    <= cap keeps ALL edges (pmod(k, deg) < deg <= cap always); a src with
+    degree > cap keeps ~Binomial(deg, ~cap/deg) edges — ``max_num_neighbors``
+    IN EXPECTATION, not a hard bound (spread ~sqrt(cap)); the min-key edge is
+    always kept, so every non-isolated src retains >= 1 neighbor. Work is
+    bounded within a constant factor of cap, which is all the reference's
+    truncated scan guarantees about WHICH neighbors are rated.
+
+    ``order_key`` overrides the pseudo-random key (default
+    xxhash64(src, dst)); the correctness oracle passes an arithmetic mixer
+    both engines evaluate bit-identically.
 
     The result is intentionally per-src (asymmetric): it is a GATHER-side view
     for rating kernels, not a valid symmetric graph — run metrics on the
     original graph."""
-    key = order_key if order_key is not None else F.xxhash64("dst")
-    w = Window.partitionBy("src").orderBy(key, F.col("dst"))
+    key = order_key if order_key is not None else F.xxhash64("src", "dst")
+    stats = (
+        graph.edges.select("src", "dst")
+        .withColumn("_k", key)
+        .groupBy(F.col("src").alias("id"))
+        .agg(F.count("*").alias("_deg"), F.min("_k").alias("_mk"))
+    )
     e = (
-        graph.edges.select("src", "dst", "weight")
-        .withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= max_num_neighbors)
-        .drop("rn")
+        graph.gather(stats, ["_deg", "_mk"])
+        .withColumn("_k", key)
+        .where(
+            (F.pmod(F.col("_k"), F.col("_deg")) < F.lit(max_num_neighbors))
+            | (F.col("_k") == F.col("_mk"))
+        )
+        .select("src", "dst", "weight")
     )
     return GraphFrame(edges=e, nodes=graph.nodes)
 

@@ -614,7 +614,12 @@ def compute_num_copies(
     contraction limit C, keep ONE chain coarsening (f = 2^ceil(log2(n/C)) >
     threads); once n is within reach, split the thread budget into
     threads/f replica groups; at n <= 2C (or a converged coarsener), fan out
-    fully — one replica per remaining thread."""
+    fully — one replica per remaining thread.
+
+    The float division in ``log2(n / c)`` is deliberate and matches the
+    reference exactly: helper.cc:219 computes ``log2(1.0 * n / C)`` in
+    floating point. Only the sibling compute_k_for_n (helper.cc:207, our
+    rules.deep_k_prime) uses integer division ``n / C``."""
     c = max(1, contraction_limit)
     if converged or n <= 2 * c:
         return num_threads
@@ -622,6 +627,33 @@ def compute_num_copies(
     if f > num_threads:
         return 1
     return max(1, num_threads // f)
+
+
+def bipartition_caps(
+    g: SmallGraph, epsilon: float, ratio: tuple[int, int] = (1, 1)
+) -> tuple[float, float]:
+    """The 2-way block-weight caps every bipartitioner and select_best use:
+    max((1+eps)*ceil(W*ks/(k1+k2)), ceil(W*ks/(k1+k2)) + max node weight)
+    per block (reference PartitionContext::setup + max_block_weight slack)."""
+    k1, k2 = ratio
+    slack = int(g.nweights.max(initial=1))
+    return tuple(
+        max(
+            (1 + epsilon) * math.ceil(g.total_weight * ks / (k1 + k2)),
+            math.ceil(g.total_weight * ks / (k1 + k2)) + slack,
+        )
+        for ks in (k1, k2)
+    )
+
+
+def bipartition_score(
+    g: SmallGraph, part: np.ndarray, caps: tuple[float, float]
+) -> tuple[int, int]:
+    """select_best's ordering (helper.h:77-104): (total infeasibility, cut) —
+    a feasible partition beats any infeasible one regardless of cut."""
+    bw = _block_weights(g, part)
+    infeasible = int(max(0, bw[0] - caps[0]) + max(0, bw[1] - caps[1]))
+    return (infeasible, cut_of(g, part))
 
 
 def replicated_bipartition(
@@ -658,20 +690,10 @@ def replicated_bipartition(
     if g.n == 0:
         return np.zeros(0, dtype=np.int64)
     max_cw = int(IP_CLUSTER_WEIGHT_MULTIPLIER * (1 + epsilon) * g.total_weight / 2)
-    k1, k2 = ratio
-    slack = int(g.nweights.max(initial=1))
-    caps = tuple(
-        max(
-            (1 + epsilon) * math.ceil(g.total_weight * ks / (k1 + k2)),
-            math.ceil(g.total_weight * ks / (k1 + k2)) + slack,
-        )
-        for ks in (k1, k2)
-    )
+    caps = bipartition_caps(g, epsilon, ratio)
 
     def score(gr: SmallGraph, part: np.ndarray) -> tuple[int, int]:
-        bw = _block_weights(gr, part)
-        infeasible = int(max(0, bw[0] - caps[0]) + max(0, bw[1] - caps[1]))
-        return (infeasible, cut_of(gr, part))
+        return bipartition_score(gr, part, caps)
 
     def partition_recursive(cur: SmallGraph, threads: int, s: int) -> np.ndarray:
         if threads <= 1:

@@ -45,6 +45,11 @@ def norm_rows(cols, rows):
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
+    # corpus-size-dependent oracles (semdedup auto-k) derive n from the
+    # sf_dir under test instead of assuming the gate default
+    import os
+
+    os.environ["SPARK_GRAFT_ORACLE_SF"] = sf_dir
     spark = get_spark("check_oracle", cores=8, shuffle_partitions=8)
     con = duckdb.connect()
     for t in TABLES:

@@ -70,18 +70,60 @@ def test_merge_noop_when_no_singletons(spark):
 
 
 def test_cap_neighbors_limits_scan(spark):
+    """Hash-threshold cap (r5 hub-safe semantics): degree <= cap passes
+    through untouched; degree > cap keeps ~cap in expectation (bounded well
+    below the raw degree), never zero; deterministic."""
     from kaminpar_spark.operators.preprocess import cap_neighbors
     from kaminpar_spark.operators.labelprop import lp_step
 
     g = fixtures.erdos_renyi(spark, n=200, p=0.05, hub_overlay=2)[0]
-    capped = cap_neighbors(g, 5)
-    mx = capped.edges.groupBy("src").count().agg(F.max("count")).first()[0]
-    assert mx <= 5
+    cap = 5
+    capped = cap_neighbors(g, cap)
+    deg = {r["src"]: r["d"] for r in g.edges.groupBy("src").agg(F.count("*").alias("d")).collect()}
+    kept = {r["src"]: r["d"] for r in capped.edges.groupBy("src").agg(F.count("*").alias("d")).collect()}
+    for src, d in deg.items():
+        if d <= cap:
+            assert kept.get(src) == d, (src, d, kept.get(src))
+        else:
+            # expected ~cap, binomial spread; never zero, never the full scan
+            assert 1 <= kept.get(src, 0) <= min(d, 4 * cap), (src, d, kept.get(src))
+    big = [s for s, d in deg.items() if d > 4 * cap]
+    if big:
+        avg = sum(kept[s] for s in big) / len(big)
+        assert cap / 3 <= avg <= 3 * cap, avg
     # deterministic: same subset twice
     e1 = sorted((r["src"], r["dst"]) for r in capped.edges.collect())
-    e2 = sorted((r["src"], r["dst"]) for r in cap_neighbors(g, 5).edges.collect())
+    e2 = sorted((r["src"], r["dst"]) for r in cap_neighbors(g, cap).edges.collect())
     assert e1 == e2
     # LP still runs on the capped view
     state = g.nodes.select("id", F.col("id").alias("label"), "weight")
     out = lp_step(capped, state, semi_sync=False)
     assert out.count() == 200
+
+
+def test_cap_neighbors_is_hub_safe(spark):
+    """10^5-degree hub (VERDICT r4 item 2 bar): the cap must not route the
+    hub's adjacency through one per-src sort task — the executed plan has NO
+    window operator (hash aggregate + gather join + filter instead), the hub
+    keeps ~cap neighbors, and every non-isolated src keeps >= 1."""
+    from kaminpar_spark.operators.preprocess import cap_neighbors
+
+    n = 100_000
+    spokes = spark.range(1, n + 1).select(
+        F.lit(0).cast("long").alias("src"), F.col("id").alias("dst")
+    )
+    edges = spokes.unionByName(
+        spokes.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).withColumn("weight", F.lit(1).cast("long"))
+    nodes = spark.range(0, n + 1).select(F.col("id"))
+    g = GraphFrame(edges=edges, nodes=nodes)
+    cap = 8
+    out = cap_neighbors(g, cap).edges
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan, plan
+    counts = {r["src"]: r["c"] for r in out.groupBy("src").agg(F.count("*").alias("c")).collect()}
+    # hub 0: ~cap kept out of 10^5 (binomial, generous bound), never 0
+    assert 1 <= counts[0] <= 6 * cap, counts[0]
+    # spokes: degree 1 <= cap -> exact pass-through
+    assert len(counts) == n + 1
+    assert all(counts[s] == 1 for s in counts if s != 0)
