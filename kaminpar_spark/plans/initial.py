@@ -695,11 +695,24 @@ def replicated_bipartition(
     def score(gr: SmallGraph, part: np.ndarray) -> tuple[int, int]:
         return bipartition_score(gr, part, caps)
 
-    def partition_recursive(cur: SmallGraph, threads: int, s: int) -> np.ndarray:
+    def partition_recursive(
+        cur: SmallGraph, threads: int, s: int, flavor: int
+    ) -> np.ndarray:
         if threads <= 1:
-            # sequential base case: full multilevel bipartition (E6+E7)
+            # sequential base case: full multilevel bipartition (E6+E7).
+            # Sibling replicas are DIVERSIFIED beyond their rng stream
+            # (VERDICT r4 item 5: seed-only replicas converged to the chain's
+            # local optimum cut-for-cut on every measured grid cell): each
+            # non-chain flavor leaf searches under a perturbed epsilon —
+            # tighter caps force structurally different growing/FM basins,
+            # looser caps widen the search (the portfolio-diversity spirit of
+            # pool_bipartitioner.h:253-268's seven registered strategies).
+            # Every candidate is still SCORED against the TRUE caps at the
+            # join, and flavor 0 (the chain-seed replica) is untouched, so
+            # the never-worse guarantee is preserved.
+            eps_leaf = epsilon * _REPLICA_EPS_FLAVORS[flavor % len(_REPLICA_EPS_FLAVORS)]
             return multilevel_bipartition(
-                cur, epsilon, seed=s, repetitions=repetitions, ratio=ratio
+                cur, eps_leaf, seed=s, repetitions=repetitions, ratio=ratio
             )
         rng = np.random.default_rng(s ^ 0x9E3779B9)
         shrunk, mapping, coarse = False, None, cur
@@ -709,31 +722,44 @@ def replicated_bipartition(
             if (1.0 - c_n / cur.n) > IP_CONVERGENCE_THRESHOLD:
                 coarse, mapping = contract_clustering(cur, leader)
                 shrunk = True
-        part = split_and_join(coarse, threads, not shrunk, s)
+        part = split_and_join(coarse, threads, not shrunk, s, flavor)
         if shrunk:
             part = part[mapping]
             part = fm_refine_2way(cur, part, caps, rng=rng)
         return part
 
-    def split_and_join(cur: SmallGraph, threads: int, converged: bool, s: int) -> np.ndarray:
+    def split_and_join(
+        cur: SmallGraph, threads: int, converged: bool, s: int, flavor: int
+    ) -> np.ndarray:
         copies = compute_num_copies(cur.n, converged, threads)
         if trace is not None and copies > 1:
             trace.append((int(cur.n), copies))
         tpc = max(1, threads // copies)
         best: tuple[tuple[int, int], np.ndarray] | None = None
         for c in range(copies):
-            # replica 0 keeps the chain seed, siblings get derived streams
-            p = partition_recursive(cur, tpc, s + 7919 * c)
+            # replica 0 keeps the chain seed (and the chain flavor when it is
+            # itself replica 0 of every enclosing fork); siblings get derived
+            # streams and distinct leaf flavors
+            p = partition_recursive(
+                cur, tpc, s + 7919 * c, flavor if c == 0 else 3 * flavor + c
+            )
             sc = score(cur, p)
             if best is None or sc < best[0]:
                 best = (sc, p)
         return best[1]
 
-    tree = split_and_join(g, num_threads, False, seed)
+    tree = split_and_join(g, num_threads, False, seed, 0)
     chain = multilevel_bipartition(
         g, epsilon, seed=seed, repetitions=repetitions, ratio=ratio
     )
     return tree if score(g, tree) <= score(g, chain) else chain
+
+
+# Leaf-replica epsilon multipliers (flavor index -> eps factor). Flavor 0 is
+# the untouched chain replica; the others tighten/loosen the leaf's balance
+# constraint to land in different refinement basins. Chosen to keep every
+# perturbed epsilon within a sane IP range (0.5x..2x of the true eps).
+_REPLICA_EPS_FLAVORS = (1.0, 0.5, 2.0, 0.75, 1.5, 0.6, 1.25)
 
 
 def best_of_bisections(

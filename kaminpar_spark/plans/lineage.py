@@ -64,6 +64,32 @@ def release(df: DataFrame | None) -> None:
     df._kaminpar_chk_ids = set()
 
 
+# Measured crossover for staging-table checkpoints (BENCH/DEDUP_SCALING.md,
+# 1M-doc MinHash kernel): the eager checkpoint write amortizes across its
+# downstream consumers at <= 8 cores (local[2] and local[8] both improved
+# when the r3 kernel materialized signatures) but REGRESSED local[32]
+# (42.5 s -> 57.1 s) — at high parallelism recomputing the (parallelizable)
+# staging plan per consumer is cheaper than one serialized block-store
+# write. 16 = geometric midpoint of the measured 8-good / 32-bad bracket.
+ADAPTIVE_CHECKPOINT_MAX_CORES = 16
+
+
+def truncate_if_profitable(
+    df: DataFrame, max_cores: int = ADAPTIVE_CHECKPOINT_MAX_CORES
+) -> tuple[DataFrame, bool]:
+    """Adaptive staging checkpoint (VERDICT r4 item 4): ``truncate`` the
+    DataFrame when the session's parallelism is at most ``max_cores`` (write
+    cost amortizes across re-consumers), otherwise return it unchanged and
+    let each consumer recompute the lineage (cheaper than the serialized
+    write at high parallelism — see crossover note above). Returns
+    (df, checkpointed?); callers that ``carry``/``release`` staging blocks
+    can pass the result either way (no-op when nothing was pinned)."""
+    spark = df.sparkSession
+    if spark.sparkContext.defaultParallelism <= max_cores:
+        return truncate(df), True
+    return df, False
+
+
 def carry(df: DataFrame, *sources: DataFrame) -> DataFrame:
     """Propagate the checkpoint-block ids of intermediate ``truncate``d
     tables onto the DataFrame a pipeline RETURNS, so a multi-query driver

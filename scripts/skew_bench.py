@@ -1,21 +1,32 @@
-"""Planted giant-community skew bench (VERDICT r3 item 7).
+"""Planted-skew benches (VERDICT r3 item 7, extended per VERDICT r4 item 7).
 
-The Louvain/LPA gain step joins every candidate against the per-community
-Sigma_tot aggregate; a giant community concentrates that join's probe side on
-one key. The engine's documented answer is AQE skew-join splitting plus the
-shuffle-hash-join hints — this script MEASURES that answer instead of assuming
-it: it plants a graph where ONE community holds ~30% of all nodes, runs one
-louvain_move_step over the planted labels, and reports the per-stage task-time
-straggler ratio (max task wall / p50 task wall) parsed from the Spark event
-log. Done-bar: worst-stage ratio < 4.
+Three kernels whose shuffles a skewed key could concentrate on one task,
+each MEASURED on a deterministically planted worst case instead of assumed
+safe, via per-stage task-time straggler ratios (max task wall / p50 task
+wall) parsed from the Spark event log. Done-bar per scenario: worst-stage
+ratio < 4.
 
-Input (deterministic, no external data): N nodes; nodes [0, 0.3N) form the
-giant community wired as a ring + hashed chords; the rest sit in 20-node ring
-communities. Every edge is generated by closed-form column expressions from
-spark.range — no driver-side materialization.
+- ``louvain``: ONE community holds ~30% of all nodes; one louvain_move_step
+  over the planted labels (the Sigma_tot / gain join concentrates ~30% of
+  the probe side on one key; mitigations: AQE skew-join + shuffle-hash
+  hints).
+- ``lsh``: ~30% of all documents are byte-identical boilerplate, so every
+  band of their MinHash signatures lands in ONE degenerate bucket;
+  lsh_candidate_pairs with the max_bucket_size circuit breaker armed
+  (mitigations: oversized-bucket exclusion + identical-signature star join).
+- ``balance``: one overloaded block holds ~30% of all nodes, making them
+  ALL movers through the gain-ordered admission window partitioned by
+  source block (mitigation under test: the window is movers-only and
+  cumulative admission is one sort per overloaded block — this measures
+  whether that residual per-block sort stays under the bar).
 
-Usage: python scripts/skew_bench.py [--nodes 2000000] [--cpus 8]
-Writes BENCH/SKEW.md.
+Inputs are deterministic closed-form column expressions from spark.range —
+no driver-side materialization, no external data.
+
+Usage: python scripts/skew_bench.py [--scenarios louvain,lsh,balance]
+                                    [--nodes 2000000] [--docs 400000]
+                                    [--cpus 8]
+Writes BENCH/SKEW.md (one section per scenario).
 """
 
 from __future__ import annotations
@@ -130,22 +141,14 @@ def stage_straggler_ratios(event_dir: str, after_ms: float = 0.0) -> list[dict]:
     return out
 
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--nodes", type=int, default=2_000_000)
-    ap.add_argument("--cpus", type=int, default=8)
-    args = ap.parse_args()
-
-    from pyspark.sql import functions as F
-
-    from kaminpar_spark.operators.louvain import louvain_move_step
+def _spark_with_events(name: str, cpus: int):
     from kaminpar_spark.session import get_spark
 
-    event_dir = tempfile.mkdtemp(prefix="skew_events_")
+    event_dir = tempfile.mkdtemp(prefix=f"skew_events_{name}_")
     spark = get_spark(
-        "skew_bench",
-        cores=args.cpus,
-        shuffle_partitions=2 * args.cpus,
+        f"skew_bench_{name}",
+        cores=cpus,
+        shuffle_partitions=2 * cpus,
         extra_conf={
             "spark.eventLog.enabled": "true",
             "spark.eventLog.dir": f"file://{event_dir}",
@@ -153,61 +156,226 @@ def main():
             "spark.eventLog.rolling.enabled": "false",
         },
     )
+    return spark, event_dir
+
+
+def scenario_louvain(args) -> dict:
+    from pyspark.sql import functions as F
+
+    from kaminpar_spark.operators.louvain import louvain_move_step
+
+    spark, event_dir = _spark_with_events("louvain", args.cpus)
     g, comm = build_graph(spark, args.nodes)
     g.edges.persist()
     comm.persist()
     m2 = g.edges.agg(F.sum("weight")).first()[0]
     n = comm.count()
     m = g.edges.count()
-    print(f"[skew] planted graph: {n:,} nodes, {m:,} half-edges, m2={m2}")
+    print(f"[louvain] planted graph: {n:,} nodes, {m:,} half-edges, m2={m2}")
 
     t0 = time.time()
-    t0_ms = t0 * 1e3
     moved = louvain_move_step(g, comm, m2=int(m2))
     n_moved = moved.where(F.col("comm") != F.col("old_comm")).count()
     wall = time.time() - t0
-    print(f"[skew] louvain_move_step: {wall:.1f}s, {n_moved:,} moves")
-
     spark.stop()  # flush event log
-    rows = stage_straggler_ratios(event_dir, after_ms=t0_ms)
-    # restrict the verdict to the move-step's own stages: those launched
-    # after the warm-up counts — approximate via the heaviest stages
-    worst = max(rows, key=lambda r: r["ratio"]) if rows else None
-    heaviest = max(rows, key=lambda r: r["total_sec"]) if rows else None
+    return {
+        "name": "louvain",
+        "title": "Louvain giant community (one community = 30% of nodes)",
+        "desc": [
+            f"Planted input: {n:,} nodes, {m:,} half-edges; ONE community",
+            f"holds {GIANT_SHARE:.0%} of all nodes (ring + hashed chords), the",
+            f"tail sits in {SMALL_COMM}-node ring communities. One",
+            "`louvain_move_step` over the planted labels. The Sigma_tot /",
+            "heavy-label joins concentrate ~30% of the probe side on one key;",
+            "AQE skew-join + shuffle-hash hints are the mitigation under test.",
+        ],
+        "wall": wall,
+        "result": f"moves: {n_moved:,}",
+        "rows": stage_straggler_ratios(event_dir, after_ms=t0 * 1e3),
+    }
+
+
+def scenario_lsh(args) -> dict:
+    """One degenerate band bucket: ~30% of docs byte-identical, so their 16
+    band keys each hold a 0.3N-doc bucket (VERDICT r4 item 7)."""
+    from pyspark.sql import functions as F
+
+    from kaminpar_spark.functions.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+        shingles,
+    )
+
+    spark, event_dir = _spark_with_events("lsh", args.cpus)
+    n = args.docs
+    boiler = int(n * GIANT_SHARE)
+    # closed-form corpus: ids < boiler share ONE text; the rest mix their id
+    # into every token so signatures are distinct
+    base = spark.range(0, n).select(F.col("id").alias("doc_id"))
+    words = F.concat_ws(
+        " ",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(19)),
+            lambda i: F.concat(
+                F.lit("w"),
+                ((F.col("doc_id") * 131 + i * 7919) % 99991).cast("string"),
+            ),
+        ),
+    )
+    docs = base.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") < boiler,
+            F.lit("exact boilerplate block repeated across the corpus "
+                  "identical in every shard and every byte of every line"),
+        )
+        .otherwise(words)
+        .alias("text"),
+    )
+    docs.persist()
+    n_docs = docs.count()
+    print(f"[lsh] corpus: {n_docs:,} docs, {boiler:,} byte-identical")
+
+    t0 = time.time()
+    sigs = minhash_signatures(shingles(docs, portable=True), num_hashes=64)
+    n_pairs = lsh_candidate_pairs(sigs, bands=16, max_bucket_size=1000).count()
+    wall = time.time() - t0
+    spark.stop()
+    return {
+        "name": "lsh",
+        "title": "LSH degenerate band bucket (30% of docs byte-identical)",
+        "desc": [
+            f"Planted input: {n_docs:,} docs, {boiler:,} ({GIANT_SHARE:.0%})",
+            "byte-identical boilerplate — every band of their MinHash",
+            "signatures collapses into ONE bucket, the worst case for the",
+            "banded self-join. Kernel: shingles -> 64-hash signatures ->",
+            "lsh_candidate_pairs(bands=16, max_bucket_size=1000). Mitigations",
+            "under test: oversized buckets are excluded from the band",
+            "self-join (circuit breaker) and identical-signature groups pair",
+            "through a min-id STAR (s-1 pairs from a hash agg, never an s^2",
+            "clique in one task).",
+        ],
+        "wall": wall,
+        "result": f"candidate pairs: {n_pairs:,}",
+        "rows": stage_straggler_ratios(event_dir, after_ms=t0 * 1e3),
+    }
+
+
+def scenario_balance(args) -> dict:
+    """One overloaded block holding 30% of all nodes = 30% of movers in one
+    admission-window partition (VERDICT r4 item 7)."""
+    from pyspark.sql import functions as F
+
+    from kaminpar_spark.operators.balance import balance_round
+
+    spark, event_dir = _spark_with_events("balance", args.cpus)
+    g, _ = build_graph(spark, args.nodes)
+    g.edges.persist()
+    n = g.num_nodes()
+    k = 8
+    g_n = int(args.nodes * GIANT_SHARE)
+    # blocks 1..k-1 share the tail evenly; block 0 = the giant 30%
+    part = g.nodes.select(
+        "id",
+        F.when(F.col("id") < g_n, F.lit(0))
+        .otherwise(1 + (F.col("id") % (k - 1)))
+        .cast("int")
+        .alias("block"),
+    )
+    part.persist()
+    part.count()
+    cap = int(n / k * 1.05)
+    print(f"[balance] {n:,} nodes, k={k}, cap={cap:,}, block0={g_n:,} nodes")
+
+    t0 = time.time()
+    out = balance_round(g, part, cap, k=k)
+    moved = out.join(part.select("id", F.col("block").alias("b0")), "id").where(
+        F.col("block") != F.col("b0")
+    ).count()
+    wall = time.time() - t0
+    spark.stop()
+    return {
+        "name": "balance",
+        "title": "Balancer admission window (one block overloaded with 30% of nodes)",
+        "desc": [
+            f"Planted input: {n:,} nodes in k={k} blocks; block 0 holds",
+            f"{GIANT_SHARE:.0%} of all nodes against a cap of {cap:,}, so every",
+            "one of its nodes is a mover and the gain-ordered cumulative",
+            "admission window (Window.partitionBy(source block)) must sort",
+            "ALL of them in one partition — the engine's one deliberately",
+            "retained per-key sort. This measures whether the movers-only",
+            "restriction keeps that residual sort under the straggler bar.",
+        ],
+        "wall": wall,
+        "result": f"admitted moves: {moved:,}",
+        "rows": stage_straggler_ratios(event_dir, after_ms=t0 * 1e3),
+    }
+
+
+SCENARIOS = {
+    "louvain": scenario_louvain,
+    "lsh": scenario_lsh,
+    "balance": scenario_balance,
+}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scenarios", default="louvain,lsh,balance")
+    ap.add_argument("--nodes", type=int, default=2_000_000)
+    ap.add_argument("--docs", type=int, default=400_000)
+    ap.add_argument("--cpus", type=int, default=8)
+    args = ap.parse_args()
+
+    results = [SCENARIOS[s.strip()](args) for s in args.scenarios.split(",")]
 
     md = [
-        "# Louvain giant-community skew bench",
+        "# Planted-skew benches (worst-case key concentration, measured)",
         "",
-        f"Planted input: {n:,} nodes, {m:,} half-edges; ONE community holds",
-        f"{GIANT_SHARE:.0%} of all nodes (ring + hashed chords), the tail sits in",
-        f"{SMALL_COMM}-node ring communities. One `louvain_move_step` over the",
-        f"planted labels at local[{args.cpus}], shuffle partitions {2 * args.cpus}.",
-        "The Sigma_tot / heavy-label joins concentrate ~30% of the probe side",
-        "on one key; AQE skew-join + shuffle-hash hints are the mitigation",
-        "under test. Straggler ratio = max task wall / p50 task wall per stage",
-        "(event-log task telemetry; stages with >=4 tasks and p50 > 50 ms,",
-        "restricted to stages launched after the move step begins — the",
-        "input-generation stages pay first-stage JIT on their first tasks,",
-        "which reads as a fake straggler).",
-        "",
-        f"- move-step wall: **{wall:.1f} s**, moves: {n_moved:,}",
-        f"- worst-stage straggler ratio: **{worst['ratio'] if worst else 'n/a'}**"
-        f" (stage {worst['stage']}, {worst['tasks']} tasks, p50 {worst['p50_sec']}s,"
-        f" max {worst['max_sec']}s)" if worst else "- no multi-task stages recorded",
-        f"- heaviest stage: {heaviest['total_sec']}s total, ratio {heaviest['ratio']}"
-        if heaviest
-        else "",
-        f"- done-bar (VERDICT r3 item 7): max/p50 < 4 -> "
-        f"**{'PASS' if worst and worst['ratio'] < 4 else 'FAIL'}**",
-        "",
-        "| stage | tasks | p50 (s) | max (s) | max/p50 | total (s) |",
-        "|---|---|---|---|---|---|",
+        f"All scenarios at local[{args.cpus}], shuffle partitions",
+        f"{2 * args.cpus}. Straggler ratio = max task wall / p50 task wall",
+        "per stage (event-log task telemetry; stages with >=4 tasks and",
+        "p50 > 50 ms, restricted to stages launched after the kernel under",
+        "test begins — input-generation stages pay first-stage JIT on their",
+        "first tasks, which reads as a fake straggler). Done-bar per",
+        "scenario: worst-stage max/p50 < 4.",
     ]
-    for r in sorted(rows, key=lambda r: -r["total_sec"])[:12]:
-        md.append(
-            f"| {r['stage']} | {r['tasks']} | {r['p50_sec']} | {r['max_sec']} "
-            f"| {r['ratio']} | {r['total_sec']} |"
-        )
+    for res in results:
+        rows = res["rows"]
+        worst = max(rows, key=lambda r: r["ratio"]) if rows else None
+        heaviest = max(rows, key=lambda r: r["total_sec"]) if rows else None
+        md += ["", f"## {res['title']}", ""]
+        md += res["desc"]
+        md += [
+            "",
+            f"- kernel wall: **{res['wall']:.1f} s**, {res['result']}",
+        ]
+        if worst:
+            md.append(
+                f"- worst-stage straggler ratio: **{worst['ratio']}** (stage"
+                f" {worst['stage']}, {worst['tasks']} tasks, p50"
+                f" {worst['p50_sec']}s, max {worst['max_sec']}s)"
+            )
+            md.append(
+                f"- heaviest stage: {heaviest['total_sec']}s total, ratio"
+                f" {heaviest['ratio']}"
+            )
+            md.append(
+                f"- done-bar: max/p50 < 4 -> "
+                f"**{'PASS' if worst['ratio'] < 4 else 'FAIL'}**"
+            )
+        else:
+            md.append("- no multi-task stages recorded")
+        md += [
+            "",
+            "| stage | tasks | p50 (s) | max (s) | max/p50 | total (s) |",
+            "|---|---|---|---|---|---|",
+        ]
+        for r in sorted(rows, key=lambda r: -r["total_sec"])[:12]:
+            md.append(
+                f"| {r['stage']} | {r['tasks']} | {r['p50_sec']} | {r['max_sec']} "
+                f"| {r['ratio']} | {r['total_sec']} |"
+            )
     out_path = os.path.join(REPO, "BENCH", "SKEW.md")
     with open(out_path, "w") as f:
         f.write("\n".join(md) + "\n")
