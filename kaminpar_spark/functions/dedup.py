@@ -155,18 +155,20 @@ def lsh_candidate_pairs(
     The signature table feeds up to four executions here (both band-join
     sides, the bucket-size filter, the identical-signature star) — each one
     re-running the shingle explode + k-min-aggregate groupBy when ``sigs``
-    arrives unmaterialized. Unless the caller declares it already
-    materialized (``materialized=True`` avoids a redundant second copy of an
-    n x k table on the 100 TB path), it is checkpointed once on entry WHEN
-    THE WRITE PAYS: lineage.truncate_if_profitable skips the eager
-    block-store write at high parallelism, where recomputing the
-    (parallelizable) signature plan per consumer measured cheaper than the
-    serialized write (BENCH/DEDUP_SCALING.md: materializing regressed
-    local[32] 42.5 s -> 57.1 s while improving local[2]/local[8])."""
-    from kaminpar_spark.plans.lineage import truncate_if_profitable
+    arrives unmaterialized. It is checkpointed once on entry unless the
+    caller declares it already materialized (``materialized=True`` avoids a
+    redundant second copy of an n x k table on the 100 TB path).
+
+    The checkpoint is UNCONDITIONAL at every parallelism level: a round-5
+    controlled A/B at local[32] on the 1M-doc corpus (checkpoint/skip
+    interleaved on the same host) measured materialized 45.4/40.2 s vs
+    lineage-recompute 53.5/54.6 s — one write beats four recomputes even at
+    high parallelism, falsifying the round-4 hypothesis that the write cost
+    explained the local[32] drift (BENCH/DEDUP_SCALING.md)."""
+    from kaminpar_spark.plans.lineage import truncate
 
     if not materialized:
-        sigs, _ = truncate_if_profitable(sigs)
+        sigs = truncate(sigs)
     banded = banded_signatures(sigs, bands)
     if max_bucket_size is not None:
         ok = (
@@ -237,23 +239,19 @@ def minhash_dedup_pairs(
     with est_jaccard >= threshold. Fully deterministic and reproducible in
     ANSI SQL (see __spark_entry__.oracle_sql).
 
-    The signature table is materialized once WHEN the checkpoint write pays
-    (lineage.truncate_if_profitable — at low parallelism it feeds the banded
-    candidate join and BOTH sides of the verification join, and
-    unmaterialized each consumer re-ran the shingle explode +
-    64-min-aggregate groupBy, measured ~3x the signature cost at sf0.1; at
-    high parallelism the serialized write costs more than the parallel
-    recomputes, BENCH/DEDUP_SCALING.md). The returned table CARRIES any
-    staging checkpoint's block ids (lineage.carry): a multi-query driver
-    should ``release(result)`` after its final action over the pairs, or the
-    signature blocks stay persisted for the session lifetime (no-op when the
-    adaptive rule skipped the checkpoint)."""
-    from kaminpar_spark.plans.lineage import carry, truncate_if_profitable
+    The signature table is materialized once: it feeds the banded candidate
+    join and BOTH sides of the verification join, and unmaterialized each
+    consumer re-ran the shingle explode + 64-min-aggregate groupBy
+    (measured ~3x the signature cost at sf0.1, and a 20% kernel-wall win
+    even at local[32] — the r5 A/B note in lsh_candidate_pairs). The
+    returned table CARRIES the staging checkpoint's block ids
+    (lineage.carry): a multi-query driver should ``release(result)`` after
+    its final action over the pairs, or the signature blocks stay persisted
+    for the session lifetime."""
+    from kaminpar_spark.plans.lineage import carry, truncate
 
     sh = shingles(docs, id_col, text_col, n=shingle_n, portable=True)
-    sigs, _ = truncate_if_profitable(
-        minhash_signatures(sh, num_hashes=num_hashes, seed=seed)
-    )
+    sigs = truncate(minhash_signatures(sh, num_hashes=num_hashes, seed=seed))
     cand = lsh_candidate_pairs(sigs, bands=bands, materialized=True)
     out = minhash_jaccard(sigs, cand).where(F.col("est_jaccard") >= threshold)
     return carry(out, sigs)
@@ -282,19 +280,16 @@ def minhash_ingest_pairs(
     STREAMED, never shuffled, per ingest. The emitted set equals the full
     LSH near-dup pairs filtered to pairs with >=1 new id (co-bucketing is
     pairwise, so restricting one join side to the shard loses nothing)."""
-    from kaminpar_spark.plans.lineage import truncate_if_profitable
+    from kaminpar_spark.plans.lineage import truncate
 
     sh_old = shingles(docs_old, id_col, text_col, n=shingle_n, portable=True)
     sh_new = shingles(docs_new, id_col, text_col, n=shingle_n, portable=True)
     sigs_old = minhash_signatures(sh_old, num_hashes=num_hashes, seed=seed)
-    # adaptive materialize (truncate_if_profitable): sigs_new feeds its own
-    # banding AND the union; sigs feeds the corpus banding and both
-    # verification sides — at high parallelism the recomputes are cheaper
-    # than the checkpoint writes (BENCH/DEDUP_SCALING.md crossover)
-    sigs_new, _ = truncate_if_profitable(
-        minhash_signatures(sh_new, num_hashes=num_hashes, seed=seed)
-    )
-    sigs, _ = truncate_if_profitable(sigs_old.unionByName(sigs_new))
+    # materialize: sigs_new feeds its own banding AND the union; sigs feeds
+    # the corpus banding and both verification sides (the write pays at every
+    # parallelism level — r5 A/B note in lsh_candidate_pairs)
+    sigs_new = truncate(minhash_signatures(sh_new, num_hashes=num_hashes, seed=seed))
+    sigs = truncate(sigs_old.unionByName(sigs_new))
     b_all = banded_signatures(sigs, bands)
     b_new = banded_signatures(sigs_new, bands).select(
         F.col("id").alias("id_n"), "band", "band_key"

@@ -665,28 +665,36 @@ def replicated_bipartition(
     ratio: tuple[int, int] = (1, 1),
     trace: list | None = None,
 ) -> np.ndarray:
-    """E9, completed: the reference's split-and-join replica TREE
+    """E9: the reference's split-and-join replica TREE
     (parallel_initial_partitioner.cc:11-69 partition_recursive /
     split_and_join), not just a coarsest-graph seed portfolio. The chain
     coarsens while the graph is large (compute_num_copies returns 1); once
     within reach of the contraction limit it FORKS mid-coarsening into
     replica groups, each continuing to coarsen independently under its own
-    seed; leaf replicas (thread budget 1) run the full sequential multilevel
-    bipartition (helper::bipartition base case); every join selects the best
-    replica by (infeasibility, cut) (select_best, helper.h:77-104) and every
-    unwind projects + 2-way-FM-refines one level (uncoarsen_once + refine).
-    Driver-sized numpy — the forks cost leaf-count x base work, bounded by
-    ``num_threads``.
+    seed AND eps flavor (_REPLICA_EPS_FLAVORS — sibling leaves bipartition
+    under perturbed balance constraints, always SCORED against the true
+    caps); leaf replicas (thread budget 1) run the full sequential
+    multilevel bipartition (helper::bipartition base case); every join
+    selects the best replica by (infeasibility, cut) (select_best,
+    helper.h:77-104) and every unwind projects + 2-way-FM-refines one level
+    (uncoarsen_once + refine). Driver-sized numpy — the forks cost
+    leaf-count x base work, bounded by ``num_threads``.
 
     ``trace``, if given, records (n, num_copies) at each fork (>1 copy) so
     tests can assert forks happen MID-coarsening (n > contraction limit).
 
-    The final select_best ALSO scores the plain single-chain
-    multilevel_bipartition at the same seed: the tree's replica seeds
-    necessarily diverge from the sequential chain's rng stream, so without
-    this the tree could lose to the chain it replaces on an unlucky draw
-    (observed: +17% cut at k=6 on an Erdos-Renyi grid cell). One extra
-    driver-sized chain makes the result never worse than either."""
+    Restructured in r5 (VERDICT item 5 wall-reclaim): the tree's replica-0
+    SPINE now *is* the sequential chain — one rng stream drives its
+    coarsening levels and its unwind FM, exactly as multilevel_bipartition's
+    does, with sibling subtrees forked off at the copies-rule levels and
+    joined by select_best as the spine unwinds (a challenger track projects
+    and FM-refines the best surviving sibling under a side rng so it never
+    perturbs the spine's stream). The previous structure recomputed the
+    whole chain a second time as a never-worse guard (+5-30% measured wall
+    for what BENCH/PARTITION_QUALITY.md showed to be cut-for-cut ties); now
+    the guard is one final (infeasibility, cut) comparison between the
+    challenger and the spine — never worse than the chain, at the cost of
+    the sibling leaves only."""
     if g.n == 0:
         return np.zeros(0, dtype=np.int64)
     max_cw = int(IP_CLUSTER_WEIGHT_MULTIPLIER * (1 + epsilon) * g.total_weight / 2)
@@ -748,11 +756,83 @@ def replicated_bipartition(
                 best = (sc, p)
         return best[1]
 
-    tree = split_and_join(g, num_threads, False, seed, 0)
-    chain = multilevel_bipartition(
-        g, epsilon, seed=seed, repetitions=repetitions, ratio=ratio
+    # ---- spine descent: the EXACT sequential chain (one rng stream, same
+    # level cadence as multilevel_bipartition), forking sibling subtrees at
+    # every level where the copies rule splits the thread budget. Sibling
+    # partitions are recorded per fork depth and joined during the unwind.
+    rng = np.random.default_rng(seed ^ 0x9E3779B9)
+    hierarchy: list[tuple[SmallGraph, np.ndarray]] = []
+    fork_map: dict[int, list[np.ndarray]] = {}
+    cur, threads, converged = g, num_threads, False
+    while True:
+        copies = compute_num_copies(cur.n, converged, threads)
+        if copies > 1:
+            if trace is not None:
+                trace.append((int(cur.n), copies))
+            tpc = max(1, threads // copies)
+            fork_map.setdefault(len(hierarchy), []).extend(
+                partition_recursive(cur, tpc, seed + 7919 * c, c)
+                for c in range(1, copies)
+            )
+            threads = tpc
+        if converged or cur.n <= IP_CONTRACTION_LIMIT:
+            break
+        leader, moves = lp_cluster_seq(cur, max_cw, rng)
+        c_n = cur.n - moves
+        if (1.0 - c_n / cur.n) <= IP_CONVERGENCE_THRESHOLD:
+            # let the copies rule see the converged graph (full fan-out of
+            # the remaining thread budget) before the spine pools it
+            converged = True
+            continue
+        cg, mapping = contract_clustering(cur, leader)
+        hierarchy.append((cur, mapping))
+        cur = cg
+
+    # ---- spine unwind (chain-identical): pool the coarsest graph at the
+    # chain seed, then project + FM with the chain rng per level. A
+    # CHALLENGER track carries the best surviving sibling upward under a
+    # side rng (so it never touches the spine's stream); at each fork depth
+    # freshly joined siblings compete with it by (infeasibility, cut).
+    part = pool_bipartition(
+        cur, epsilon, seed=seed, repetitions=repetitions, ratio=ratio
     )
-    return tree if score(g, tree) <= score(g, chain) else chain
+    side_rng = np.random.default_rng((seed * 0x9E3779B9 + 0x85EBCA6B) & ((1 << 63) - 1))
+
+    def pick(gr: SmallGraph, cands: list[np.ndarray]) -> np.ndarray | None:
+        out, osc = None, None
+        for p in cands:
+            if p is None:
+                continue
+            sc = score(gr, p)
+            if out is None or sc < osc:
+                out, osc = p, sc
+        return out
+
+    depth = len(hierarchy)
+    best = pick(cur, fork_map.get(depth, []))
+    for fine, mapping in reversed(hierarchy):
+        depth -= 1
+        part = fm_refine_2way(fine, part[mapping], caps, rng=rng)
+        if best is not None:
+            best = fm_refine_2way(fine, best[mapping], caps, rng=side_rng)
+        cands = fork_map.get(depth, [])
+        if cands:
+            best = pick(fine, ([best] if best is not None else []) + cands)
+    # chain-identity: mirror multilevel_bipartition's flat-pool fallback for
+    # an infeasible multilevel result (same seed, same ordering)
+    if hierarchy:
+        sp_sc = score(g, part)
+        if sp_sc[0] > 0:
+            flat = pool_bipartition(
+                g, epsilon, seed=seed, repetitions=repetitions, ratio=ratio
+            )
+            if score(g, flat) < sp_sc:
+                part = flat
+    # never-worse guard: the spine IS the chain (bit-identical rng stream),
+    # so one final comparison suffices — no second chain computation
+    if best is not None and score(g, best) < score(g, part):
+        return best
+    return part
 
 
 # Leaf-replica epsilon multipliers (flavor index -> eps factor). Flavor 0 is

@@ -64,30 +64,16 @@ def release(df: DataFrame | None) -> None:
     df._kaminpar_chk_ids = set()
 
 
-# Measured crossover for staging-table checkpoints (BENCH/DEDUP_SCALING.md,
-# 1M-doc MinHash kernel): the eager checkpoint write amortizes across its
-# downstream consumers at <= 8 cores (local[2] and local[8] both improved
-# when the r3 kernel materialized signatures) but REGRESSED local[32]
-# (42.5 s -> 57.1 s) — at high parallelism recomputing the (parallelizable)
-# staging plan per consumer is cheaper than one serialized block-store
-# write. 16 = geometric midpoint of the measured 8-good / 32-bad bracket.
-ADAPTIVE_CHECKPOINT_MAX_CORES = 16
-
-
-def truncate_if_profitable(
-    df: DataFrame, max_cores: int = ADAPTIVE_CHECKPOINT_MAX_CORES
-) -> tuple[DataFrame, bool]:
-    """Adaptive staging checkpoint (VERDICT r4 item 4): ``truncate`` the
-    DataFrame when the session's parallelism is at most ``max_cores`` (write
-    cost amortizes across re-consumers), otherwise return it unchanged and
-    let each consumer recompute the lineage (cheaper than the serialized
-    write at high parallelism — see crossover note above). Returns
-    (df, checkpointed?); callers that ``carry``/``release`` staging blocks
-    can pass the result either way (no-op when nothing was pinned)."""
-    spark = df.sparkSession
-    if spark.sparkContext.defaultParallelism <= max_cores:
-        return truncate(df), True
-    return df, False
+# Note on ADAPTIVE staging checkpoints (tried and reverted, r5): VERDICT r4
+# hypothesized the signature-table checkpoint write stops paying at high
+# parallelism (DEDUP_SCALING local[32] drift 42.5 -> 57.1 s) and an adaptive
+# truncate_if_profitable(df, max_cores=16) was implemented here. A controlled
+# A/B at local[32] on the same host (checkpoint/skip interleaved, 1M docs)
+# then measured checkpoint 45.4/40.2 s vs skip 53.5/54.6 s — ONE write beats
+# four consumer recomputes at every parallelism level, so the unconditional
+# ``truncate`` stays and the r4 drift is attributed to host noise plus the
+# kernel gaining the bucket breaker + identical-signature star between the
+# two compared measurements.
 
 
 def carry(df: DataFrame, *sources: DataFrame) -> DataFrame:

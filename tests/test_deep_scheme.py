@@ -380,3 +380,23 @@ def test_rgg2d_generator_matches_brute_force(spark):
             if ((xy[a] - xy[b]) ** 2).sum() <= radius * radius:
                 want += 1
     assert g.num_half_edges() == 2 * want
+
+
+def test_replicated_spine_is_the_exact_chain(spark):
+    """r5 restructure invariant: the tree's replica-0 spine consumes the
+    SAME rng stream as multilevel_bipartition, so with num_threads=1 (no
+    forks possible) replicated_bipartition must return the chain's labels
+    bit-for-bit — the never-worse guard is then one comparison, not a
+    second chain computation."""
+    from kaminpar_spark.plans.initial import (
+        multilevel_bipartition,
+        replicated_bipartition,
+    )
+    from kaminpar_spark.plans.partitioner import Partitioner as P
+    from kaminpar_spark.sources.transcripts import synth_transcripts, transcript_graph
+
+    g, _ = transcript_graph(synth_transcripts(spark, 250), n_convs=250)
+    sg, _ = P(g, spark)._collect_small(g)
+    rep = replicated_bipartition(sg, 0.05, seed=42, num_threads=1)
+    chain = multilevel_bipartition(sg, 0.05, seed=42)
+    assert (rep == chain).all()

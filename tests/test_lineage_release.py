@@ -92,19 +92,18 @@ def test_pipeline_results_carry_and_release_staging_blocks(spark):
     assert _n_persistent(spark) == before, "release left staging blocks behind"
 
 
-def test_truncate_if_profitable_is_adaptive(spark):
-    """VERDICT r4 item 4: staging checkpoints are parallelism-adaptive — at
-    low parallelism (this session: 8 cores <= the 16-core crossover) the
-    table is truncated and its blocks are released-able; above the
-    threshold the original plan is returned untouched (consumers recompute,
-    which measured cheaper than the serialized write at local[32])."""
-    from kaminpar_spark.plans.lineage import release, truncate_if_profitable
+def test_staging_checkpoint_blocks_are_releasable(spark):
+    """The staging-checkpoint contract behind VERDICT r4 item 4's
+    investigation (the adaptive variant was falsified by a local[32] A/B —
+    see the note in plans/lineage.py — so the checkpoint is unconditional):
+    a truncated staging table pins releasable block ids and the block
+    manager returns to baseline after release."""
+    from kaminpar_spark.plans.lineage import release, truncate
 
-    df = spark.range(64).toDF("id")
-    out, did = truncate_if_profitable(df)
-    assert did and getattr(out, "_kaminpar_chk_ids", None)
-    assert out.count() == 64
-    release(out)
-
-    out2, did2 = truncate_if_profitable(df, max_cores=4)  # 8 cores > 4
-    assert not did2 and out2 is df
+    before = _n_persistent(spark)
+    df = truncate(spark.range(64).toDF("id"))
+    assert getattr(df, "_kaminpar_chk_ids", None)
+    assert df.count() == 64
+    assert _n_persistent(spark) > before
+    release(df)
+    assert _n_persistent(spark) == before
