@@ -3552,12 +3552,15 @@ def _q_semdedup(spark, sf_dir):
 
 # ---- round-5 driver-verification window (first 50 of queries()): the
 # never-driver-verified backlog, oldest-position first (VERDICT r4 item 1:
-# registry positions 51+ were teed up never-verified-first), plus the two
+# registry positions 51+ were teed up never-verified-first), plus the three
 # entries that MUST re-earn a green row this round: partition_verify (new,
-# VERDICT item 6 — the flagship partitioner's first driver row) and
+# VERDICT item 6 — the flagship partitioner's first driver row),
 # capped_neighbors (implementation replaced by the hub-safe hash-threshold
-# shape, VERDICT item 2). 48 never-verified entries remain in the backlog
-# (positions 51-98), pre-validated by scripts/check_oracle.py this round.
+# shape, VERDICT item 2), and balance_round_skew (admission rewritten to the
+# grouped gain-bucket shape after the skew bench measured the per-mover
+# window at 6.81 max/p50, VERDICT item 7). 49 never-verified entries remain
+# in the backlog (positions 51-99), ALL pre-validated by
+# scripts/check_oracle.py this round.
 _R5_WINDOW = [
     "partition_verify",
     "capped_neighbors",
@@ -3608,12 +3611,15 @@ _R5_WINDOW = [
     "pii_scrub",
     "repetition_stats",
     "event_props_agg",
-    "funnel_counts",
+    "balance_round_skew",
 ]
 
 # Backlog head (positions 51+): the still-never-driver-verified queries, in
-# rotation order, so any future window lifts them first.
+# rotation order, so any future window lifts them first. funnel_counts was
+# displaced from the window when balance_round_skew's implementation changed
+# (grouped admission, BENCH/SKEW.md fix) and had to re-earn a green row.
 _R5_BACKLOG_HEAD = [
+    "funnel_counts",
     "onion_layers6",
     "vertex_cut16",
     "bandwidth_orders",
@@ -6023,18 +6029,32 @@ no_target AS (
   WHERE m.id NOT IN (SELECT id FROM best) AND l.fb_target <> m.block),
 allc AS (SELECT id, block, weight, gain, target, rel_gain FROM best
          UNION ALL SELECT id, block, weight, gain, target, rel_gain FROM no_target),
-adm_src AS MATERIALIZED (
-  SELECT a.*, o.overload,
-         sum(a.weight) OVER (PARTITION BY a.block ORDER BY a.rel_gain DESC, a.id ASC
-                             ROWS UNBOUNDED PRECEDING) AS cum_w
-  FROM allc a JOIN over_b o ON a.block = o.block),
-adm_src_f AS (SELECT * FROM adm_src WHERE cum_w <= overload + weight),
-adm_tgt AS (
-  SELECT a.id, a.target, r.residual,
-         sum(a.weight) OVER (PARTITION BY a.target ORDER BY a.rel_gain DESC, a.id ASC
-                             ROWS UNBOUNDED PRECEDING) AS cum_t
-  FROM adm_src_f a JOIN resid r ON a.target = r.label),
-admitted AS (SELECT id, CAST(target AS INT) AS new_block FROM adm_tgt WHERE cum_t <= residual)
+allq AS MATERIALIZED (
+  SELECT *, CASE WHEN rel_gain = CAST('-infinity' AS DOUBLE) THEN CAST(-4098 AS BIGINT)
+                 ELSE CAST(greatest(-4096, least(4096, floor(rel_gain))) AS BIGINT)
+            END AS gq
+  FROM allc),
+sgrp AS (SELECT block, gq, sum(weight) AS gw FROM allq GROUP BY block, gq),
+sgc AS (SELECT g.block, g.gq, g.gw,
+               o.overload - coalesce(sum(g.gw) OVER (
+                 PARTITION BY g.block ORDER BY g.gq DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS rem
+        FROM sgrp g JOIN over_b o ON g.block = o.block),
+adm_src_f AS MATERIALIZED (
+  SELECT a.* FROM allq a JOIN sgc s ON a.block = s.block AND a.gq = s.gq
+  WHERE s.rem > 0 AND (s.gw <= s.rem OR
+        (CAST((a.id * 2654435761) % 2147483647 AS DOUBLE) / 2147483647.0) * s.gw < s.rem)),
+tgrp AS (SELECT target, gq, sum(weight) AS gw FROM adm_src_f GROUP BY target, gq),
+tgc AS (SELECT g.target, g.gq, g.gw,
+               r.residual - coalesce(sum(g.gw) OVER (
+                 PARTITION BY g.target ORDER BY g.gq DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS rem
+        FROM tgrp g JOIN resid r ON g.target = r.label),
+admitted AS (
+  SELECT a.id, CAST(a.target AS INT) AS new_block
+  FROM adm_src_f a JOIN tgc t ON a.target = t.target AND a.gq = t.gq
+  WHERE t.rem > 0 AND (t.gw <= t.rem OR
+        (CAST((a.id * 2654435761) % 2147483647 AS DOUBLE) / 2147483647.0) * t.gw < t.rem))
 SELECT p.id, CAST(coalesce(a.new_block, p.block) AS INT) AS block
 FROM part p LEFT JOIN admitted a ON p.id = a.id"""
 

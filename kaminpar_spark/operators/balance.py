@@ -76,7 +76,12 @@ def balance_round(
     bw = truncate(_with_caps(bw, max_block_weight))
     over = bw.where(F.col("bweight") > F.col("cap"))
     if over.limit(1).count() == 0:
-        return partition
+        # already balanced: nothing to do, but bw's staging blocks must
+        # still reach the caller's release (carry on a fresh wrapper so the
+        # caller's own DataFrame object is not mutated)
+        from kaminpar_spark.plans.lineage import carry
+
+        return carry(partition.alias("balanced"), bw)
 
     scores = truncate(label_scores(graph, state))  # (id, label, score)
     cur = partition.join(graph.nodes.select("id", "weight"), "id")
@@ -147,31 +152,101 @@ def balance_round(
     best = best.select("id", "block", "weight", "gain", "target", "rel_gain").unionByName(
         no_target
     )
-    # admit per source block: cumulative weight <= overload
+    # admit per source block (then per target): gain-ordered cumulative
+    # weight <= budget, computed over (key, gain-bucket) GROUPS instead of
+    # individual movers. The previous per-mover windows
+    # (Window.partitionBy(block/target).orderBy(rel_gain, id)) sorted an
+    # overloaded block's ENTIRE mover set in one task — measured 6.81
+    # max/p50 straggler with one block holding 30% of all nodes
+    # (BENCH/SKEW.md balance scenario). The grouped shape hard-bounds every
+    # window partition at <= 2*BAL_GAIN_BUCKETS+3 group rows regardless of
+    # mover count: buckets strictly above the boundary admit whole, the
+    # boundary bucket admits a deterministic hash-fraction of its movers
+    # sized to the remaining budget (expected-weight exact; within a bucket
+    # gains are equal up to quantization, so any same-size subset is equally
+    # good — the old id-ascending tiebreak was just as arbitrary).
     overload = over.select(
         "block", (F.col("bweight") - F.col("cap")).alias("overload")
     )
-    w_src = Window.partitionBy("block").orderBy(F.desc("rel_gain"), F.asc("id")).rowsBetween(
-        Window.unboundedPreceding, 0
+    # materialize: best feeds the source group aggregate AND the source
+    # admission join (and, through admitted_src, the target pair) — the
+    # candidate/gain plan above is the expensive part and would re-run per
+    # consumer (measured 2x kernel wall on the skew bench unmaterialized)
+    best = truncate(best.withColumn("gq", _gain_bucket(F.col("rel_gain"))))
+    admitted_src = _grouped_admission(best, overload, "block", "overload")
+    resid_t = resid.select(F.col("label").alias("target"), "residual")
+    admitted = _grouped_admission(admitted_src, resid_t, "target", "residual").select(
+        "id", F.col("target").cast("int").alias("new_block")
     )
-    admitted_src = (
-        best.join(overload, "block")
-        .withColumn("cum_w", F.sum("weight").over(w_src))
-        .where(F.col("cum_w") <= F.col("overload") + F.col("weight"))
-    )
-    # admit per target: cumulative weight <= residual
-    w_tgt = Window.partitionBy("target").orderBy(F.desc("rel_gain"), F.asc("id")).rowsBetween(
-        Window.unboundedPreceding, 0
-    )
-    admitted = (
-        admitted_src.join(resid.withColumnRenamed("label", "target"), "target")
-        .withColumn("cum_t", F.sum("weight").over(w_tgt))
-        .where(F.col("cum_t") <= F.col("residual"))
-        .select("id", F.col("target").cast("int").alias("new_block"))
-    )
-    return (
+    out = (
         partition.join(admitted, "id", "left")
         .select("id", F.coalesce("new_block", "block").cast("int").alias("block"))
+    )
+    # the round's staging checkpoints (bw, scores, best) ride along so the
+    # caller can release them once the round's output is materialized
+    # (balance() does; see lineage.carry)
+    from kaminpar_spark.plans.lineage import carry
+
+    return carry(out, bw, scores, best)
+
+
+BAL_GAIN_BUCKETS = 4096
+_BAL_MIX_MULT = 2654435761  # Knuth multiplicative mixer; ids < 2^31
+_BAL_MIX_MOD = (1 << 31) - 1
+
+
+def _gain_bucket(col: F.Column) -> F.Column:
+    """Monotone, hard-bounded quantization of rel_gain: floor clamped to
+    +-BAL_GAIN_BUCKETS; the -inf fallback class gets its own bottom bucket.
+    Bounded range is what makes the admission window's per-key partition
+    size independent of mover count. floor + clamp are bit-identical across
+    Spark and DuckDB (one IEEE floor on a double)."""
+    return (
+        F.when(col == F.lit(float("-inf")), F.lit(-(BAL_GAIN_BUCKETS + 2)))
+        .otherwise(
+            F.greatest(
+                F.lit(-BAL_GAIN_BUCKETS),
+                F.least(F.lit(BAL_GAIN_BUCKETS), F.floor(col)),
+            )
+        )
+        .cast("long")
+    )
+
+
+def _grouped_admission(
+    df: DataFrame, budgets: DataFrame, key: str, budget_col: str
+) -> DataFrame:
+    """Admit rows of ``df`` (carrying id, weight, gq) under per-``key``
+    weight budgets, draining gain buckets best-first: a bucket whose weight
+    fits the remaining budget is admitted whole; the boundary bucket admits
+    rows whose deterministic id-hash fraction falls below rem/gw. One hash
+    aggregate + one window over AT MOST 2*BAL_GAIN_BUCKETS+3 group rows per
+    key + one equi-join — no per-mover sort anywhere."""
+    grp = df.groupBy(key, "gq").agg(F.sum("weight").alias("gw"))
+    wg = (
+        Window.partitionBy(key)
+        .orderBy(F.desc("gq"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    grp = (
+        grp.join(budgets, key)
+        .withColumn("above_w", F.coalesce(F.sum("gw").over(wg), F.lit(0)))
+        .withColumn("rem", F.col(budget_col) - F.col("above_w"))
+        .where(F.col("rem") > 0)
+        .select(key, "gq", "gw", "rem")
+    )
+    hfrac = F.pmod(F.col("id") * F.lit(_BAL_MIX_MULT), F.lit(_BAL_MIX_MOD)).cast(
+        "double"
+    ) / F.lit(float(_BAL_MIX_MOD))
+    # broadcast the group table: it is <= (2*BAL_GAIN_BUCKETS+3) rows per
+    # distinct key BY CONSTRUCTION, and an equi-join on (key, gq) would
+    # otherwise hash ALL of a boundary bucket's movers (one composite key)
+    # into a single task — the residual 4.02 straggler the skew bench
+    # measured before this hint; broadcast keeps the mover side unshuffled.
+    return (
+        df.join(F.broadcast(grp), [key, "gq"])
+        .where((F.col("gw") <= F.col("rem")) | (hfrac * F.col("gw") < F.col("rem")))
+        .drop("gw", "rem")
     )
 
 
@@ -198,7 +273,9 @@ def balance(
         )
         if not total_over:
             break
-        new_part = truncate(balance_round(graph, part, max_block_weight, k=k))
+        round_out = balance_round(graph, part, max_block_weight, k=k)
+        new_part = truncate(round_out)
+        release(round_out)  # the round's carried staging checkpoints
         release(part)
         part = new_part
     return part

